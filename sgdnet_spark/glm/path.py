@@ -1,0 +1,322 @@
+"""Regularization-path drivers, one per family.
+
+Mirrors the reference semantics (src/utils.h:144 RegularizationPath,
+src/families.h LambdaMax): lambda_max is the smallest penalty that zeroes
+every coefficient, the path is ``nlambda`` log-spaced values down to
+``lambda_max * lambda_min_ratio``, fits warm-start from the previous
+lambda, and coefficients are returned unstandardized (original x scale).
+
+All drivers consume a provider (providers.py) — they never see row data,
+only p-sized aggregates, so the same code runs on numpy or on a cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sgdnet_spark.glm.solvers import (
+    enet_cd_gram,
+    group_cd_gram,
+    log_space,
+    wls_enet_cd,
+)
+
+ALPHA_FLOOR = 1e-3  # reference utils.h:159 divides by max(elasticnet_mix, 0.001)
+
+
+@dataclass
+class PathResult:
+    family: str
+    lambdas: np.ndarray          # (nl,)
+    a0: np.ndarray               # (nl,) or (k, nl)
+    beta: np.ndarray             # (p, nl) or (k, p, nl)
+    df: np.ndarray               # (nl,) nonzero count
+    dev_ratio: np.ndarray        # (nl,)
+    nulldev: float
+    npasses: int
+    x_mean: np.ndarray = field(default=None)
+    x_std: np.ndarray = field(default=None)
+    dfmat: np.ndarray | None = None  # (k, nl) for multivariate families
+
+
+def _standardization(mom, standardize: bool, center: bool):
+    x_mean = mom.x_mean if center else np.zeros_like(mom.x_mean)
+    if standardize:
+        std = mom.x_std() if center else np.sqrt(np.maximum(mom.sum_xx.diagonal() / mom.n - mom.x_mean**2, 0.0))
+        std = np.where(std > 0, std, 1.0)
+    else:
+        std = np.ones_like(x_mean)
+    return x_mean, std
+
+
+def _gram(mom, x_mean, x_std, center: bool):
+    """Standardized C = X~'X~/n and B = X~'Y/n from raw moments."""
+    n = mom.n
+    inv = 1.0 / x_std
+    if center:
+        cov = mom.sum_xx / n - np.outer(mom.x_mean, mom.x_mean)
+        bxy = mom.sum_xy / n - np.outer(mom.x_mean, mom.y_mean)
+    else:
+        cov = mom.sum_xx / n
+        bxy = mom.sum_xy / n
+    C = cov * np.outer(inv, inv)
+    B = bxy * inv[:, None]
+    return C, B
+
+
+def _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas):
+    if lambdas is not None and len(lambdas) > 0:
+        return np.sort(np.asarray(lambdas, dtype=float))[::-1].copy()
+    if lambda_max <= 0:
+        return np.zeros(nlambda)
+    return log_space(lambda_max, lambda_max * lambda_min_ratio, nlambda)
+
+
+def _unstandardize(beta_std: np.ndarray, x_mean, x_std, y_off: float, intercept: bool):
+    """beta on original x scale + intercept (reference utils.h:Unstandardize)."""
+    b = beta_std / x_std
+    a0 = (y_off - float(x_mean @ b)) if intercept else 0.0
+    return b, a0
+
+
+def gaussian_path(
+    provider,
+    alpha: float,
+    nlambda: int = 100,
+    lambda_min_ratio: float = 1e-4,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-7,
+    maxit: int = 1000,
+    mom=None,
+) -> PathResult:
+    mom = mom or provider.moments()
+    n = mom.n
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    C, B = _gram(mom, x_mean, x_std, intercept)
+    b = B[:, 0]
+    y_mean = float(mom.y_mean[0]) if intercept else 0.0
+    # variance of y around the null model
+    if intercept:
+        y_var = float(mom.sum_yy[0] / n - y_mean**2)
+    else:
+        y_var = float(mom.sum_yy[0] / n)
+    nulldev = y_var * n
+
+    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+    p = len(b)
+
+    beta = np.zeros(p)
+    out_beta = np.zeros((p, nl))
+    out_a0 = np.zeros(nl)
+    out_df = np.zeros(nl, dtype=int)
+    out_dr = np.zeros(nl)
+    npasses = 0
+    for i, lam in enumerate(lam_path):
+        beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit)
+        npasses += its
+        rss_n = y_var - 2.0 * float(b @ beta) + float(beta @ C @ beta)
+        out_dr[i] = 1.0 - rss_n * n / nulldev if nulldev > 0 else 0.0
+        ob, oa0 = _unstandardize(beta, x_mean, x_std, y_mean, intercept)
+        out_beta[:, i] = ob
+        out_a0[i] = oa0
+        out_df[i] = int(np.count_nonzero(beta))
+    return PathResult(
+        "gaussian", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std,
+    )
+
+
+def mgaussian_path(
+    provider,
+    alpha: float,
+    nlambda: int = 100,
+    lambda_min_ratio: float = 1e-4,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    standardize_response: bool = False,
+    thresh: float = 1e-7,
+    maxit: int = 1000,
+    mom=None,
+) -> PathResult:
+    mom = mom or provider.moments()
+    n = mom.n
+    k = len(mom.sum_y)
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    C, B = _gram(mom, x_mean, x_std, intercept)
+    y_mean = mom.y_mean if intercept else np.zeros(k)
+    y_var = mom.sum_yy / n - y_mean**2 if intercept else mom.sum_yy / n
+    nulldev = float(y_var.sum()) * n
+
+    y_scale = np.ones(k)
+    if standardize_response:
+        y_scale = np.where(mom.y_std() > 0, mom.y_std(), 1.0)
+    Bs = B / y_scale[None, :]
+
+    # group lambda_max: smallest lam with all row-groups zero
+    lambda_max = float(np.max(np.linalg.norm(Bs, axis=1))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+    p = Bs.shape[0]
+
+    beta = np.zeros((p, k))
+    out_beta = np.zeros((k, p, nl))
+    out_a0 = np.zeros((k, nl))
+    out_df = np.zeros(nl, dtype=int)
+    out_dfmat = np.zeros((k, nl), dtype=int)
+    out_dr = np.zeros(nl)
+    npasses = 0
+    yv_scaled = y_var / (y_scale**2)
+    for i, lam in enumerate(lam_path):
+        beta, its = group_cd_gram(C, Bs, lam, alpha, beta, tol=thresh, maxit=maxit)
+        npasses += its
+        # per-response RSS/n on the scaled problem, unscaled back to y units
+        rss_c = yv_scaled - 2.0 * np.einsum("pc,pc->c", Bs, beta) + np.einsum("pc,pq,qc->c", beta, C, beta)
+        dev = float(np.sum(rss_c * y_scale**2)) * n
+        out_dr[i] = 1.0 - dev / nulldev if nulldev > 0 else 0.0
+        for c in range(k):
+            ob, oa0 = _unstandardize(beta[:, c] * y_scale[c], x_mean, x_std, float(y_mean[c]), intercept)
+            out_beta[c, :, i] = ob
+            out_a0[c, i] = oa0
+            out_dfmat[c, i] = int(np.count_nonzero(beta[:, c]))
+        out_df[i] = int(np.count_nonzero(np.any(beta != 0.0, axis=1)))
+    return PathResult(
+        "mgaussian", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std, out_dfmat,
+    )
+
+
+def binomial_path(
+    provider,
+    alpha: float,
+    nlambda: int = 100,
+    lambda_min_ratio: float = 1e-4,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-7,
+    maxit: int = 1000,
+    outer_maxit: int = 30,
+    mom=None,
+) -> PathResult:
+    mom = mom or provider.moments()
+    n = mom.n
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    C, B = _gram(mom, x_mean, x_std, intercept)
+    b = B[:, 0]
+    provider.set_standardization(x_mean, 1.0 / x_std)
+
+    pbar = float(mom.y_mean[0])
+    ll_null = n * (pbar * np.log(max(pbar, 1e-300)) + (1 - pbar) * np.log(max(1 - pbar, 1e-300)))
+    nulldev = -2.0 * ll_null
+
+    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+    p = len(b)
+
+    coef = np.zeros(p)
+    b0 = float(np.log(pbar / (1 - pbar))) if intercept else 0.0
+    out_beta = np.zeros((p, nl))
+    out_a0 = np.zeros(nl)
+    out_df = np.zeros(nl, dtype=int)
+    out_dr = np.zeros(nl)
+    for i, lam in enumerate(lam_path):
+        ll = ll_null
+        for _ in range(outer_maxit):
+            sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
+            new_coef, new_b0, _ = wls_enet_cd(
+                sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
+                tol=thresh, maxit=maxit,
+            )
+            delta = max(float(np.max(np.abs(new_coef - coef)), ), abs(new_b0 - b0))
+            scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
+            coef, b0 = new_coef, new_b0
+            if delta <= max(thresh, 1e-6) * scale:
+                break
+        out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
+        ob, oa0 = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
+        out_beta[:, i] = ob
+        out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
+        out_df[i] = int(np.count_nonzero(coef))
+    return PathResult(
+        "binomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std,
+    )
+
+
+def multinomial_path(
+    provider,
+    alpha: float,
+    nlambda: int = 100,
+    lambda_min_ratio: float = 1e-4,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-7,
+    maxit: int = 1000,
+    outer_maxit: int = 20,
+    mom=None,
+) -> PathResult:
+    """Softmax regression path; y arrives one-hot (n, k)."""
+    mom = mom or provider.moments()
+    n = mom.n
+    k = len(mom.sum_y)
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    C, B = _gram(mom, x_mean, x_std, intercept)  # B[:, c] = <x~, y_c - pbar_c>/n
+    provider.set_standardization(x_mean, 1.0 / x_std)
+
+    pri = mom.y_mean  # class priors
+    ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
+    nulldev = -2.0 * ll_null
+
+    lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+    p = B.shape[0]
+
+    coefs = np.zeros((k, p))
+    b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
+    b0s = b0s - b0s.mean() if intercept else b0s
+    out_beta = np.zeros((k, p, nl))
+    out_a0 = np.zeros((k, nl))
+    out_df = np.zeros(nl, dtype=int)
+    out_dfmat = np.zeros((k, nl), dtype=int)
+    out_dr = np.zeros(nl)
+    for i, lam in enumerate(lam_path):
+        ll = ll_null
+        for _ in range(outer_maxit):
+            max_delta = 0.0
+            max_scale = 1e-12
+            for c in range(k):
+                sw, swx, swxx, swxz, swz, ll = provider.irls_multinomial(coefs, b0s, c)
+                new_coef, new_b0, _ = wls_enet_cd(
+                    sw, swx, swxx, swxz, swz, n, lam, alpha, coefs[c], float(b0s[c]),
+                    intercept, tol=thresh, maxit=maxit,
+                )
+                max_delta = max(max_delta, float(np.max(np.abs(new_coef - coefs[c]))), abs(new_b0 - b0s[c]))
+                max_scale = max(max_scale, float(np.max(np.abs(new_coef))), abs(new_b0))
+                coefs[c] = new_coef
+                b0s[c] = new_b0
+            if max_delta <= max(thresh, 1e-6) * max_scale:
+                break
+        out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
+        for c in range(k):
+            ob, _ = _unstandardize(coefs[c], x_mean, x_std, 0.0, intercept)
+            out_beta[c, :, i] = ob
+            out_a0[c, i] = b0s[c] - float(x_mean @ ob) if intercept else 0.0
+            out_dfmat[c, i] = int(np.count_nonzero(coefs[c]))
+        out_df[i] = int(np.count_nonzero(np.any(coefs != 0.0, axis=0)))
+        # reference R/sgdnet.R:409 recenters multinomial intercepts to sum to 0
+        if intercept:
+            out_a0[:, i] -= out_a0[:, i].mean()
+    return PathResult(
+        "multinomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std, out_dfmat,
+    )

@@ -1,0 +1,143 @@
+"""Data providers: one interface, two execution strategies.
+
+``SparkXY`` keeps the data distributed and serves the solvers aggregate
+passes (scales to arbitrary n; the 100 TB path). ``LocalXY`` is the
+driver fast path used when n*p is small enough to collect — the same
+decision Spark MLlib makes between normal-equation and iterative solvers.
+Both produce bit-identical statistics, which the tests assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from sgdnet_spark.glm import suffstats
+from sgdnet_spark.glm.suffstats import Moments
+
+
+def _softmax(eta: np.ndarray) -> np.ndarray:
+    m = eta.max(axis=1, keepdims=True)
+    e = np.exp(eta - m)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+class LocalXY:
+    """Numpy-backed provider. x: (n,p) raw scale; y: (n,k)."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray):
+        self.x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.y = y.reshape(-1, 1) if y.ndim == 1 else y
+        self.n, self.p = self.x.shape
+        self.passes = 0
+
+    def moments(self) -> Moments:
+        self.passes += 1
+        x, y = self.x, self.y
+        return Moments(
+            n=self.n,
+            sum_x=x.sum(axis=0),
+            sum_y=y.sum(axis=0),
+            sum_xx=x.T @ x,
+            sum_xy=x.T @ y,
+            sum_yy=(y * y).sum(axis=0),
+        )
+
+    def set_standardization(self, x_mean: np.ndarray, x_inv_std: np.ndarray) -> None:
+        self.x_mean = x_mean
+        self.x_inv_std = x_inv_std
+
+    def _xs(self) -> np.ndarray:
+        return (self.x - self.x_mean) * self.x_inv_std
+
+    def irls_binomial(self, coef: np.ndarray, intercept: float):
+        self.passes += 1
+        xs = self._xs()
+        yb = self.y[:, 0]
+        eta = xs @ coef + intercept
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1.0 - mu), 1e-10)
+        z = eta + (yb - mu) / w
+        xw = xs * w[:, None]
+        ll = float(np.sum(yb * eta - np.logaddexp(0.0, eta)))
+        return (
+            float(w.sum()),
+            xw.sum(axis=0),
+            xw.T @ xs,
+            xw.T @ z,
+            float((w * z).sum()),
+            ll,
+        )
+
+    def irls_multinomial(self, coefs: np.ndarray, intercepts: np.ndarray, cls: int):
+        """Quadratic stats for class ``cls``; self.y is one-hot (n, k)."""
+        self.passes += 1
+        xs = self._xs()
+        eta = xs @ coefs.T + intercepts  # (n, k)
+        prob = _softmax(eta)
+        yk = self.y[:, cls]
+        pk = prob[:, cls]
+        w = np.maximum(pk * (1.0 - pk), 1e-10)
+        z = eta[:, cls] + (yk - pk) / w
+        xw = xs * w[:, None]
+        ll = float(np.sum(self.y * np.log(np.maximum(prob, 1e-300))))
+        return (
+            float(w.sum()),
+            xw.sum(axis=0),
+            xw.T @ xs,
+            xw.T @ z,
+            float((w * z).sum()),
+            ll,
+        )
+
+
+class SparkXY:
+    """Spark-backed provider over an assembled (features, label) frame."""
+
+    def __init__(self, xy: DataFrame, p: int, k: int):
+        self.xy = xy
+        self.p = p
+        self.k = k
+        self.n: int | None = None
+        self.passes = 0
+        self._cached = False
+
+    def cache(self) -> None:
+        if not self._cached:
+            self.xy = self.xy.persist()
+            self._cached = True
+
+    def unpersist(self) -> None:
+        if self._cached:
+            self.xy.unpersist()
+            self._cached = False
+
+    def moments(self) -> Moments:
+        self.passes += 1
+        mom = suffstats.moments_and_gram(self.xy, self.p, self.k)
+        self.n = mom.n
+        return mom
+
+    def set_standardization(self, x_mean: np.ndarray, x_inv_std: np.ndarray) -> None:
+        self.x_mean = x_mean
+        self.x_inv_std = x_inv_std
+
+    def irls_binomial(self, coef: np.ndarray, intercept: float):
+        self.passes += 1
+        return suffstats.weighted_quadratic(
+            self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std
+        )
+
+    def irls_multinomial(self, coefs: np.ndarray, intercepts: np.ndarray, cls: int):
+        self.passes += 1
+        return suffstats.weighted_quadratic_multinomial(
+            self.xy, self.p, coefs, intercepts, cls, self.x_mean, self.x_inv_std
+        )
+
+    def to_local(self, max_cells: float = 3e8) -> LocalXY | None:
+        got = suffstats.collect_xy(self.xy, max_cells=max_cells)
+        if got is None:
+            return None
+        x, y = got
+        return LocalXY(x, y)

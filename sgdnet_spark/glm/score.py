@@ -1,0 +1,163 @@
+"""Model scoring along the lambda path — reference R/score.R.
+
+Measures per family (reference cv_sgdnet.R "Measures" table):
+  gaussian    : deviance(=mse), mse, mae
+  binomial    : deviance, mse, mae, class, auc
+  multinomial : deviance, mse, mae, class
+  mgaussian   : deviance(=mse), mse, mae
+
+``score`` works on a Spark DataFrame: for gaussian/binomial it evaluates
+all nl lambdas in ONE aggregation pass over JVM prediction expressions
+(no Python in the loop, no per-lambda scan). auc and the multivariate
+families collect (x, y) once and score in numpy — fine for CV folds;
+the distributed generalization is a straight extension of the same
+expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sgdnet_spark.glm import suffstats
+
+PROB_MIN = 1e-05  # reference score.R:86
+PROB_MAX = 1 - PROB_MIN
+
+
+def _auc(y: np.ndarray, prob: np.ndarray) -> float:
+    """Mann-Whitney AUC (ties get midranks)."""
+    order = np.argsort(prob, kind="mergesort")
+    ranks = np.empty(len(prob), dtype=float)
+    sorted_p = prob[order]
+    i = 0
+    r = 1.0
+    while i < len(sorted_p):
+        j = i
+        while j + 1 < len(sorted_p) and sorted_p[j + 1] == sorted_p[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (r + r + (j - i)) / 2.0
+        r += j - i + 1
+        i = j + 1
+    npos = float(y.sum())
+    nneg = float(len(y) - npos)
+    if npos == 0 or nneg == 0:
+        return float("nan")
+    return (ranks[y == 1].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", s=None) -> np.ndarray:
+    """Numpy scoring, mirrors score.R per family."""
+    fam = fit.family
+    s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+    nl = len(s_arr)
+
+    if fam in ("gaussian",):
+        yv = np.asarray(y, dtype=float).reshape(-1)
+        eta = fit.predict_np(x, s=s_arr)  # (n, nl)
+        diff = eta - yv[:, None]
+        if type_measure in ("deviance", "mse"):
+            return (diff**2).mean(axis=0)
+        if type_measure == "mae":
+            return np.abs(diff).mean(axis=0)
+    elif fam == "mgaussian":
+        yv = np.asarray(y, dtype=float)
+        out = np.zeros(nl)
+        for i, si in enumerate(s_arr):
+            eta = fit.predict_np(x, s=si)[:, :, 0]  # (n, k)
+            d = eta - yv
+            out[i] = (d**2).sum(axis=1).mean() if type_measure in ("deviance", "mse") else np.abs(d).sum(axis=1).mean()
+        return out
+    elif fam == "binomial":
+        cls = np.asarray(fit.classnames)
+        yb = (np.asarray(y).reshape(-1) == cls[1]).astype(float) if y.dtype.kind in "OUS" else np.asarray(y, float).reshape(-1)
+        prob = fit.predict_np(x, s=s_arr, type="response")  # (n, nl)
+        if type_measure == "auc":
+            return np.array([_auc(yb, prob[:, i]) for i in range(nl)])
+        if type_measure == "mse":
+            # reference score.R:101 two-column form == 2*(p - y)^2 pointwise
+            return (((prob - yb[:, None]) ** 2) * 2).mean(axis=0)
+        if type_measure == "mae":
+            return (np.abs(prob - yb[:, None]) * 2).mean(axis=0)
+        if type_measure == "deviance":
+            pc = np.clip(prob, PROB_MIN, PROB_MAX)
+            lp = yb[:, None] * np.log(pc) + (1 - yb[:, None]) * np.log(1 - pc)
+            return (-2 * lp).mean(axis=0)
+        if type_measure == "class":
+            return ((prob > 0.5) != (yb[:, None] > 0.5)).mean(axis=0)
+    elif fam == "multinomial":
+        cls = np.asarray(fit.classnames)
+        yi = np.searchsorted(cls, np.asarray(y).reshape(-1)) if y.dtype.kind in "OUS" else np.asarray(y, int).reshape(-1)
+        onehot = np.eye(len(cls))[yi]
+        out = np.zeros(nl)
+        for i, si in enumerate(s_arr):
+            prob = fit.predict_np(x, s=si, type="response")[:, :, 0]  # (n, k)
+            if type_measure == "deviance":
+                pc = np.clip(prob, PROB_MIN, PROB_MAX)
+                out[i] = (-2 * (onehot * np.log(pc)).sum(axis=1)).mean()
+            elif type_measure == "mse":
+                out[i] = (((prob - onehot) ** 2).sum(axis=1) * 2).mean() / 2
+            elif type_measure == "mae":
+                out[i] = (np.abs(prob - onehot).sum(axis=1)).mean()
+            elif type_measure == "class":
+                out[i] = (prob.argmax(axis=1) != yi).mean()
+        return out
+    raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
+
+
+def score(
+    fit,
+    df: DataFrame,
+    feature_cols: Sequence[str] | None = None,
+    label_col: str | None = None,
+    type_measure: str = "deviance",
+    s=None,
+    collect_max_cells: float = 3e8,
+) -> np.ndarray:
+    """Score on a Spark DataFrame. One aggregation pass for the
+    univariate families; collect+numpy for auc/multivariate."""
+    cols = list(feature_cols) if feature_cols else fit.feature_names
+    fam = fit.family
+    distributed = fam in ("gaussian", "binomial") and type_measure in ("deviance", "mse", "mae", "class")
+    if not distributed:
+        xy = suffstats.assemble(df, cols, None)
+        first = df.select(*cols, label_col).toPandas()
+        x = first[cols].to_numpy(dtype=float)
+        y = first[label_col].to_numpy()
+        return score_np(fit, x, y, type_measure, s=s)
+
+    s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+    cf = fit.coef(s_arr)
+    nl = cf.shape[-1]
+    cls = fit.classnames
+    if fam == "binomial":
+        ycol = F.when(F.col(label_col) == F.lit(cls[1]), 1.0).otherwise(0.0)
+    else:
+        ycol = F.col(label_col).cast("double")
+
+    aggs = []
+    for i in range(nl):
+        eta = F.lit(float(cf[0, i]))
+        for w, c in zip(cf[1:, i], cols):
+            if w != 0.0:
+                eta = eta + F.lit(float(w)) * F.col(c).cast("double")
+        if fam == "gaussian":
+            d = eta - ycol
+            expr = F.avg(d * d) if type_measure in ("deviance", "mse") else F.avg(F.abs(d))
+        else:
+            prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            if type_measure == "deviance":
+                pc = F.least(F.greatest(prob, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+                expr = F.avg(F.lit(-2.0) * (ycol * F.log(pc) + (F.lit(1.0) - ycol) * F.log(F.lit(1.0) - pc)))
+            elif type_measure == "mse":
+                expr = F.avg((prob - ycol) * (prob - ycol) * F.lit(2.0))
+            elif type_measure == "mae":
+                expr = F.avg(F.abs(prob - ycol) * F.lit(2.0))
+            else:  # class
+                expr = F.avg(((prob > 0.5).cast("double") - ycol) * ((prob > 0.5).cast("double") - ycol))
+        aggs.append(expr.alias(f"m{i}"))
+    row = df.agg(*aggs).first()
+    return np.array([row[f"m{i}"] for i in range(nl)])

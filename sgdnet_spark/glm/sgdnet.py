@@ -1,0 +1,336 @@
+"""Public fit API — the PySpark counterpart of the reference's sgdnet().
+
+Reference surface: R/sgdnet.R (sgdnet.default), R/predict.sgdnet.R,
+R/score.R, R/deviance.sgdnet.R. Families: gaussian, binomial,
+multinomial, mgaussian; elastic-net mixing ``alpha``; automatic
+log-spaced lambda path with warm starts; standardization on by default.
+
+Execution: features are assembled into an ``array<double>`` column
+JVM-side; solvers consume p-sized distributed aggregates (SURVEY.md §3).
+When n*p fits comfortably on the driver we collect once and run the
+identical numpy provider (``solver='auto'``) — same statistics, fewer
+job launches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sgdnet_spark.glm import path as path_mod
+from sgdnet_spark.glm import suffstats
+from sgdnet_spark.glm.providers import LocalXY, SparkXY
+
+FAMILIES = ("gaussian", "binomial", "multinomial", "mgaussian")
+
+
+@dataclass
+class SgdnetFit:
+    """Fitted path. Mirrors the reference's sgdnet object fields
+
+    (R/sgdnet.R:412): a0, beta, lambda, dev.ratio, df, nulldev, npasses,
+    alpha, classnames, nobs (+ dfmat for multivariate families).
+    """
+
+    family: str
+    alpha: float
+    lambdas: np.ndarray
+    a0: np.ndarray                # (nl,) or (k, nl)
+    beta: np.ndarray              # (p, nl) or (k, p, nl)
+    df: np.ndarray
+    dev_ratio: np.ndarray
+    nulldev: float
+    npasses: int
+    nobs: int
+    feature_names: list[str]
+    classnames: list | None = None
+    response_names: list[str] | None = None
+    dfmat: np.ndarray | None = None
+    intercept: bool = True
+    standardize: bool = True
+
+    # ---- coefficient access -------------------------------------------------
+
+    @property
+    def nlambda(self) -> int:
+        return len(self.lambdas)
+
+    def _interp(self, s) -> tuple[np.ndarray, np.ndarray]:
+        """lambda interpolation weights, as reference
+        R/predict.sgdnet.R:144 (lambda_interpolate)."""
+        s = np.atleast_1d(np.asarray(s, dtype=float))
+        if np.any(s < 0):
+            raise ValueError("s (lambda penalty) cannot be negative")
+        lam = self.lambdas
+        if len(lam) == 1:
+            left = right = np.zeros(len(s), dtype=int)
+            frac = np.ones(len(s))
+            return np.stack([left, right]), frac
+        s = np.clip(s, lam.min(), lam.max())
+        # lam is descending
+        right = np.searchsorted(-lam, -s, side="left")
+        right = np.clip(right, 1, len(lam) - 1)
+        left = right - 1
+        denom = lam[left] - lam[right]
+        frac = np.where(denom > 0, (s - lam[right]) / np.where(denom > 0, denom, 1.0), 1.0)
+        return np.stack([left, right]), frac
+
+    def coef(self, s=None) -> np.ndarray:
+        """Coefficient matrix with intercept row(s) first; interpolated at s."""
+        if self.family in ("gaussian", "binomial"):
+            full = np.vstack([self.a0[None, :], self.beta])  # (p+1, nl)
+        else:
+            full = np.concatenate([self.a0[:, None, :], self.beta], axis=1)  # (k, p+1, nl)
+        if s is None:
+            return full
+        (left, right), frac = self._interp(s)
+        return full[..., left] * frac + full[..., right] * (1 - frac)
+
+    # ---- prediction ---------------------------------------------------------
+
+    def _check_cols(self, cols: Sequence[str] | None) -> list[str]:
+        return list(cols) if cols is not None else self.feature_names
+
+    def predict(
+        self,
+        newx: DataFrame,
+        s=None,
+        type: str = "link",
+        feature_cols: Sequence[str] | None = None,
+        prefix: str = "pred",
+    ) -> DataFrame:
+        """Append prediction columns to ``newx`` (one per lambda requested).
+
+        Built entirely from JVM column expressions (dot product over the
+        named feature columns) — whole-stage-codegen'd, no Python UDF.
+        Types follow reference predict.sgdnet: link | response | class.
+        """
+        cols = self._check_cols(feature_cols)
+        cf = self.coef(s) if s is not None else self.coef()
+        multi = self.family in ("multinomial", "mgaussian")
+        nl = cf.shape[-1]
+
+        def linpred(weights: np.ndarray) -> F.Column:
+            # weights: (p+1,) with intercept first
+            expr = F.lit(float(weights[0]))
+            for w, c in zip(weights[1:], cols):
+                if w != 0.0:
+                    expr = expr + F.lit(float(w)) * F.col(c).cast("double")
+            return expr
+
+        out = newx
+        if not multi:
+            for i in range(nl):
+                e = linpred(cf[:, i])
+                if type == "response" and self.family == "binomial":
+                    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-e))
+                elif type == "class" and self.family == "binomial":
+                    cls = [str(c) for c in (self.classnames or [0, 1])]
+                    e = F.when(e > 0, F.lit(cls[1])).otherwise(F.lit(cls[0]))
+                out = out.withColumn(f"{prefix}_{i}" if nl > 1 else prefix, e)
+            return out
+        # multivariate: one column per class/response (single s supported per call)
+        if nl != 1 and s is None and self.nlambda != 1:
+            raise ValueError("multivariate predict needs a single s (or a 1-lambda fit)")
+        k = cf.shape[0]
+        names = self.classnames or self.response_names or [str(i) for i in range(k)]
+        etas = [linpred(cf[c, :, 0] if cf.ndim == 3 else cf[c]) for c in range(k)]
+        if type in ("link",) or (type == "response" and self.family == "mgaussian"):
+            for name, e in zip(names, etas):
+                out = out.withColumn(f"{prefix}_{name}", e)
+            return out
+        if type == "response":  # multinomial softmax
+            mx = F.greatest(*etas)
+            exps = [F.exp(e - mx) for e in etas]
+            tot = exps[0]
+            for e in exps[1:]:
+                tot = tot + e
+            for name, e in zip(names, exps):
+                out = out.withColumn(f"{prefix}_{name}", e / tot)
+            return out
+        if type == "class":
+            arr = F.array(*[F.struct(e.alias("eta"), F.lit(str(n)).alias("cls")) for e, n in zip(etas, names)])
+            best = F.array_max(arr)  # struct ordering: by eta then cls
+            return out.withColumn(prefix, best["cls"])
+        raise ValueError(f"unknown predict type: {type}")
+
+    def predict_np(self, x: np.ndarray, s=None, type: str = "link") -> np.ndarray:
+        """Driver-side numpy predict (used by score/CV internals)."""
+        x = np.asarray(x, dtype=np.float64)
+        cf = self.coef(s)
+        if self.family in ("gaussian", "binomial"):
+            eta = cf[0][None, :] + x @ cf[1:]  # (n, nl)
+            if type == "response" and self.family == "binomial":
+                return 1.0 / (1.0 + np.exp(-eta))
+            if type == "class":
+                cls = np.asarray(self.classnames or [0, 1])
+                return cls[(eta > 0).astype(int)]
+            return eta
+        # (k, p+1, nl)
+        eta = np.einsum("np,kpl->nkl", np.hstack([np.ones((len(x), 1)), x]), cf)
+        if type == "response" and self.family == "multinomial":
+            m = eta.max(axis=1, keepdims=True)
+            e = np.exp(eta - m)
+            return e / e.sum(axis=1, keepdims=True)
+        if type == "class":
+            idx = eta.argmax(axis=1)
+            cls = np.asarray(self.classnames or list(range(eta.shape[1])))
+            return cls[idx]
+        return eta
+
+    def deviance(self) -> np.ndarray:
+        """(1 - dev.ratio) * nulldev, reference deviance.sgdnet.R."""
+        return (1.0 - self.dev_ratio) * self.nulldev
+
+    def path_frame(self, spark) -> DataFrame:
+        """Tidy per-lambda summary (stand-in for reference plot.sgdnet)."""
+        rows = [
+            {
+                "s": int(i),
+                "lambda": float(self.lambdas[i]),
+                "df": int(self.df[i]),
+                "dev_ratio": float(self.dev_ratio[i]),
+            }
+            for i in range(self.nlambda)
+        ]
+        return spark.createDataFrame(rows, schema="s int, lambda double, df int, dev_ratio double")
+
+
+def _prepare_labels(df: DataFrame, label_col: str | Sequence[str], family: str):
+    """Returns (label_exprs, classnames, response_names)."""
+    if family == "gaussian":
+        return [label_col] if isinstance(label_col, str) else list(label_col), None, None
+    if family == "mgaussian":
+        cols = [label_col] if isinstance(label_col, str) else list(label_col)
+        if len(cols) < 2:
+            raise ValueError("response for multivariate Gaussian regression must not be one-dimensional; try family = 'gaussian'")
+        return cols, None, cols
+    # classification: determine distinct classes (sorted, as R factor levels)
+    assert isinstance(label_col, str)
+    classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+    if family == "binomial":
+        if len(classes) > 2:
+            raise ValueError("more than two classes in response. Are you looking for family = 'multinomial'?")
+        if len(classes) < 2:
+            raise ValueError("only one class in response.")
+        expr = F.when(F.col(label_col) == F.lit(classes[1]), 1.0).otherwise(0.0)
+        return [expr], classes, None
+    if family == "multinomial":
+        if len(classes) == 2:
+            raise ValueError("only two classes in response. Are you looking for family = 'binomial'?")
+        if len(classes) < 2:
+            raise ValueError("only one class in response.")
+        exprs = [F.when(F.col(label_col) == F.lit(c), 1.0).otherwise(0.0) for c in classes]
+        return exprs, classes, None
+    raise ValueError(f"unknown family: {family}")
+
+
+def sgdnet(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str | Sequence[str],
+    family: str = "gaussian",
+    alpha: float = 1.0,
+    nlambda: int = 100,
+    lambda_min_ratio: float | None = None,
+    lambdas=None,
+    maxit: int = 1000,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-3,
+    standardize_response: bool = False,
+    solver: str = "auto",
+    collect_max_cells: float = 3e8,
+) -> SgdnetFit:
+    """Fit an elastic-net GLM path on a Spark DataFrame.
+
+    Defaults mirror reference R/sgdnet.R:183 (sgdnet.default): alpha=1,
+    nlambda=100, lambda.min.ratio = 0.01 if n<p else 1e-4, maxit=1000,
+    standardize=TRUE, intercept=TRUE, thresh=1e-3.
+    """
+    if family not in FAMILIES:
+        raise ValueError(f"family must be one of {FAMILIES}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
+    if lambdas is not None and np.any(np.asarray(lambdas) < 0):
+        raise ValueError("penalty strengths (lambdas) must be positive.")
+    if thresh < 0:
+        raise ValueError("threshold for stopping criteria cannot be negative.")
+    if maxit <= 0:
+        raise ValueError("maximum number of iterations cannot be negative or zero.")
+    if nlambda <= 0 and (lambdas is None or len(lambdas) == 0):
+        raise ValueError("lambda path cannot be of zero length.")
+
+    feature_cols = list(feature_cols)
+    label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
+
+    # assemble: only the needed columns reach the scan (column pruning)
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    labs = [e.cast("double") if not isinstance(e, str) else F.col(e).cast("double") for e in label_exprs]
+    xy = df.select(
+        F.array(*feats).alias(suffstats.FEATURES_COL),
+        F.array(*labs).alias(suffstats.LABEL_COL),
+    )
+
+    p = len(feature_cols)
+    k = len(labs)
+    provider: LocalXY | SparkXY = SparkXY(xy, p, k)
+    if solver == "auto":
+        local = provider.to_local(max_cells=collect_max_cells)
+        if local is not None:
+            provider = local
+    elif solver == "local":
+        local = provider.to_local(max_cells=float("inf"))
+        assert local is not None
+        provider = local
+    elif solver != "spark":
+        raise ValueError("solver must be one of 'auto', 'local', 'spark'")
+
+    if isinstance(provider, SparkXY) and family in ("binomial", "multinomial"):
+        provider.cache()  # iterative passes reuse the assembled frame
+
+    mom = provider.moments()
+    n = mom.n
+    if lambda_min_ratio is None:
+        lambda_min_ratio = 0.01 if n < p else 1e-4
+
+    kwargs = dict(
+        alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
+        lambdas=lambdas, standardize=standardize, intercept=intercept,
+        thresh=min(thresh, 1e-6) if family in ("gaussian", "mgaussian") else thresh * 1e-3,
+        maxit=maxit, mom=mom,
+    )
+    if family == "gaussian":
+        res = path_mod.gaussian_path(provider, **kwargs)
+    elif family == "mgaussian":
+        res = path_mod.mgaussian_path(provider, standardize_response=standardize_response, **kwargs)
+    elif family == "binomial":
+        res = path_mod.binomial_path(provider, **kwargs)
+    else:
+        res = path_mod.multinomial_path(provider, **kwargs)
+
+    if isinstance(provider, SparkXY):
+        provider.unpersist()
+
+    return SgdnetFit(
+        family=family,
+        alpha=alpha,
+        lambdas=res.lambdas,
+        a0=res.a0,
+        beta=res.beta,
+        df=res.df,
+        dev_ratio=res.dev_ratio,
+        nulldev=res.nulldev,
+        npasses=res.npasses,
+        nobs=n,
+        feature_names=feature_cols,
+        classnames=classnames,
+        response_names=response_names,
+        dfmat=res.dfmat,
+        intercept=intercept,
+        standardize=standardize,
+    )

@@ -1,0 +1,249 @@
+"""Distributed sufficient statistics for GLM fitting.
+
+This is the scale-critical layer (SURVEY.md §3). The reference
+(src/saga-dense.h) iterates sample-by-sample on one machine; here every
+solver consumes *aggregates* whose size depends only on p (features) and
+k (responses), never on n:
+
+- ``moments_and_gram``  : one pass -> n, Σx, Σy, ΣxxT, Σxy, Σyy
+- ``weighted_quadratic``: one pass per IRLS step -> Σw, Σw·x, Σw·x xT, Σw·x·z, ...
+
+Each pass is a ``mapInPandas`` over an ``array<double>`` features column:
+Arrow-batched numpy matmuls per partition (map-side combine), one packed
+partial row per batch, summed on the driver. At 100 TB this is a single
+narrow scan + a ~p² byte combine — no shuffle of row data at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURES_COL = "__features"
+LABEL_COL = "__label"
+
+
+def assemble(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_cols: list[str] | str | None = None,
+) -> DataFrame:
+    """Project to a two-column (features array, label array) frame.
+
+    Column pruning happens here: the parquet scan reads only the named
+    columns (check ``ReadSchema`` in the plan).
+    """
+    cols = [F.array(*[F.col(c).cast("double") for c in feature_cols]).alias(FEATURES_COL)]
+    if label_cols is not None:
+        if isinstance(label_cols, str):
+            label_cols = [label_cols]
+        cols.append(F.array(*[F.col(c).cast("double") for c in label_cols]).alias(LABEL_COL))
+    return df.select(*cols)
+
+
+def _batch_xy(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray | None]:
+    x = np.stack(pdf[FEATURES_COL].to_numpy())
+    y = np.stack(pdf[LABEL_COL].to_numpy()) if LABEL_COL in pdf.columns else None
+    return x, y
+
+
+def _sum_partials(df: DataFrame, fn) -> np.ndarray:
+    """Run ``fn(x, y) -> 1-d partial vector`` per Arrow batch and sum."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x, y = _batch_xy(pdf)
+            part = fn(x, y)
+            acc = part if acc is None else acc + part
+        if acc is not None:
+            yield pd.DataFrame({"partial": [acc.tolist()]})
+
+    rows = df.mapInPandas(run, schema="partial array<double>").collect()
+    if not rows:
+        raise ValueError("empty input: no rows to aggregate")
+    return np.sum([np.asarray(r["partial"]) for r in rows], axis=0)
+
+
+@dataclass
+class Moments:
+    """First/second raw moments of (X, Y) — everything a gaussian path needs."""
+
+    n: int
+    sum_x: np.ndarray  # (p,)
+    sum_y: np.ndarray  # (k,)
+    sum_xx: np.ndarray  # (p, p)
+    sum_xy: np.ndarray  # (p, k)
+    sum_yy: np.ndarray  # (k,)
+
+    @property
+    def x_mean(self) -> np.ndarray:
+        return self.sum_x / self.n
+
+    @property
+    def y_mean(self) -> np.ndarray:
+        return self.sum_y / self.n
+
+    def x_std(self) -> np.ndarray:
+        # population (1/n) std, as reference utils.h:Mean/StandardDeviation
+        var = self.sum_xx.diagonal() / self.n - self.x_mean**2
+        return np.sqrt(np.maximum(var, 0.0))
+
+    def y_std(self) -> np.ndarray:
+        var = self.sum_yy / self.n - self.y_mean**2
+        return np.sqrt(np.maximum(var, 0.0))
+
+
+def moments_and_gram(xy: DataFrame, p: int, k: int) -> Moments:
+    """One distributed pass -> raw moments (n, Σx, Σy, ΣxxT, Σxy, Σyy)."""
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        if y is None:
+            y = np.zeros((x.shape[0], k))
+        return np.concatenate(
+            [
+                [float(x.shape[0])],
+                x.sum(axis=0),
+                y.sum(axis=0),
+                (x.T @ x).ravel(),
+                (x.T @ y).ravel(),
+                (y * y).sum(axis=0),
+            ]
+        )
+
+    out = _sum_partials(xy, fn)
+    i = 0
+    n = int(round(out[0])); i += 1
+    sum_x = out[i : i + p]; i += p
+    sum_y = out[i : i + k]; i += k
+    sum_xx = out[i : i + p * p].reshape(p, p); i += p * p
+    sum_xy = out[i : i + p * k].reshape(p, k); i += p * k
+    sum_yy = out[i : i + k]
+    return Moments(n, sum_x, sum_y, sum_xx, sum_xy, sum_yy)
+
+
+def weighted_quadratic(
+    xy: DataFrame,
+    p: int,
+    coef: np.ndarray,
+    intercept: float,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+    kind: str = "binomial",
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, float, float]:
+    """One IRLS pass for binomial: stats of the local quadratic model.
+
+    Given current (coef, intercept) on the *standardized* scale, computes
+    with w = mu(1-mu) and working response z = eta + (y-mu)/w:
+
+      returns (sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik)
+
+    where x here is the standardized feature vector. All shaping is done
+    with raw x batches; standardization folds in algebraically so no
+    second materialized copy of the data is needed.
+    """
+    scaled = coef * x_inv_std  # apply to raw x
+    off = intercept - float(x_mean @ scaled)
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        yb = y[:, 0]
+        eta = x @ scaled + off
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1.0 - mu), 1e-10)
+        z = eta + (yb - mu) / w
+        xs = (x - x_mean) * x_inv_std
+        xw = xs * w[:, None]
+        ll = np.sum(yb * eta - np.logaddexp(0.0, eta))
+        return np.concatenate(
+            [
+                [w.sum()],
+                xw.sum(axis=0),
+                (xw.T @ xs).ravel(),
+                xw.T @ z,
+                [(w * z).sum()],
+                [ll],
+            ]
+        )
+
+    out = _sum_partials(xy, fn)
+    i = 0
+    sum_w = out[0]; i += 1
+    sum_wx = out[i : i + p]; i += p
+    sum_wxx = out[i : i + p * p].reshape(p, p); i += p * p
+    sum_wxz = out[i : i + p]; i += p
+    sum_wz = out[i]; i += 1
+    loglik = out[i]
+    return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
+
+
+def weighted_quadratic_multinomial(
+    xy: DataFrame,
+    p: int,
+    coefs: np.ndarray,  # (k, p) standardized scale
+    intercepts: np.ndarray,  # (k,)
+    cls: int,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, float, float]:
+    """One per-class IRLS pass for the multinomial family (glmnet-style
+
+    partial-Newton cycling). Same output shape as ``weighted_quadratic``;
+    the log-likelihood term is the full multinomial log-likelihood.
+    """
+    k = coefs.shape[0]
+    scaled = coefs * x_inv_std[None, :]
+    offs = intercepts - scaled @ x_mean
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        # y is one-hot (n, k)
+        eta = x @ scaled.T + offs  # (n, k)
+        m = eta.max(axis=1, keepdims=True)
+        e = np.exp(eta - m)
+        prob = e / e.sum(axis=1, keepdims=True)
+        yk = y[:, cls]
+        pk = prob[:, cls]
+        w = np.maximum(pk * (1.0 - pk), 1e-10)
+        z = eta[:, cls] + (yk - pk) / w
+        xs = (x - x_mean) * x_inv_std
+        xw = xs * w[:, None]
+        ll = np.sum(y * np.log(np.maximum(prob, 1e-300)))
+        return np.concatenate(
+            [[w.sum()], xw.sum(axis=0), (xw.T @ xs).ravel(), xw.T @ z, [(w * z).sum()], [ll]]
+        )
+
+    out = _sum_partials(xy, fn)
+    i = 0
+    sum_w = out[0]; i += 1
+    sum_wx = out[i : i + p]; i += p
+    sum_wxx = out[i : i + p * p].reshape(p, p); i += p * p
+    sum_wxz = out[i : i + p]; i += p
+    sum_wz = out[i]; i += 1
+    loglik = out[i]
+    return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
+
+
+def collect_xy(xy: DataFrame, max_cells: float = 3e8) -> tuple[np.ndarray, np.ndarray] | None:
+    """Driver fast path: pull (X, Y) as numpy when n*p is small enough.
+
+    Returns None when the data is too big — callers then stay on the
+    distributed pass-per-iteration path. (The equivalent of Spark MLlib
+    deciding between normal-equation and L-BFGS solvers.)
+    """
+    first = xy.first()
+    if first is None:
+        raise ValueError("empty input")
+    p = len(first[FEATURES_COL])
+    n = xy.count()
+    if n * p > max_cells:
+        return None
+    pdf = xy.toPandas()
+    x = np.stack(pdf[FEATURES_COL].to_numpy()).astype(np.float64)
+    y = np.stack(pdf[LABEL_COL].to_numpy()).astype(np.float64) if LABEL_COL in pdf.columns else None
+    return x, y
