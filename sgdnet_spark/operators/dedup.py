@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (SURVEY.md §4): shingling/signatures are per-row (narrow);
+the only shuffles are the groupBys on (shingle|band-bucket|hash) keys,
+each of which carries ids, not documents. Candidate verification joins
+back only the candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import text
+from sgdnet_spark.operators.text import norm_text, tokens
+
+
+def exact_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary of exact (md5-canonical) duplication."""
+    h = F.md5(norm_text(text_col).cast("binary"))
+    return (
+        df.select(h.alias("h"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count("*") - F.countDistinct("h")).alias("n_dup_rows"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per md5 group (deterministic)."""
+    h = F.md5(norm_text(text_col).cast("binary")).alias("__h")
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) distinct word-k-gram pairs."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """All-pairs word-k-gram Jaccard ≥ threshold via shingle inverted index.
+
+    Shuffle pattern: one groupBy(shingle) for the index, one
+    groupBy(pair) for intersection counts — document text never joins.
+    """
+    sh = shingle_sets(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (the 100 TB path).
+
+    signature[h] = min over shingles of xxhash64(shingle, seed=h);
+    band key = hash of the band's rows; candidates = pairs sharing a
+    band bucket; optionally verified with exact Jaccard.
+
+    Unlike the all-pairs join (ngram_jaccard_pairs), work scales with
+    ~n·num_hashes, not with the square of bucket sizes (near-dup sets
+    are small by construction at sane thresholds).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_sets(df, text_col, id_col, k)
+    sig = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}") for h in range(num_hashes)]
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    cand = None
+    for b in range(bands):
+        x = banded.select("id", F.col(f"band{b}").alias("bk"))
+        pairs = (
+            x.alias("a")
+            .join(x.alias("b"), (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, threshold=0.0, text_col=text_col, id_col=id_col, k=k)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs within a hamming radius.
+
+    Bitwise majority over token hashes, built from JVM expressions.
+    Blocking: pairs must share one of 4 16-bit chunks (covers all pairs
+    with hamming ≤ 3 exactly; a standard recall/cost tradeoff beyond).
+    """
+    t = tokens(text_col)
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    # per-bit majority: sum over tokens of bit b (0/1), compare to half
+    ntok = F.size(t)
+    bit_exprs = []
+    for b in range(64):
+        ones = F.aggregate(
+            th, F.lit(0), lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+        )
+        bit_exprs.append(F.when(ones * 2 >= ntok, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+    sim = bit_exprs[0]
+    for b in range(1, 64):
+        sim = sim + F.shiftleft(bit_exprs[b], b)
+    sh = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    chunks = [(F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))).alias(f"c{c}") for c in range(4)]
+    blocked = sh.select("id", "simhash", *chunks)
+    cand = None
+    for c in range(4):
+        x = blocked.select("id", "simhash", F.col(f"c{c}").alias("ck"))
+        pairs = (
+            x.alias("a")
+            .join(x.alias("b"), (F.col("a.ck") == F.col("b.ck")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            )
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return cand.distinct().filter(F.col("hamming") <= max_hamming)

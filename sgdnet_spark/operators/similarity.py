@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine/dot built from F.zip_with + F.aggregate (JVM-side, codegen).
+- brute-force top-k: broadcast the query set, narrow scan, window top-k.
+- LSH (random hyperplanes): bucketed candidates for the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (exact). O(n²) — the correctness
+    baseline; use lsh_topk for scale."""
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+                  norm(_as_double(vec_col)).alias("nrm"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × narrow scan of the corpus,
+    per-query window top-k. Ties broken by neighbor id (deterministic)."""
+    corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"),
+                       norm(_as_double(vec_col)).alias("cn"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
+                       norm(_as_double(vec_col)).alias("qn"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes (deterministic)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query.
+
+    At scale the corpus is hash-partitioned by bucket so each query probes
+    one partition instead of scanning n vectors.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    corpus = df.select(
+        F.col(id_col).alias("nbr_id"),
+        _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
+        lsh_bucket(_as_double(vec_col), planes).alias("bk"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        norm(_as_double(vec_col)).alias("qn"),
+        lsh_bucket(_as_double(vec_col), planes).alias("bk"),
+    )
+    scored = (
+        corpus.alias("c")
+        .join(F.broadcast(q).alias("q"), (F.col("c.bk") == F.col("q.bk")) & (F.col("c.nbr_id") != F.col("q.query_id")))
+        .select(
+            "q.query_id",
+            "c.nbr_id",
+            (dot(F.col("q.qv"), F.col("c.cv")) / (F.col("q.qn") * F.col("c.cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+    )

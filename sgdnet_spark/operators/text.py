@@ -1,0 +1,111 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All hot-path logic is built from `pyspark.sql.functions` column
+expressions — whole-stage codegen, zero Python UDFs — so a 100 TB
+documents table runs these as a single narrow scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the langid heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "zh": ["de", "shi", "le", "he", "zai"],
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def rpos(col: Column, digits: int) -> Column:
+    """Engine-portable rounding for non-negative ratios of integers.
+
+    Ratios of small ints land exactly on half-way grid points, where
+    Spark (HALF_UP) and DuckDB disagree; floor(x*10^d + 0.5) is
+    deterministic and identical in both engines.
+    """
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical normalization: lower, trim, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """tokens + normalized char count per document."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.length(norm_text(text_col)).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality heuristic.
+
+    score = stopword_ratio * 0.4 + clamp(n_tokens/100) * 0.4 + clamp(mean_len/8) * 0.2
+    (a deterministic stand-in for a trained quality model).
+    """
+    t = tokens(text_col)
+    n = F.size(t).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).cast("double")
+    mean_len = (F.length(norm_text(text_col)).cast("double") - (n - 1)) / n  # chars sans spaces / tokens
+    stop_ratio = n_stop / n
+    score = (
+        stop_ratio * F.lit(0.4)
+        + F.least(n / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        rpos(stop_ratio, 4).alias("stopword_ratio"),
+        rpos(mean_len, 4).alias("mean_token_len"),
+        rpos(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID: argmax over per-language profiles.
+
+    Deterministic tie-break: higher score wins, then lexicographic lang.
+    """
+    t = tokens(text_col)
+    n = F.size(t).cast("double")
+    scores = []
+    for lang in sorted(LANG_PROFILES):
+        arr = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        sc = F.size(F.filter(t, lambda w: F.array_contains(arr, w))).cast("double") / n
+        scores.append(F.struct(rpos(sc, 6).alias("score"), F.lit(lang).alias("lang")))
+    # argmax: max over (score, lang) structs, then flip: prefer LOWER lang on ties
+    best = F.sort_array(
+        F.array(*[F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang")) for s in scores])
+    )[0]
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        (-best["neg"]).alias("pred_score"),
+        (F.col("lang") == best["lang"]).cast("bigint").alias("matches_label"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5 fingerprint of normalized text (engine-portable, deterministic)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(norm_text(text_col).cast("binary")).alias("fp"),
+    )

@@ -1,0 +1,725 @@
+"""Query inventory (SURVEY.md §2) + DuckDB oracle SQL.
+
+Each ``QUERIES[name]`` is ``(spark, sf_dir) -> DataFrame``; where the
+semantics are ANSI-SQL-expressible, ``ORACLES[name]`` holds the DuckDB
+equivalent run by the driver's correctness gate. Float outputs are
+ROUNDed identically on both sides (grid ≥ 1e6 × the expected
+cross-engine FP summation error) so value hashes compare stably;
+integer/string outputs are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import dedup, multimodal, similarity, text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # oracle comparisons assume UTC timestamp semantics (duckdb is tz-naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for: read nanos as long, truncate to micros (= duckdb's view)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# GLM feature set: 5 engineered features + gaussian label on lineitem
+# --------------------------------------------------------------------------
+
+FEATURE_NAMES = ["l_quantity", "l_discount", "l_tax", "x_month", "x_qty_disc"]
+GAUSS_LABEL = "l_extendedprice"
+
+FEATURES_SQL = """
+    SELECT l_quantity AS l_quantity,
+           l_discount AS l_discount,
+           l_tax AS l_tax,
+           CAST(month(l_shipdate) AS DOUBLE) AS x_month,
+           l_quantity * l_discount AS x_qty_disc,
+           l_extendedprice AS y,
+           l_returnflag,
+           l_orderkey, l_linenumber
+    FROM lineitem
+"""
+
+
+def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_tax").cast("double").alias("l_tax"),
+        F.month("l_shipdate").cast("double").alias("x_month"),
+        (F.col("l_quantity") * F.col("l_discount")).alias("x_qty_disc"),
+        F.col("l_extendedprice").alias("y"),
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+# --- 1. feature_stats ------------------------------------------------------
+
+_FEATURE_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS feature, ROUND(AVG({c}),4) AS mean, ROUND(STDDEV_POP({c}),4) AS std,"
+    f" ROUND(MIN({c}),4) AS vmin, ROUND(MAX({c}),4) AS vmax FROM ({FEATURES_SQL})"
+    for c in FEATURE_NAMES
+)
+
+
+@register("feature_stats", _FEATURE_STATS_ORACLE)
+def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardization statistics (reference src/utils.h:Standardize)."""
+    f = feature_frame(spark, sf_dir)
+    parts = [
+        f.agg(
+            F.lit(c).alias("feature"),
+            F.round(F.avg(c), 4).alias("mean"),
+            F.round(F.stddev_pop(c), 4).alias("std"),
+            F.round(F.min(c), 4).alias("vmin"),
+            F.round(F.max(c), 4).alias("vmax"),
+        )
+        for c in FEATURE_NAMES
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+# --- 2. gram_matrix --------------------------------------------------------
+
+_PAIRS = [(a, b) for i, a in enumerate(FEATURE_NAMES) for b in FEATURE_NAMES[i:]]
+
+_GRAM_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS f1, '{b}' AS f2, ROUND(SUM({a}*{b})/COUNT(*),4) AS gram FROM ({FEATURES_SQL})"
+    for a, b in _PAIRS
+)
+
+
+@register("gram_matrix", _GRAM_ORACLE)
+def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw second-moment matrix X'X/n — the single-pass sufficient
+    statistic behind the gaussian path solver (SURVEY.md §3)."""
+    f = feature_frame(spark, sf_dir)
+    aggs = [
+        F.round(F.sum(F.col(a) * F.col(b)) / F.count("*"), 4).alias(f"g_{i}")
+        for i, (a, b) in enumerate(_PAIRS)
+    ]
+    row = f.agg(*aggs)
+    stack_expr = ", ".join(f"'{a}', '{b}', g_{i}" for i, (a, b) in enumerate(_PAIRS))
+    return row.selectExpr(f"stack({len(_PAIRS)}, {stack_expr}) AS (f1, f2, gram)")
+
+
+# --- 3/4. lambda_max + lambda_path ----------------------------------------
+
+_LMAX_EXPR = "GREATEST(" + ", ".join(
+    f"ABS(COVAR_POP({c}, y)) / STDDEV_POP({c})" for c in FEATURE_NAMES
+) + ")"
+
+_LMAX_ORACLE = f"SELECT ROUND({_LMAX_EXPR}, 4) AS lambda_max FROM ({FEATURES_SQL})"
+
+
+def _lambda_max_col(f: DataFrame) -> F.Column:
+    return F.greatest(
+        *[F.abs(F.covar_pop(c, "y")) / F.stddev_pop(c) for c in FEATURE_NAMES]
+    )
+
+
+@register("lambda_max_gaussian", _LMAX_ORACLE)
+def lambda_max_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_j |<x~_j, y - ybar>| / n (reference src/families.h:121)."""
+    f = feature_frame(spark, sf_dir)
+    return f.agg(F.round(_lambda_max_col(f), 4).alias("lambda_max"))
+
+
+_NLAMBDA, _LMR = 100, 1e-4
+
+_LPATH_ORACLE = f"""
+WITH lm AS (SELECT {_LMAX_EXPR} AS lambda_max FROM ({FEATURES_SQL}))
+SELECT CAST(i AS BIGINT) AS s,
+       ROUND(lambda_max * POW({_LMR}, i / ({_NLAMBDA} - 1.0)), 4) AS lambda
+FROM lm, generate_series(0, {_NLAMBDA - 1}) t(i)
+"""
+
+
+@register("lambda_path", _LPATH_ORACLE)
+def lambda_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nlambda log-spaced penalties (reference src/utils.h:144)."""
+    f = feature_frame(spark, sf_dir)
+    lm = f.agg(_lambda_max_col(f).alias("lambda_max"))
+    return (
+        lm.select("lambda_max", F.explode(F.sequence(F.lit(0), F.lit(_NLAMBDA - 1))).alias("i"))
+        .select(
+            F.col("i").cast("bigint").alias("s"),
+            F.round(
+                F.col("lambda_max") * F.pow(F.lit(_LMR), F.col("i") / F.lit(_NLAMBDA - 1.0)), 4
+            ).alias("lambda"),
+        )
+    )
+
+
+# --- 5. regr_univariate ----------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("regr_univariate", _REGR_ORACLE)
+def regr_univariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+# --- 6. corr_matrix --------------------------------------------------------
+
+_CPAIRS = [(a, b) for i, a in enumerate(FEATURE_NAMES) for b in FEATURE_NAMES[i + 1:]]
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS f1, '{b}' AS f2, ROUND(CORR({a}, {b}),6) AS corr FROM ({FEATURES_SQL})"
+    for a, b in _CPAIRS
+)
+
+
+@register("corr_matrix", _CORR_ORACLE)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = feature_frame(spark, sf_dir)
+    aggs = [F.round(F.corr(a, b), 6).alias(f"c_{i}") for i, (a, b) in enumerate(_CPAIRS)]
+    row = f.agg(*aggs)
+    stack_expr = ", ".join(f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_CPAIRS))
+    return row.selectExpr(f"stack({len(_CPAIRS)}, {stack_expr}) AS (f1, f2, corr)")
+
+
+# --------------------------------------------------------------------------
+# Analytics queries (16-23)
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", _Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_returnflag = 'R'
+  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_TOPN_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) t
+WHERE rn <= 3
+"""
+
+
+@register("top_n_per_group", _TOPN_ORACLE)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+@register("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("bigint").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+_WINDOWED_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_windowed", _WINDOWED_ORACLE)
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation
+    (sgdnet_spark/streaming); identical grouping semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators (24-35)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH h AS (SELECT md5({_NORM_SQL}) AS h FROM documents)
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT h) AS n_dup_rows
+FROM h
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_stats(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, FLOOR(c * 1.0 / (sa.sz + sb.sz - c) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # MinHash recall is tested vs #25 in tests/
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+_COS_NORM_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+"""
+
+_EMB_COS_ORACLE = f"""
+{_COS_NORM_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+_ANN_ORACLE = f"""
+{_COS_NORM_SQL},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn FROM s)
+SELECT query_id, nbr_id, ROUND(cos, 4) AS cos FROM r WHERE rn <= 5
+"""
+
+
+@register("ann_topk_bruteforce", _ANN_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_lsh")
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_TOKCOUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length({_NORM_SQL}) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+@register("text_token_count", _TOKCOUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "['" + "', '".join(text.STOPWORDS) + "']"
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk, CAST(length({_NORM_SQL}) AS DOUBLE) AS nc
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS n,
+         CAST(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) AS n_stop,
+         nc
+  FROM t)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       FLOOR(n_stop / n * 10000 + 0.5) / 10000 AS stopword_ratio,
+       FLOOR((nc - (n - 1)) / n * 10000 + 0.5) / 10000 AS mean_token_len,
+       FLOOR((n_stop / n * 0.4
+             + LEAST(n / 100.0, 1.0) * 0.4
+             + LEAST(((nc - (n - 1)) / n) / 8.0, 1.0)* 0.2) * 10000 + 0.5) / 10000 AS quality
+FROM m
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text.LANG_PROFILES)
+    score_cols = ",\n         ".join(
+        f"FLOOR(len(list_filter(tk, x -> list_contains(['"
+        + "', '".join(text.LANG_PROFILES[lang])
+        + f"'], x))) * 1.0 / len(tk) * 1000000 + 0.5) / 1000000 AS s_{lang}"
+        for lang in langs
+    )
+    # argmax with lexicographic tie-break: first lang that is >= all later ones
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'" if conds else f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS tk FROM documents),
+s AS (SELECT doc_id, lang,
+         {score_cols}
+      FROM t)
+SELECT doc_id, {case_sql} AS pred_lang, {greatest} AS pred_score,
+       CAST(lang = ({case_sql}) AS BIGINT) AS matches_label
+FROM s
+"""
+
+
+@register("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_FP_ORACLE = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+@register("text_fingerprint", _FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register("multimodal_meta")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# GLM fits (7-15) — rows-only checks (iterative solvers, not SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def _fit_gaussian(spark, sf_dir, **kw):
+    from sgdnet_spark.glm import sgdnet
+
+    f = feature_frame(spark, sf_dir)
+    kw.setdefault("nlambda", 50)
+    return sgdnet(f, FEATURE_NAMES, "y", family="gaussian", alpha=kw.pop("alpha", 0.5), **kw)
+
+
+@register("glm_gaussian_path")
+def glm_gaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fit_gaussian(spark, sf_dir).path_frame(spark)
+
+
+@register("glm_binomial_path")
+def glm_binomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgdnet_spark.glm import sgdnet
+
+    f = feature_frame(spark, sf_dir).withColumn("is_return", (F.col("l_returnflag") == "R").cast("string"))
+    fit = sgdnet(f, FEATURE_NAMES, "is_return", family="binomial", alpha=0.5, nlambda=30,
+                 lambda_min_ratio=1e-2)
+    return fit.path_frame(spark)
+
+
+@register("glm_multinomial_path")
+def glm_multinomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgdnet_spark.glm import sgdnet
+
+    f = feature_frame(spark, sf_dir)
+    fit = sgdnet(f, FEATURE_NAMES, "l_returnflag", family="multinomial", alpha=1.0, nlambda=20,
+                 lambda_min_ratio=1e-2)
+    return fit.path_frame(spark)
+
+
+@register("glm_mgaussian_path")
+def glm_mgaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgdnet_spark.glm import sgdnet
+
+    f = feature_frame(spark, sf_dir)
+    fit = sgdnet(f, ["l_discount", "l_tax", "x_month", "x_qty_disc"], ["y", "l_quantity"],
+                 family="mgaussian", alpha=1.0, nlambda=20)
+    return fit.path_frame(spark)
+
+
+@register("glm_predict_gaussian")
+def glm_predict_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fit = _fit_gaussian(spark, sf_dir, nlambda=20)
+    s = float((fit.lambdas[3] + fit.lambdas[4]) / 2)  # off-path: exercises interpolation
+    f = feature_frame(spark, sf_dir)
+    return fit.predict(f, s=s, prefix="pred").select(
+        "l_orderkey", "l_linenumber", F.round("pred", 4).alias("pred")
+    )
+
+
+@register("glm_predict_class")
+def glm_predict_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgdnet_spark.glm import sgdnet
+
+    f = feature_frame(spark, sf_dir).withColumn("is_return", (F.col("l_returnflag") == "R").cast("string"))
+    fit = sgdnet(f, FEATURE_NAMES, "is_return", family="binomial", alpha=0.5, nlambda=20,
+                 lambda_min_ratio=1e-2)
+    pred = fit.predict(f, s=float(fit.lambdas[-1]), type="class", prefix="cls")
+    return pred.groupBy("cls").agg(F.count("*").alias("n"))
+
+
+@register("glm_score")
+def glm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgdnet_spark.glm import score
+
+    fit = _fit_gaussian(spark, sf_dir, nlambda=20)
+    f = feature_frame(spark, sf_dir)
+    mse = score(fit, f, FEATURE_NAMES, "y", "mse")
+    mae = score(fit, f, FEATURE_NAMES, "y", "mae")
+    rows = [
+        {"s": i, "mse": round(float(m), 4), "mae": round(float(a), 4)}
+        for i, (m, a) in enumerate(zip(mse, mae))
+    ]
+    return spark.createDataFrame(rows, schema="s int, mse double, mae double")
+
+
+@register("glm_deviance")
+def glm_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fit = _fit_gaussian(spark, sf_dir, nlambda=20)
+    dev = fit.deviance()
+    rows = [{"s": i, "deviance": round(float(d), 2)} for i, d in enumerate(dev)]
+    return spark.createDataFrame(rows, schema="s int, deviance double")
+
+
+@register("glm_cv")
+def glm_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgdnet_spark.glm import cv_sgdnet
+
+    f = feature_frame(spark, sf_dir)
+    cv = cv_sgdnet(f, FEATURE_NAMES, "y", family="gaussian", alpha=[0.0, 1.0], nfolds=3,
+                   nlambda=10, type_measure="mse")
+    return cv.summary_frame(spark)
