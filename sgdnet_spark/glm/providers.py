@@ -136,7 +136,7 @@ class SparkXY:
         )
 
     def to_local(self, max_cells: float = 3e8) -> LocalXY | None:
-        got = suffstats.collect_xy(self.xy, max_cells=max_cells)
+        got = suffstats.collect_xy(self.xy, self.p, self.k, max_cells=max_cells)
         if got is None:
             return None
         x, y = got

@@ -123,10 +123,9 @@ def score(
     fam = fit.family
     distributed = fam in ("gaussian", "binomial") and type_measure in ("deviance", "mse", "mae", "class")
     if not distributed:
-        xy = suffstats.assemble(df, cols, None)
-        first = df.select(*cols, label_col).toPandas()
-        x = first[cols].to_numpy(dtype=float)
-        y = first[label_col].to_numpy()
+        pdf = df.select(*cols, label_col).toPandas()
+        x = pdf[cols].to_numpy(dtype=float)
+        y = pdf[label_col].to_numpy()
         return score_np(fit, x, y, type_measure, s=s)
 
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)

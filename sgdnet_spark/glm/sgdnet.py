@@ -269,15 +269,10 @@ def sgdnet(
     label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
 
     # assemble: only the needed columns reach the scan (column pruning)
-    feats = [F.col(c).cast("double") for c in feature_cols]
-    labs = [e.cast("double") if not isinstance(e, str) else F.col(e).cast("double") for e in label_exprs]
-    xy = df.select(
-        F.array(*feats).alias(suffstats.FEATURES_COL),
-        F.array(*labs).alias(suffstats.LABEL_COL),
-    )
+    xy = suffstats.assemble(df, feature_cols, label_exprs)
 
     p = len(feature_cols)
-    k = len(labs)
+    k = len(label_exprs)
     provider: LocalXY | SparkXY = SparkXY(xy, p, k)
     if solver == "auto":
         local = provider.to_local(max_cells=collect_max_cells)

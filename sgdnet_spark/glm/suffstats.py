@@ -8,10 +8,11 @@ k (responses), never on n:
 - ``moments_and_gram``  : one pass -> n, Σx, Σy, ΣxxT, Σxy, Σyy
 - ``weighted_quadratic``: one pass per IRLS step -> Σw, Σw·x, Σw·x xT, Σw·x·z, ...
 
-Each pass is a ``mapInPandas`` over an ``array<double>`` features column:
-Arrow-batched numpy matmuls per partition (map-side combine), one packed
-partial row per batch, summed on the driver. At 100 TB this is a single
-narrow scan + a ~p² byte combine — no shuffle of row data at all.
+Each pass is a ``mapInPandas`` over flat double feature columns
+(x0..x{p-1}, y0..y{k-1}): Arrow-batched numpy matmuls per partition
+(map-side combine), one packed partial row per partition, summed on the
+driver. At 100 TB this is a single narrow scan + a ~p² byte combine —
+no shuffle of row data at all.
 """
 
 from __future__ import annotations
@@ -24,43 +25,55 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURES_COL = "__features"
+FEATURES_COL = "__features"  # legacy name, kept for callers
 LABEL_COL = "__label"
 
 
-def assemble(
-    df: DataFrame,
-    feature_cols: list[str],
-    label_cols: list[str] | str | None = None,
-) -> DataFrame:
-    """Project to a two-column (features array, label array) frame.
+def xcols(p: int) -> list[str]:
+    return [f"x{i}" for i in range(p)]
 
-    Column pruning happens here: the parquet scan reads only the named
-    columns (check ``ReadSchema`` in the plan).
+
+def ycols(k: int) -> list[str]:
+    return [f"y{i}" for i in range(k)]
+
+
+def assemble(df: DataFrame, feature_exprs, label_exprs=None) -> DataFrame:
+    """Project to flat double columns x0..x{p-1}, y0..y{k-1}.
+
+    Flat columns (not array<double>) keep the Arrow transfer columnar:
+    pandas sees a (n, p) float block, no per-row list objects — a ~10x
+    difference on wide collects. Column pruning reaches the parquet scan.
     """
-    cols = [F.array(*[F.col(c).cast("double") for c in feature_cols]).alias(FEATURES_COL)]
-    if label_cols is not None:
-        if isinstance(label_cols, str):
-            label_cols = [label_cols]
-        cols.append(F.array(*[F.col(c).cast("double") for c in label_cols]).alias(LABEL_COL))
+    cols = []
+    for i, e in enumerate(feature_exprs):
+        c = F.col(e) if isinstance(e, str) else e
+        cols.append(c.cast("double").alias(f"x{i}"))
+    if label_exprs is not None:
+        for i, e in enumerate(label_exprs):
+            c = F.col(e) if isinstance(e, str) else e
+            cols.append(c.cast("double").alias(f"y{i}"))
     return df.select(*cols)
 
 
-def _batch_xy(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray | None]:
-    x = np.stack(pdf[FEATURES_COL].to_numpy())
-    y = np.stack(pdf[LABEL_COL].to_numpy()) if LABEL_COL in pdf.columns else None
+def _batch_xy(pdf: pd.DataFrame, p: int, k: int) -> tuple[np.ndarray, np.ndarray | None]:
+    x = pdf[xcols(p)].to_numpy(dtype=np.float64, copy=False)
+    y = pdf[ycols(k)].to_numpy(dtype=np.float64, copy=False) if k else None
     return x, y
 
 
-def _sum_partials(df: DataFrame, fn) -> np.ndarray:
-    """Run ``fn(x, y) -> 1-d partial vector`` per Arrow batch and sum."""
+def _sum_partials(df: DataFrame, fn, p: int, k: int) -> np.ndarray:
+    """Run ``fn(x, y) -> 1-d partial vector`` per Arrow batch and sum.
+
+    One packed partial row per partition; the combine on the driver sums
+    #partitions vectors of O(p^2) floats — independent of n.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x, y = _batch_xy(pdf)
+            x, y = _batch_xy(pdf, p, k)
             part = fn(x, y)
             acc = part if acc is None else acc + part
         if acc is not None:
@@ -118,7 +131,7 @@ def moments_and_gram(xy: DataFrame, p: int, k: int) -> Moments:
             ]
         )
 
-    out = _sum_partials(xy, fn)
+    out = _sum_partials(xy, fn, p, k)
     i = 0
     n = int(round(out[0])); i += 1
     sum_x = out[i : i + p]; i += p
@@ -172,7 +185,7 @@ def weighted_quadratic(
             ]
         )
 
-    out = _sum_partials(xy, fn)
+    out = _sum_partials(xy, fn, p, 1)
     i = 0
     sum_w = out[0]; i += 1
     sum_wx = out[i : i + p]; i += p
@@ -218,7 +231,7 @@ def weighted_quadratic_multinomial(
             [[w.sum()], xw.sum(axis=0), (xw.T @ xs).ravel(), xw.T @ z, [(w * z).sum()], [ll]]
         )
 
-    out = _sum_partials(xy, fn)
+    out = _sum_partials(xy, fn, p, k)
     i = 0
     sum_w = out[0]; i += 1
     sum_wx = out[i : i + p]; i += p
@@ -229,21 +242,21 @@ def weighted_quadratic_multinomial(
     return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
 
 
-def collect_xy(xy: DataFrame, max_cells: float = 3e8) -> tuple[np.ndarray, np.ndarray] | None:
-    """Driver fast path: pull (X, Y) as numpy when n*p is small enough.
+def collect_xy(
+    xy: DataFrame, p: int, k: int, max_cells: float = 3e8
+) -> tuple[np.ndarray, np.ndarray | None] | None:
+    """Driver fast path: pull (X, Y) as numpy when n*(p+k) is small enough.
 
     Returns None when the data is too big — callers then stay on the
     distributed pass-per-iteration path. (The equivalent of Spark MLlib
     deciding between normal-equation and L-BFGS solvers.)
     """
-    first = xy.first()
-    if first is None:
-        raise ValueError("empty input")
-    p = len(first[FEATURES_COL])
     n = xy.count()
-    if n * p > max_cells:
+    if n == 0:
+        raise ValueError("empty input")
+    if n * (p + k) > max_cells:
         return None
     pdf = xy.toPandas()
-    x = np.stack(pdf[FEATURES_COL].to_numpy()).astype(np.float64)
-    y = np.stack(pdf[LABEL_COL].to_numpy()).astype(np.float64) if LABEL_COL in pdf.columns else None
+    x = pdf[xcols(p)].to_numpy(dtype=np.float64)
+    y = pdf[ycols(k)].to_numpy(dtype=np.float64) if k else None
     return x, y

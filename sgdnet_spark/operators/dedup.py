@@ -41,14 +41,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) distinct word-k-gram pairs."""
-    t = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct word-k-gram pairs.
+
+    Tokens are materialized as a column BEFORE the per-shingle lambda so
+    the normalize+split expression is evaluated once per row, not once
+    per element_at (a ~20x hot-path difference).
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    t = F.col("t")
+    idx = F.when(F.size(t) >= k, F.sequence(F.lit(0), F.size(t) - k)).otherwise(
+        F.array().cast("array<int>")
     )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
+    return toks.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -103,32 +108,55 @@ def minhash_lsh_pairs(
     are small by construction at sane thresholds).
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_sets(df, text_col, id_col, k)
+    sh = shingle_sets(df, text_col, id_col, k).persist()
     sig = sh.groupBy("id").agg(
         *[F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}") for h in range(num_hashes)]
     )
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    cand = None
-    for b in range(bands):
-        x = banded.select("id", F.col(f"band{b}").alias("bk"))
-        pairs = (
-            x.alias("a")
-            .join(x.alias("b"), (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # long format (id, band, bucket): ONE self-join on (band, bucket)
+    # instead of `bands` separate joins, so the signature aggregation is
+    # computed exactly once.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, threshold=0.0, text_col=text_col, id_col=id_col, k=k)
+    # verify ONLY the candidate pairs (never all-pairs): intersection counts
+    # come from joining each candidate against the two shingle sets.
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
 
 
