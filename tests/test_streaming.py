@@ -1,0 +1,34 @@
+"""Streaming windowed agg == batch twin (events_windowed oracle query)."""
+
+import pytest
+
+from sgdnet_spark.queries import events_windowed
+from sgdnet_spark.streaming import events as se
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    result = se.run_to_memory(se.windowed_counts(stream), "win_counts")
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in events_windowed(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_stream_sessionize(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    result = se.run_to_memory(se.sessionize_stateful(stream), "sess")
+    rows = result.collect()
+    assert len(rows) > 0
+    # every session respects start <= end and positive counts
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+    # per-user session counts match the batch lag/gap sessionizer
+    from sgdnet_spark.queries import events_sessionize
+
+    batch = {r["user_id"]: r["n_sessions"] for r in events_sessionize(spark, sf_dir).collect()}
+    stream_counts = {}
+    for r in rows:
+        stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + 1
+    assert stream_counts == batch
