@@ -159,5 +159,13 @@ def wls_enet_cd(
 
 
 def log_space(hi: float, lo: float, num: int) -> np.ndarray:
-    """Log-spaced descending path, as reference utils.h:LogSpace."""
-    return np.logspace(np.log10(hi), np.log10(lo), num)
+    """Log-spaced descending path, as reference utils.h:LogSpace.
+
+    Endpoints are pinned exactly: 10**log10(hi) can land 1 ulp below hi,
+    which would let a ~1e-16 coefficient slip past the lambda_max
+    soft-threshold (KKT holds with equality there).
+    """
+    out = np.logspace(np.log10(hi), np.log10(lo), num)
+    out[0] = hi
+    out[-1] = lo
+    return out

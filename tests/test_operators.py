@@ -1,0 +1,110 @@
+"""Pipeline-operator tests: dedup / similarity / text / multimodal.
+
+Oracle-equivalence runs in tools/check_oracles.py (the driver's gate);
+these tests cover semantics the oracle can't: minhash recall, simhash
+behavior on planted dupes, LSH vs brute-force agreement, decode plumbing.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "a completely different document about spark query engines and shuffles",
+        "numbers one two three four five six seven eight nine ten eleven twelve",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))  # exact duplicate
+    # near duplicate of doc 0: one word changed
+    rows.append((90, base[0].replace("lazy", "sleepy")))
+    # whitespace/case variant of doc 1 (exact after normalization)
+    rows.append((91, "  A   Completely DIFFERENT document about spark query engines and shuffles "))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    stats = dedup.exact_stats(docs).first()
+    assert stats["n_docs"] == 8
+    assert stats["n_unique"] == 4  # 3 bases + near-dup of 0
+    kept = dedup.exact_dedup(docs).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    assert sorted(kept) == [0, 10, 20, 90]  # min doc_id survives each group
+
+
+def test_ngram_jaccard_and_minhash_agree(docs):
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    # exact dupes have jaccard 1.0; near-dup pair is found
+    assert exact[(0, 1)] == 1.0
+    assert any((a in (0, 1) and b == 90) or a == 90 for (a, b) in exact)
+    mh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    # minhash is a recall-oriented filter on the same measure: every pair it
+    # reports carries the exact jaccard, and exact duplicates can't be missed
+    assert set(mh) <= set(exact)
+    for pair, j in mh.items():
+        assert exact[pair] == j
+    assert (0, 1) in mh and (10, 11) in mh and (20, 21) in mh
+
+
+def test_simhash_finds_exact_and_near(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0  # identical docs, identical simhash
+    assert pairs[(10, 11)] == 0
+    near = [h for (a, b), h in pairs.items() if 90 in (a, b) and (a in (0, 1) or b == 90)]
+    assert near and min(near) <= 8  # near-dup within radius
+
+
+def test_brute_force_vs_lsh_topk(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(80, 16))
+    vecs[1] = vecs[0] + 0.01 * rng.normal(size=16)  # planted neighbor
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    bf = dedup_rows = similarity.brute_force_topk(df, q, k=3).collect()
+    assert bf[0]["nbr_id"] == 1  # planted neighbor is rank 1
+    lsh = similarity.lsh_topk(df, q, k=3, n_planes=6, dim=16).collect()
+    # the planted near-identical vector lands in the same bucket
+    assert any(r["nbr_id"] == 1 for r in lsh)
+    # numpy ground truth
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn[0]
+    sims[0] = -2
+    top = set(np.argsort(-sims)[:3])
+    assert {r["nbr_id"] for r in bf} == top
+
+
+def test_text_ops(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert tc[0] == 14
+    assert tc[91] == 10  # normalized whitespace
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert 0 < q[0]["stopword_ratio"] < 1
+    assert q[0]["quality"] > q[20]["quality"]  # stopword-free number doc scores lower
+    li = {r["doc_id"]: r for r in text.lang_id(docs.withColumn("lang", F.lit("en"))).collect()}
+    assert li[0]["pred_lang"] == "en"
+    assert li[0]["matches_label"] == 1
+    fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert fp[10] == fp[11]  # normalized-identical docs share fingerprints
+    assert fp[10] == fp[90 + 1]  # whitespace/case variant normalizes equal
+    assert fp[0] != fp[90]
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 8
+    r0 = rows[0]
+    assert 64 <= r0["width"] < 128 and 64 <= r0["height"] < 128
+    # deterministic: same payload -> same fake decode
+    assert rows[0]["width"] == rows[1]["width"]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"bytes")

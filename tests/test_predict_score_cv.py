@@ -1,0 +1,105 @@
+"""predict / score / deviance / cv — mirrors reference
+tests/testthat/test-predictions.R, test-deviance.R, test-cross-validation.R."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.glm import cv_sgdnet, score, score_np, sgdnet
+
+
+@pytest.fixture(scope="module")
+def gauss_df(spark):
+    rng = np.random.default_rng(21)
+    n, p = 400, 4
+    x = rng.normal(size=(n, p))
+    y = 2.0 + x @ np.array([1.0, -2.0, 0.0, 0.5]) + rng.normal(scale=0.4, size=n)
+    cols = [f"x{i}" for i in range(p)]
+    rows = [(*map(float, xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y double")
+    return df, cols, x, y
+
+
+def test_predict_link_matches_numpy(spark, gauss_df):
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=10)
+    pred_np = fit.predict_np(x)  # (n, nl)
+    s = float(fit.lambdas[5])
+    out = fit.predict(df, s=s, prefix="p").select("p").toPandas()["p"].to_numpy()
+    # spark rows may arrive in any order; compare sorted values
+    assert np.allclose(np.sort(out), np.sort(pred_np[:, 5]), atol=1e-9)
+
+
+def test_interpolation_between_lambdas(gauss_df, spark):
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=10)
+    s_mid = float((fit.lambdas[3] + fit.lambdas[4]) / 2)
+    cf = fit.coef(s_mid)[:, 0]
+    c3, c4 = fit.coef()[:, 3], fit.coef()[:, 4]
+    frac = (s_mid - fit.lambdas[4]) / (fit.lambdas[3] - fit.lambdas[4])
+    assert np.allclose(cf, c3 * frac + c4 * (1 - frac), atol=1e-12)
+    # clamping outside the path range (reference predict.sgdnet.R:155)
+    assert np.allclose(fit.coef(fit.lambdas[0] * 10)[:, 0], fit.coef()[:, 0])
+    assert np.allclose(fit.coef(fit.lambdas[-1] / 10)[:, 0], fit.coef()[:, -1])
+    with pytest.raises(ValueError, match="negative"):
+        fit.coef(-1.0)
+
+
+def test_coef_shape_and_nonzero(gauss_df):
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=10)
+    cf = fit.coef()
+    assert cf.shape == (len(cols) + 1, 10)
+    assert fit.df[0] == 0 and fit.df[-1] >= 3
+
+
+def test_score_distributed_matches_numpy(gauss_df):
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=8)
+    for measure in ("mse", "mae", "deviance"):
+        dist = score(fit, df, cols, "y", measure)
+        loc = score_np(fit, x, y, measure)
+        assert np.allclose(dist, loc, rtol=1e-9)
+
+
+def test_deviance_identity(gauss_df):
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=8)
+    dev = fit.deviance()
+    assert np.allclose(dev, (1 - fit.dev_ratio) * fit.nulldev)
+    # gaussian deviance at end of path ~ RSS << nulldev
+    assert dev[-1] < 0.2 * fit.nulldev
+
+
+def test_cv_structure(gauss_df, spark):
+    df, cols, x, y = gauss_df
+    cv = cv_sgdnet(df, cols, "y", alpha=[0.0, 1.0], nfolds=3, nlambda=8, type_measure="mse")
+    assert cv.alpha_min in (0.0, 1.0)
+    lams = cv.lambdas[cv.alphas.index(cv.alpha_min)]
+    assert cv.lambda_min in lams
+    # lambda_1se >= lambda_min (more regularized, reference cv_sgdnet.R:275)
+    assert cv.lambda_1se >= cv.lambda_min
+    assert len(cv.cv_summary) == 16
+    assert cv.cv_raw[0].shape == (3, 8)
+    for row in cv.cv_summary:
+        assert row["ci_lo"] <= row["mean"] <= row["ci_up"]
+    # the chosen fit is a full-data fit of the winning alpha
+    assert cv.fit.alpha == cv.alpha_min
+    with pytest.raises(ValueError):
+        cv_sgdnet(df, cols, "y", nfolds=2)
+
+
+def test_cv_binomial_auc(spark):
+    rng = np.random.default_rng(31)
+    n = 300
+    x = rng.normal(size=(n, 3))
+    eta = x @ np.array([1.5, -1.0, 0.0])
+    yb = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(int)
+    rows = [(*map(float, xi), int(yi)) for xi, yi in zip(x, yb)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, y int")
+    cv = cv_sgdnet(df, ["x0", "x1", "x2"], "y", family="binomial", nfolds=3,
+                   nlambda=8, lambda_min_ratio=1e-2, type_measure="auc")
+    assert cv.name == "AUC"
+    # auc is maximized: best-lambda mean auc should beat the null 0.5
+    best = min(cv.cv_summary, key=lambda r: -r["mean"])
+    assert best["mean"] > 0.6
