@@ -1,0 +1,46 @@
+"""Source/sink helpers: schema-explicit readers + format round-trips.
+
+Parquet is the native format (columnar, predicate pushdown, the driver's
+testdata). CSV/JSON readers are schema-explicit (no inferSchema scans in
+production paths). Lakehouse formats (delta/iceberg/hudi) need jars not
+present in this image — gated behind import-try with a clear error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_jsonl_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events-shaped JSONL with ISO timestamps."""
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    return spark.read.schema(schema).json(path).withColumn("ts", F.to_timestamp("ts"))
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Partition-pruned layout for downstream scans (dt-style partitioning)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as e:  # noqa: BLE001
+        raise NotImplementedError(
+            "delta-lake jars are not on the classpath in this environment; "
+            "add io.delta:delta-spark to spark.jars.packages"
+        ) from e

@@ -1,0 +1,69 @@
+"""Cross-check native solver vs Spark MLlib; source round-trips."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.glm import sgdnet
+from sgdnet_spark.glm.mllib_backend import mllib_path
+from sgdnet_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def df_and_data(spark):
+    rng = np.random.default_rng(17)
+    n, p = 500, 4
+    x = rng.normal(size=(n, p))
+    y = 1.0 + x @ np.array([1.5, -0.5, 0.0, 0.8]) + rng.normal(scale=0.3, size=n)
+    cols = [f"x{i}" for i in range(p)]
+    rows = [(*map(float, xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y double")
+    return df, cols, x, y
+
+
+def test_native_matches_mllib_gaussian(df_and_data):
+    df, cols, x, y = df_and_data
+    lams = [0.5, 0.1, 0.01]
+    fit = sgdnet(df, cols, "y", family="gaussian", alpha=0.5, lambdas=lams, thresh=1e-7)
+    a0, beta = mllib_path(df, cols, "y", "gaussian", alpha=0.5, lambdas=lams)
+    # independent optimizers, same convex objective -> same optimum
+    assert np.allclose(fit.beta, beta, atol=2e-3)
+    assert np.allclose(fit.a0, a0, atol=2e-3)
+
+
+def test_native_matches_mllib_binomial(spark, df_and_data):
+    df, cols, x, y = df_and_data
+    dfb = df.withColumn("yb", (F.col("y") > F.lit(float(np.median(y)))).cast("int"))
+    lams = [0.05, 0.01]
+    fit = sgdnet(dfb, cols, "yb", family="binomial", alpha=0.5, lambdas=lams, thresh=1e-6)
+    a0, beta = mllib_path(dfb, cols, "yb", "binomial", alpha=0.5, lambdas=lams)
+    assert np.allclose(fit.beta, beta, atol=5e-3)
+    assert np.allclose(fit.a0, a0, atol=5e-3)
+
+
+def test_csv_json_roundtrip(spark, tmp_path, df_and_data):
+    df, cols, *_ = df_and_data
+    csv_path = str(tmp_path / "csv")
+    df.limit(50).write.mode("overwrite").option("header", "true").csv(csv_path)
+    schema = ", ".join(f"{c} double" for c in cols) + ", y double"
+    back = readers.read_csv(spark, csv_path, schema)
+    assert back.count() == 50
+    assert back.schema == df.schema
+
+    json_path = str(tmp_path / "json")
+    df.limit(20).write.mode("overwrite").json(json_path)
+    back_j = readers.read_json(spark, json_path, schema)
+    assert back_j.count() == 20
+
+
+def test_partitioned_write_prunes(spark, tmp_path, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "part")
+    readers.write_partitioned(li, out, ["ship_year"])
+    back = spark.read.parquet(out).filter(F.col("ship_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the 1997 filter must reach the scan as a partition filter
+    assert "PartitionFilters" in plan
+    assert back.count() > 0
