@@ -1,0 +1,59 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, codegen.
+
+These are the 100-TB guardrails (SURVEY.md §4): each marked query must
+keep its scale-critical physical properties as the code evolves.
+"""
+
+from pyspark.sql import functions as F
+
+from sgdnet_spark.plans import introspect as I
+from sgdnet_spark.queries import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier,
+    q6_forecast_revenue,
+    feature_frame,
+)
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    df = q6_forecast_revenue(spark, sf_dir)
+    # selective predicates reach the parquet scan
+    assert I.has_pushed_filter(df, "l_quantity")
+    assert I.has_pushed_filter(df, "l_discount")
+    cols = I.scan_read_schema(df)
+    # column pruning: only the 4 referenced columns are read
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q1_column_pruning_and_codegen(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    cols = I.scan_read_schema(df)
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+    assert I.wholestage_codegen(df)
+
+
+def test_q3_q5_broadcast_dims(spark, sf_dir):
+    # dimension tables must broadcast, not shuffle the fact table
+    assert I.broadcast_join_count(q3_shipping_priority(spark, sf_dir)) >= 1
+    assert I.broadcast_join_count(q5_local_supplier(spark, sf_dir)) >= 4
+
+
+def test_glm_scan_prunes_to_features(spark, sf_dir):
+    from sgdnet_spark.glm import suffstats
+    from sgdnet_spark.queries import FEATURE_NAMES
+
+    f = feature_frame(spark, sf_dir)
+    xy = suffstats.assemble(f, FEATURE_NAMES, ["y"])
+    cols = set(I.scan_read_schema(xy))
+    # the fit's scan reads only what the features/label need
+    assert cols <= {"l_quantity", "l_discount", "l_tax", "l_shipdate", "l_extendedprice"}
+    assert "l_orderkey" not in cols
+
+
+def test_events_windowed_single_shuffle(spark, sf_dir):
+    from sgdnet_spark.queries import events_windowed
+
+    df = events_windowed(spark, sf_dir)
+    # one partial+final aggregation: exactly one exchange
+    assert I.shuffle_count(df) == 1
