@@ -47,9 +47,14 @@ class LocalXY:
     def set_standardization(self, x_mean: np.ndarray, x_inv_std: np.ndarray) -> None:
         self.x_mean = x_mean
         self.x_inv_std = x_inv_std
+        self._xs_cache: np.ndarray | None = None
 
     def _xs(self) -> np.ndarray:
-        return (self.x - self.x_mean) * self.x_inv_std
+        # standardized X is reused by every IRLS pass — cache it (the raw
+        # collect already fit in the driver budget; one more copy does too)
+        if getattr(self, "_xs_cache", None) is None:
+            self._xs_cache = (self.x - self.x_mean) * self.x_inv_std
+        return self._xs_cache
 
     def irls_binomial(self, coef: np.ndarray, intercept: float):
         self.passes += 1

@@ -275,9 +275,13 @@ def sgdnet(
     k = len(label_exprs)
     provider: LocalXY | SparkXY = SparkXY(xy, p, k)
     if solver == "auto":
-        local = provider.to_local(max_cells=collect_max_cells)
-        if local is not None:
-            provider = local
+        # gaussian/mgaussian need exactly ONE distributed pass (the Gram
+        # sufficient statistic) — collecting would be strictly worse at any
+        # scale. Only the iterative families benefit from a local fast path.
+        if family in ("binomial", "multinomial"):
+            local = provider.to_local(max_cells=collect_max_cells)
+            if local is not None:
+                provider = local
     elif solver == "local":
         local = provider.to_local(max_cells=float("inf"))
         assert local is not None
@@ -296,7 +300,7 @@ def sgdnet(
     kwargs = dict(
         alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
         lambdas=lambdas, standardize=standardize, intercept=intercept,
-        thresh=min(thresh, 1e-6) if family in ("gaussian", "mgaussian") else thresh * 1e-3,
+        thresh=min(thresh, 1e-6) if family in ("gaussian", "mgaussian") else max(thresh * 0.1, 1e-10),
         maxit=maxit, mom=mom,
     )
     if family == "gaussian":

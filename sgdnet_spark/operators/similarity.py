@@ -57,21 +57,49 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_inline_queries: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × narrow scan of the corpus,
-    per-query window top-k. Ties broken by neighbor id (deterministic)."""
-    corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"),
-                       norm(_as_double(vec_col)).alias("cn"))
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
-                       norm(_as_double(vec_col)).alias("qn"))
-    scored = (
-        corpus.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    per-query window top-k. Ties broken by neighbor id (deterministic).
+
+    Small query sets are inlined as literal expressions (one fused
+    mult-add chain per query, whole-stage codegen, zero array allocs —
+    the broadcast-join idea taken down to expression level). Larger sets
+    fall back to a broadcast join over array columns.
+    """
+    q_rows = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).collect()
+    if len(q_rows) <= max_inline_queries:
+        corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"))
+        cases = []
+        for r in q_rows:
+            qv = [float(v) for v in r["qv"]]
+            acc = 0.0
+            for v in qv:  # sequential fold — bit-identical to F.aggregate/duckdb
+                acc += v * v
+            qn = float(np.sqrt(acc))
+            d = F.lit(0.0)
+            for i, w_i in enumerate(qv):  # same left-to-right fold as F.aggregate
+                d = d + F.col("cv")[i] * F.lit(float(w_i))
+            cos = d / (F.lit(qn) * norm(F.col("cv")))
+            cases.append(F.struct(F.lit(r["query_id"]).alias("query_id"), cos.alias("cos")))
+        scored = (
+            corpus.select("nbr_id", F.explode(F.array(*cases)).alias("qc"))
+            .select(F.col("qc.query_id").alias("query_id"), "nbr_id", F.col("qc.cos").alias("cos"))
+            .filter(F.col("nbr_id") != F.col("query_id"))
         )
-    )
+    else:
+        corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"),
+                           norm(_as_double(vec_col)).alias("cn"))
+        q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
+                           norm(_as_double(vec_col)).alias("qn"))
+        scored = (
+            corpus.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "nbr_id",
+                (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
