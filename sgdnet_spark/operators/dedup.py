@@ -53,7 +53,8 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
         F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
-    return toks.select("id", F.explode(sh).alias("shingle")).distinct()
+    # per-doc dedup happens map-side (array_distinct) — no shuffle needed
+    return toks.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(

@@ -69,24 +69,37 @@ def brute_force_topk(
     """
     q_rows = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).collect()
     if len(q_rows) <= max_inline_queries:
+        # Arrow-batched BLAS path: broadcast the query block to every
+        # partition, one (batch x dim) @ (dim x q) matmul per batch, keep
+        # only each batch's per-query top-k — the shuffle carries
+        # q*k*partitions candidate rows, never the corpus.
+        import pandas as pd
+
+        q_ids = [int(r["query_id"]) for r in q_rows]
+        Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"))
-        cases = []
-        for r in q_rows:
-            qv = [float(v) for v in r["qv"]]
-            acc = 0.0
-            for v in qv:  # sequential fold — bit-identical to F.aggregate/duckdb
-                acc += v * v
-            qn = float(np.sqrt(acc))
-            d = F.lit(0.0)
-            for i, w_i in enumerate(qv):  # same left-to-right fold as F.aggregate
-                d = d + F.col("cv")[i] * F.lit(float(w_i))
-            cos = d / (F.lit(qn) * norm(F.col("cv")))
-            cases.append(F.struct(F.lit(r["query_id"]).alias("query_id"), cos.alias("cos")))
-        scored = (
-            corpus.select("nbr_id", F.explode(F.array(*cases)).alias("qc"))
-            .select(F.col("qc.query_id").alias("query_id"), "nbr_id", F.col("qc.cos").alias("cos"))
-            .filter(F.col("nbr_id") != F.col("query_id"))
-        )
+
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["cv"].to_numpy())
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                S = Vn @ Qn.T  # (m, q)
+                ids = pdf["nbr_id"].to_numpy()
+                out_q, out_n, out_c = [], [], []
+                kk = min(k + 1, len(ids))  # +1 in case the query itself is here
+                for j, qid in enumerate(q_ids):
+                    top = np.argpartition(-S[:, j], kk - 1)[:kk]
+                    for t in top:
+                        if ids[t] != qid:
+                            out_q.append(qid)
+                            out_n.append(int(ids[t]))
+                            out_c.append(float(S[t, j]))
+                yield pd.DataFrame({"query_id": out_q, "nbr_id": out_n, "cos": out_c})
+
+        scored = corpus.mapInPandas(run, schema="query_id long, nbr_id long, cos double")
     else:
         corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"),
                            norm(_as_double(vec_col)).alias("cn"))
