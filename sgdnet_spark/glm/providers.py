@@ -120,7 +120,12 @@ class SparkXY:
 
     def moments(self) -> Moments:
         self.passes += 1
-        mom = suffstats.moments_and_gram(self.xy, self.p, self.k)
+        # small p: whole-stage-codegen'd JVM aggregation beats spinning up
+        # Python workers; large p: Arrow-batched numpy outer products.
+        if self.p * (self.p + 1) // 2 + self.p * self.k <= 600:
+            mom = suffstats.moments_jvm(self.xy, self.p, self.k)
+        else:
+            mom = suffstats.moments_and_gram(self.xy, self.p, self.k)
         self.n = mom.n
         return mom
 

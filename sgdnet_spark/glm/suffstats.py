@@ -114,6 +114,35 @@ class Moments:
         return np.sqrt(np.maximum(var, 0.0))
 
 
+def moments_jvm(xy: DataFrame, p: int, k: int) -> Moments:
+    """Moments via pure JVM aggregation (whole-stage codegen, no Python
+    workers). Preferred for small/medium p; the agg list is
+    O(p^2 / 2 + p*k) expressions."""
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"x{i}").alias(f"sx{i}") for i in range(p)]
+    aggs += [F.sum(f"y{i}").alias(f"sy{i}") for i in range(k)]
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"sxx{i}_{j}"))
+    for i in range(p):
+        for j in range(k):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"y{j}")).alias(f"sxy{i}_{j}"))
+    aggs += [F.sum(F.col(f"y{i}") * F.col(f"y{i}")).alias(f"syy{i}") for i in range(k)]
+    row = xy.agg(*aggs).first()
+    n = int(row["n"])
+    if n == 0:
+        raise ValueError("empty input: no rows to aggregate")
+    sum_x = np.array([row[f"sx{i}"] for i in range(p)], dtype=np.float64)
+    sum_y = np.array([row[f"sy{i}"] for i in range(k)], dtype=np.float64)
+    sum_xx = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            sum_xx[i, j] = sum_xx[j, i] = row[f"sxx{i}_{j}"]
+    sum_xy = np.array([[row[f"sxy{i}_{j}"] for j in range(k)] for i in range(p)], dtype=np.float64)
+    sum_yy = np.array([row[f"syy{i}"] for i in range(k)], dtype=np.float64)
+    return Moments(n, sum_x, sum_y, sum_xx, sum_xy, sum_yy)
+
+
 def moments_and_gram(xy: DataFrame, p: int, k: int) -> Moments:
     """One distributed pass -> raw moments (n, Σx, Σy, ΣxxT, Σxy, Σyy)."""
 
