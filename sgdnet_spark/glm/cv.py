@@ -45,6 +45,27 @@ class CvSgdnetFit:
             schema="alpha double, lambda double, mean double, sd double, ci_lo double, ci_up double",
         )
 
+    def _resolve_s(self, s):
+        if s == "lambda_min" or s is None:
+            return self.lambda_min
+        if s == "lambda_1se":
+            return self.lambda_1se
+        return s
+
+    def predict(self, newx: DataFrame, s="lambda_min", **kw) -> DataFrame:
+        """reference predict.cv_sgdnet.R: s may be 'lambda_min'/'lambda_1se'."""
+        return self.fit.predict(newx, s=self._resolve_s(s), **kw)
+
+    def coef(self, s="lambda_min"):
+        return self.fit.coef(self._resolve_s(s))
+
+    def __repr__(self) -> str:
+        return (
+            f"cv_sgdnet: measure={self.name} alphas={self.alphas} "
+            f"alpha_min={self.alpha_min} lambda_min={self.lambda_min:.6g} "
+            f"lambda_1se={self.lambda_1se:.6g}"
+        )
+
 
 MEASURE_NAMES = {
     "deviance": "Deviance",

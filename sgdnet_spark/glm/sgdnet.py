@@ -52,6 +52,7 @@ class SgdnetFit:
     dfmat: np.ndarray | None = None
     intercept: bool = True
     standardize: bool = True
+    _train: dict | None = None  # inputs retained for exact refits (update())
 
     # ---- coefficient access -------------------------------------------------
 
@@ -95,6 +96,17 @@ class SgdnetFit:
     def _check_cols(self, cols: Sequence[str] | None) -> list[str]:
         return list(cols) if cols is not None else self.feature_names
 
+    def update(self, lambdas) -> "SgdnetFit":
+        """Refit on the retained training data with a new lambda set
+        (reference predict.sgdnet.R:180 refit / stats::update)."""
+        if self._train is None:
+            raise ValueError("fit was not created via sgdnet(); cannot refit")
+        t = dict(self._train)
+        return sgdnet(
+            t.pop("df"), t.pop("feature_cols"), t.pop("label_col"),
+            lambdas=sorted(set(float(x) for x in lambdas), reverse=True), **t,
+        )
+
     def predict(
         self,
         newx: DataFrame,
@@ -102,13 +114,21 @@ class SgdnetFit:
         type: str = "link",
         feature_cols: Sequence[str] | None = None,
         prefix: str = "pred",
+        exact: bool = False,
     ) -> DataFrame:
         """Append prediction columns to ``newx`` (one per lambda requested).
 
         Built entirely from JVM column expressions (dot product over the
         named feature columns) — whole-stage-codegen'd, no Python UDF.
-        Types follow reference predict.sgdnet: link | response | class.
+        Types follow reference predict.sgdnet: link | response | class;
+        ``exact=True`` refits at off-path s instead of interpolating.
         """
+        if exact and s is not None:
+            lam_set = set(np.atleast_1d(np.asarray(s, dtype=float)))
+            if not lam_set <= set(self.lambdas):
+                return self.update(sorted(lam_set | set(self.lambdas), reverse=True)).predict(
+                    newx, s=s, type=type, feature_cols=feature_cols, prefix=prefix
+                )
         cols = self._check_cols(feature_cols)
         cf = self.coef(s) if s is not None else self.coef()
         multi = self.family in ("multinomial", "mgaussian")
@@ -182,9 +202,28 @@ class SgdnetFit:
             return cls[idx]
         return eta
 
+    def nonzero(self, s=None) -> list[list[int]]:
+        """Indices of nonzero coefficients at each path step
+        (reference predict.sgdnet.R:49 nonzero_coefs, bystep=TRUE)."""
+        cf = self.coef(s)
+        beta = cf[1:] if cf.ndim == 2 else cf[:, 1:, :]
+        if beta.ndim == 2:
+            return [list(np.nonzero(beta[:, i])[0]) for i in range(beta.shape[-1])]
+        # multivariate: a variable counts if nonzero for ANY class/response
+        anynz = np.any(beta != 0.0, axis=0)
+        return [list(np.nonzero(anynz[:, i])[0]) for i in range(anynz.shape[-1])]
+
     def deviance(self) -> np.ndarray:
         """(1 - dev.ratio) * nulldev, reference deviance.sgdnet.R."""
         return (1.0 - self.dev_ratio) * self.nulldev
+
+    def __repr__(self) -> str:  # reference print.sgdnet.R: df / dev.ratio / lambda table
+        head = f"sgdnet fit: family={self.family} alpha={self.alpha} nobs={self.nobs} npasses={self.npasses}"
+        lines = [head, f"{'s':>4} {'df':>4} {'dev_ratio':>10} {'lambda':>12}"]
+        idx = range(self.nlambda) if self.nlambda <= 10 else list(range(5)) + list(range(self.nlambda - 5, self.nlambda))
+        for i in idx:
+            lines.append(f"{i:>4} {self.df[i]:>4} {self.dev_ratio[i]:>10.4f} {self.lambdas[i]:>12.6g}")
+        return "\n".join(lines)
 
     def path_frame(self, spark) -> DataFrame:
         """Tidy per-lambda summary (stand-in for reference plot.sgdnet)."""
@@ -315,6 +354,11 @@ def sgdnet(
     if isinstance(provider, SparkXY):
         provider.unpersist()
 
+    train = dict(
+        df=df, feature_cols=feature_cols, label_col=label_col, family=family,
+        alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
+        thresh=thresh, standardize_response=standardize_response, solver=solver,
+    )
     return SgdnetFit(
         family=family,
         alpha=alpha,
@@ -332,4 +376,5 @@ def sgdnet(
         dfmat=res.dfmat,
         intercept=intercept,
         standardize=standardize,
+        _train=train,
     )
