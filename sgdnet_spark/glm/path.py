@@ -227,12 +227,14 @@ def binomial_path(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
-    auto_path = lambdas is None or len(lambdas) == 0
+    # at lambda_max every coefficient is zero by construction (KKT with
+    # equality) — fit the null model directly rather than letting FP noise
+    # in the recomputed gradient fake a nonzero coef. For ridge (alpha=0)
+    # nothing is exactly zeroed, so the first point is a real fit
+    # (reference R/sgdnet.R 'Relationship with glmnet').
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
-            # lambda_max zeroes every coefficient by construction; the fit
-            # IS the null model (glmnet/reference behavior) — don't let FP
-            # noise in the recomputed gradient fake a nonzero coef.
             out_a0[i] = b0
             continue
         ll = ll_null
@@ -296,7 +298,7 @@ def multinomial_path(
     out_df = np.zeros(nl, dtype=int)
     out_dfmat = np.zeros((k, nl), dtype=int)
     out_dr = np.zeros(nl)
-    auto_path = lambdas is None or len(lambdas) == 0
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[:, i] = b0s - b0s.mean() if intercept else 0.0
