@@ -1,0 +1,53 @@
+"""As-of join — an operator Spark lacks natively (DuckDB: ASOF JOIN,
+pandas: merge_asof).
+
+Implemented as the union+window composition (guide: "Common OLAP
+patterns"): tag both sides, union, sort within each `by` partition on
+the time key, and carry the most recent right-side row forward with
+last_value(ignore nulls). One shuffle on `by`, sort within partitions —
+the same cost profile as a co-partitioned merge join at 100 TB; no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.on <= left.on within the same `by` group (backward as-of).
+
+    right_cols are the right-side payload columns to carry; they appear
+    with `suffix`. Left rows with no prior right row get NULLs.
+    """
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        by, on, *[F.col(c).alias(c + suffix) for c in right_cols]
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    allrows = lt.select(*rt.columns).unionByName(rt)
+    # right rows sort before left rows at the same timestamp → a right row
+    # with equal `on` is visible to the left row (<= semantics, as duckdb)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = allrows
+    for c in right_cols:
+        carried = carried.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1).drop("__side")

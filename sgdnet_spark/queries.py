@@ -444,6 +444,71 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_revenue", _ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("pivot_linestatus", _PIVOT_ORACLE)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag", F.col("F").alias("qty_F"), F.col("O").alias("qty_O")
+    )
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, c.event_id AS prior_click_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_purchase_click", _ASOF_ORACLE)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): latest click at or before
+    each purchase, per user."""
+    from sgdnet_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", right_cols=["event_id", "ts"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("prior_click_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).cast("bigint").alias("gap_s"),
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline operators (24-35)
 # --------------------------------------------------------------------------
