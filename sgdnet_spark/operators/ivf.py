@@ -1,0 +1,132 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+A distributed Lloyd's k-means builds the coarse quantizer: each
+iteration is ONE mapInPandas pass emitting per-cluster (count, vec-sum)
+partials — O(k·dim) per partition, independent of n (same
+sufficient-statistic discipline as the GLM solver). Search assigns each
+corpus vector to its nearest centroid (the inverted lists) and probes
+only the ``nprobe`` nearest lists per query.
+
+At 100 TB the corpus would be written partitioned by list id so a probe
+touches nprobe partitions instead of the whole table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _collect_vec(df: DataFrame, id_col: str, vec_col: str, n: int) -> np.ndarray:
+    rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's iterations; deterministic init (first k by id).
+
+    Returns (k, dim) centroids. Each iteration = one narrow pass; the
+    driver reduces #partitions × (k, dim+1) partials.
+    """
+    cents = _collect_vec(df, id_col, vec_col, k)
+    dim = cents.shape[1]
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    for _ in range(iters):
+        c_bc = cents  # captured by closure, shipped with the task
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((k, dim + 1))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                d2 = ((V**2).sum(1)[:, None] - 2 * V @ c_bc.T + (c_bc**2).sum(1)[None, :])
+                a = d2.argmin(1)
+                for c in range(k):
+                    sel = V[a == c]
+                    if len(sel):
+                        acc[c, 0] += len(sel)
+                        acc[c, 1:] += sel.sum(0)
+            yield pd.DataFrame({"part": [acc.ravel().tolist()]})
+
+        parts = vecs.mapInPandas(run, schema="part array<double>").collect()
+        tot = np.sum([np.asarray(r["part"]).reshape(k, dim + 1) for r in parts], axis=0)
+        counts = tot[:, 0]
+        new = np.where(counts[:, None] > 0, tot[:, 1:] / np.maximum(counts[:, None], 1), cents)
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents
+
+
+def assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, list_id, v) — the inverted lists."""
+    k, dim = cents.shape
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            d2 = (V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]
+            yield pd.DataFrame({"id": pdf["id"], "list_id": d2.argmin(1).astype(np.int64), "v": pdf["v"]})
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return base.mapInPandas(run, schema="id long, list_id long, v array<double>")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k probing only nprobe inverted lists."""
+    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    lists = assign_lists(df, cents, vec_col, id_col)
+
+    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d2 = ((cents - qv) ** 2).sum(1)
+        for lid in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in qv]))
+    spark = df.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qv array<double>")
+
+    joined = lists.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Q = np.stack(pdf["qv"].to_numpy())
+            cos = (V * Q).sum(1) / (
+                np.linalg.norm(V, axis=1) * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+            )
+            yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
+
+    scored = joined.mapInPandas(run, schema="query_id long, nbr_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+    )

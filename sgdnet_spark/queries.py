@@ -602,6 +602,15 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register("ann_ivf")
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: distributed k-means coarse quantizer + nprobe lists."""
+    from sgdnet_spark.operators.ivf import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k_neighbors=5, n_lists=8, nprobe=3)
+
+
 _TOKCOUNT_ORACLE = f"""
 SELECT doc_id,
        CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
