@@ -22,6 +22,8 @@ HEADLINERS = [
     "q6_forecast_revenue",
     "top_n_per_group",
     "events_windowed",
+    "asof_purchase_click",
+    "rollup_revenue",
     "feature_stats",
     "lambda_max_gaussian",
     "glm_gaussian_path",
@@ -41,8 +43,10 @@ def main() -> None:
 
     from sgdnet_spark.queries import QUERIES
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers + Python UDF workers (not measured)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, schema="id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINERS:
