@@ -217,6 +217,44 @@ class SgdnetFit:
         """(1 - dev.ratio) * nulldev, reference deviance.sgdnet.R."""
         return (1.0 - self.dev_ratio) * self.nulldev
 
+    def save(self, path: str) -> None:
+        """Persist the fitted path (npz arrays + json metadata)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "arrays.npz"),
+            lambdas=self.lambdas, a0=self.a0, beta=self.beta, df=self.df,
+            dev_ratio=self.dev_ratio,
+            dfmat=self.dfmat if self.dfmat is not None else np.zeros(0),
+        )
+        meta = dict(
+            family=self.family, alpha=self.alpha, nulldev=self.nulldev,
+            npasses=self.npasses, nobs=self.nobs, feature_names=self.feature_names,
+            classnames=self.classnames, response_names=self.response_names,
+            intercept=self.intercept, standardize=self.standardize,
+            has_dfmat=self.dfmat is not None,
+        )
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @staticmethod
+    def load(path: str) -> "SgdnetFit":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        arr = np.load(os.path.join(path, "arrays.npz"))
+        has_dfmat = meta.pop("has_dfmat")
+        return SgdnetFit(
+            lambdas=arr["lambdas"], a0=arr["a0"], beta=arr["beta"],
+            df=arr["df"], dev_ratio=arr["dev_ratio"],
+            dfmat=arr["dfmat"] if has_dfmat else None,
+            **meta,
+        )
+
     def __repr__(self) -> str:  # reference print.sgdnet.R: df / dev.ratio / lambda table
         head = f"sgdnet fit: family={self.family} alpha={self.alpha} nobs={self.nobs} npasses={self.npasses}"
         lines = [head, f"{'s':>4} {'df':>4} {'dev_ratio':>10} {'lambda':>12}"]

@@ -1,0 +1,42 @@
+"""Model save/load round-trip."""
+
+import numpy as np
+
+from sgdnet_spark.glm import sgdnet
+from sgdnet_spark.glm.sgdnet import SgdnetFit
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(61)
+    x = rng.normal(size=(200, 3))
+    y = x @ np.array([1.0, 0.0, -0.5]) + rng.normal(scale=0.2, size=200)
+    rows = [(*map(float, xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, y double")
+    fit = sgdnet(df, ["x0", "x1", "x2"], "y", nlambda=8)
+    path = str(tmp_path / "model")
+    fit.save(path)
+    back = SgdnetFit.load(path)
+    assert back.family == fit.family
+    assert np.allclose(back.beta, fit.beta)
+    assert np.allclose(back.lambdas, fit.lambdas)
+    assert back.feature_names == fit.feature_names
+    # loaded model predicts identically (no Spark state needed)
+    assert np.allclose(back.predict_np(x), fit.predict_np(x))
+    # and drives JVM-side predict on a DataFrame
+    out = back.predict(df, s=float(back.lambdas[-1]), prefix="p")
+    assert "p" in out.columns
+
+
+def test_multinomial_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(67)
+    x = rng.normal(size=(300, 3))
+    yi = (x[:, 0] + 0.5 * rng.normal(size=300) > 0).astype(int) + (x[:, 1] > 1).astype(int)
+    rows = [(*map(float, xi), f"k{int(c)}") for xi, c in zip(x, yi)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, y string")
+    fit = sgdnet(df, ["x0", "x1", "x2"], "y", family="multinomial", nlambda=5, lambda_min_ratio=1e-2)
+    path = str(tmp_path / "m")
+    fit.save(path)
+    back = SgdnetFit.load(path)
+    assert back.classnames == fit.classnames
+    assert back.dfmat is not None
+    assert np.allclose(back.a0, fit.a0)
