@@ -43,10 +43,12 @@ def main() -> None:
 
     from sgdnet_spark.queries import QUERIES
 
-    # warm the JVM + parquet footers + Python UDF workers (not measured)
+    # warm the JVM + parquet footers + Python UDF workers + local-relation
+    # conversion (all one-time session costs, not per-query work)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     warm = spark.range(64).repartition(32)
     warm.mapInPandas(lambda it: it, schema="id long").count()
+    spark.createDataFrame([{"a": 1}], schema="a long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINERS:

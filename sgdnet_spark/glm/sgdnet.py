@@ -350,27 +350,30 @@ def sgdnet(
 
     p = len(feature_cols)
     k = len(label_exprs)
-    provider: LocalXY | SparkXY = SparkXY(xy, p, k)
-    if solver == "auto":
-        # gaussian/mgaussian need exactly ONE distributed pass (the Gram
-        # sufficient statistic) — collecting would be strictly worse at any
-        # scale. Only the iterative families benefit from a local fast path.
-        if family in ("binomial", "multinomial"):
-            local = provider.to_local(max_cells=collect_max_cells)
-            if local is not None:
-                provider = local
-    elif solver == "local":
-        local = provider.to_local(max_cells=float("inf"))
-        assert local is not None
-        provider = local
-    elif solver != "spark":
+    if solver not in ("auto", "local", "spark"):
         raise ValueError("solver must be one of 'auto', 'local', 'spark'")
 
-    if isinstance(provider, SparkXY) and family in ("binomial", "multinomial"):
-        provider.cache()  # iterative passes reuse the assembled frame
-
-    mom = provider.moments()
-    n = mom.n
+    provider: LocalXY | SparkXY = SparkXY(xy, p, k)
+    if solver == "local":
+        # force the numpy provider end-to-end (tests / debugging)
+        provider = provider.to_local(max_cells=float("inf"))
+        mom = provider.moments()
+        n = mom.n
+    else:
+        # moments always come from the one-pass JVM/Arrow aggregation — they
+        # are needed regardless of solver and also tell us n for the
+        # local-vs-distributed decision without an extra count() scan.
+        mom = provider.moments()
+        n = mom.n
+        if family in ("binomial", "multinomial"):
+            # iterative families: collect once if it fits the driver budget
+            # (gaussian/mgaussian never collect — one Gram pass IS the fit)
+            if solver == "auto" and n * (p + k) <= collect_max_cells:
+                local = provider.to_local(max_cells=float("inf"))
+                local.passes += provider.passes
+                provider = local
+            else:
+                provider.cache()  # distributed IRLS passes reuse the frame
     if lambda_min_ratio is None:
         lambda_min_ratio = 0.01 if n < p else 1e-4
 

@@ -280,12 +280,15 @@ def collect_xy(
     distributed pass-per-iteration path. (The equivalent of Spark MLlib
     deciding between normal-equation and L-BFGS solvers.)
     """
-    n = xy.count()
-    if n == 0:
-        raise ValueError("empty input")
-    if n * (p + k) > max_cells:
-        return None
+    if np.isfinite(max_cells):
+        n = xy.count()
+        if n == 0:
+            raise ValueError("empty input")
+        if n * (p + k) > max_cells:
+            return None
     pdf = xy.toPandas()
+    if len(pdf) == 0:
+        raise ValueError("empty input")
     x = pdf[xcols(p)].to_numpy(dtype=np.float64)
     y = pdf[ycols(k)].to_numpy(dtype=np.float64) if k else None
     return x, y
