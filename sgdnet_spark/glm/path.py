@@ -305,10 +305,14 @@ def multinomial_path(
             continue
         ll = ll_null
         for _ in range(outer_maxit):
+            # ONE data pass yields every class's quadratic (block-diagonal
+            # Newton) — k times fewer passes than per-class cycling, same
+            # fixed point.
+            stats, ll = provider.irls_multinomial_all(coefs, b0s)
             max_delta = 0.0
             max_scale = 1e-12
             for c in range(k):
-                sw, swx, swxx, swxz, swz, ll = provider.irls_multinomial(coefs, b0s, c)
+                sw, swx, swxx, swxz, swz = stats[c]
                 new_coef, new_b0, _ = wls_enet_cd(
                     sw, swx, swxx, swxz, swz, n, lam, alpha, coefs[c], float(b0s[c]),
                     intercept, tol=thresh, maxit=maxit,

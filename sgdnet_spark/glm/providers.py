@@ -75,26 +75,13 @@ class LocalXY:
             ll,
         )
 
-    def irls_multinomial(self, coefs: np.ndarray, intercepts: np.ndarray, cls: int):
-        """Quadratic stats for class ``cls``; self.y is one-hot (n, k)."""
+    def irls_multinomial_all(self, coefs: np.ndarray, intercepts: np.ndarray):
+        """IRLS stats for all classes at once; self.y is one-hot (n, k)."""
         self.passes += 1
-        xs = self._xs()
-        eta = xs @ coefs.T + intercepts  # (n, k)
-        prob = _softmax(eta)
-        yk = self.y[:, cls]
-        pk = prob[:, cls]
-        w = np.maximum(pk * (1.0 - pk), 1e-10)
-        z = eta[:, cls] + (yk - pk) / w
-        xw = xs * w[:, None]
-        ll = float(np.sum(self.y * np.log(np.maximum(prob, 1e-300))))
-        return (
-            float(w.sum()),
-            xw.sum(axis=0),
-            xw.T @ xs,
-            xw.T @ z,
-            float((w * z).sum()),
-            ll,
+        out = suffstats.multinomial_class_stats(
+            self.x, self.y, coefs, intercepts, self.x_mean, self.x_inv_std
         )
+        return suffstats._unpack_class_stats(out, self.p, coefs.shape[0])
 
 
 class SparkXY:
@@ -139,10 +126,10 @@ class SparkXY:
             self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std
         )
 
-    def irls_multinomial(self, coefs: np.ndarray, intercepts: np.ndarray, cls: int):
+    def irls_multinomial_all(self, coefs: np.ndarray, intercepts: np.ndarray):
         self.passes += 1
-        return suffstats.weighted_quadratic_multinomial(
-            self.xy, self.p, coefs, intercepts, cls, self.x_mean, self.x_inv_std
+        return suffstats.weighted_quadratic_multinomial_all(
+            self.xy, self.p, coefs, intercepts, self.x_mean, self.x_inv_std
         )
 
     def to_local(self, max_cells: float = 3e8) -> LocalXY | None:

@@ -225,50 +225,66 @@ def weighted_quadratic(
     return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
 
 
-def weighted_quadratic_multinomial(
-    xy: DataFrame,
-    p: int,
-    coefs: np.ndarray,  # (k, p) standardized scale
-    intercepts: np.ndarray,  # (k,)
-    cls: int,
-    x_mean: np.ndarray,
-    x_inv_std: np.ndarray,
-) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, float, float]:
-    """One per-class IRLS pass for the multinomial family (glmnet-style
-
-    partial-Newton cycling). Same output shape as ``weighted_quadratic``;
-    the log-likelihood term is the full multinomial log-likelihood.
-    """
-    k = coefs.shape[0]
+def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std):
+    """Per-batch numpy kernel: IRLS quadratic stats for ALL classes at the
+    current coefficients (block-diagonal Newton — one data pass serves
+    every class update). Returns a packed 1-d partial."""
     scaled = coefs * x_inv_std[None, :]
     offs = intercepts - scaled @ x_mean
-
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
-        # y is one-hot (n, k)
-        eta = x @ scaled.T + offs  # (n, k)
-        m = eta.max(axis=1, keepdims=True)
-        e = np.exp(eta - m)
-        prob = e / e.sum(axis=1, keepdims=True)
+    eta = x @ scaled.T + offs  # (n, k)
+    m = eta.max(axis=1, keepdims=True)
+    e = np.exp(eta - m)
+    prob = e / e.sum(axis=1, keepdims=True)
+    xs = (x - x_mean) * x_inv_std
+    k = coefs.shape[0]
+    parts = [np.array([np.sum(y * np.log(np.maximum(prob, 1e-300)))])]
+    for cls in range(k):
         yk = y[:, cls]
         pk = prob[:, cls]
         w = np.maximum(pk * (1.0 - pk), 1e-10)
         z = eta[:, cls] + (yk - pk) / w
-        xs = (x - x_mean) * x_inv_std
         xw = xs * w[:, None]
-        ll = np.sum(y * np.log(np.maximum(prob, 1e-300)))
-        return np.concatenate(
-            [[w.sum()], xw.sum(axis=0), (xw.T @ xs).ravel(), xw.T @ z, [(w * z).sum()], [ll]]
+        parts.append(
+            np.concatenate(
+                [[w.sum()], xw.sum(axis=0), (xw.T @ xs).ravel(), xw.T @ z, [(w * z).sum()]]
+            )
         )
+    return np.concatenate(parts)
+
+
+def _unpack_class_stats(out: np.ndarray, p: int, k: int):
+    ll = out[0]
+    stats = []
+    stride = 1 + p + p * p + p + 1
+    i = 1
+    for _ in range(k):
+        j = i
+        sum_w = out[j]; j += 1
+        sum_wx = out[j : j + p]; j += p
+        sum_wxx = out[j : j + p * p].reshape(p, p); j += p * p
+        sum_wxz = out[j : j + p]; j += p
+        sum_wz = out[j]
+        stats.append((sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz))
+        i += stride
+    return stats, ll
+
+
+def weighted_quadratic_multinomial_all(
+    xy: DataFrame,
+    p: int,
+    coefs: np.ndarray,  # (k, p) standardized scale
+    intercepts: np.ndarray,  # (k,)
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+):
+    """ONE distributed pass -> IRLS stats for every class + loglik."""
+    k = coefs.shape[0]
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        return multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std)
 
     out = _sum_partials(xy, fn, p, k)
-    i = 0
-    sum_w = out[0]; i += 1
-    sum_wx = out[i : i + p]; i += p
-    sum_wxx = out[i : i + p * p].reshape(p, p); i += p * p
-    sum_wxz = out[i : i + p]; i += p
-    sum_wz = out[i]; i += 1
-    loglik = out[i]
-    return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
+    return _unpack_class_stats(out, p, k)
 
 
 def collect_xy(

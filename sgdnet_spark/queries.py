@@ -914,6 +914,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+_CLEAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dups AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5),
+quality AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents)
+SELECT d.doc_id, q.n_tokens
+FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dups) AND q.n_tokens >= 20
+"""
+
+
+@register("corpus_clean", _CLEAN_ORACLE)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning pipeline: drop near-duplicates (keep the
+    lower doc_id of each pair) and too-short documents — the composition
+    a training-data pipeline actually runs."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    kept = docs.join(dups, "doc_id", "left_anti")
+    tok = text.token_count(kept).select("doc_id", "n_tokens")
+    return (
+        kept.join(tok, "doc_id")
+        .filter(F.col("n_tokens") >= 20)
+        .select("doc_id", "n_tokens")
+    )
+
+
 @register("multimodal_meta")
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_fake_media(_t(spark, sf_dir, "documents"))
