@@ -39,6 +39,10 @@ class PathResult:
     x_mean: np.ndarray = field(default=None)
     x_std: np.ndarray = field(default=None)
     dfmat: np.ndarray | None = None  # (k, nl) for multivariate families
+    # diagnostics (reference options(sgdnet.debug): attr(fit,'diagnostics')$loss):
+    # one list of objective values per lambda (iterative families record one
+    # entry per outer IRLS step; gram families record the final objective)
+    loss: list | None = None
 
 
 def _standardization(mom, standardize: bool, center: bool):
@@ -116,11 +120,14 @@ def gaussian_path(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
+    losses: list = []
     npasses = 0
     for i, lam in enumerate(lam_path):
         beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit)
         npasses += its
         rss_n = y_var - 2.0 * float(b @ beta) + float(beta @ C @ beta)
+        pen = lam * (alpha * float(np.abs(beta).sum()) + (1 - alpha) / 2 * float(beta @ beta))
+        losses.append([0.5 * rss_n + pen])
         out_dr[i] = 1.0 - rss_n * n / nulldev if nulldev > 0 else 0.0
         ob, oa0 = _unstandardize(beta, x_mean, x_std, y_mean, intercept)
         out_beta[:, i] = ob
@@ -128,7 +135,7 @@ def gaussian_path(
         out_df[i] = int(np.count_nonzero(beta))
     return PathResult(
         "gaussian", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
-        getattr(provider, "passes", 1), x_mean, x_std,
+        getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
     )
 
 
@@ -238,8 +245,12 @@ def binomial_path(
             out_a0[i] = b0
             continue
         ll = ll_null
+        lam_losses: list = []
         for _ in range(outer_maxit):
             sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
+            lam_losses.append(
+                -ll / n + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
+            )
             new_coef, new_b0, _ = wls_enet_cd(
                 sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
                 tol=thresh, maxit=maxit,
@@ -249,6 +260,7 @@ def binomial_path(
             coef, b0 = new_coef, new_b0
             if delta <= max(thresh, 1e-6) * scale:
                 break
+        losses.append(lam_losses)
         out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
         ob, oa0 = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
         out_beta[:, i] = ob
@@ -256,7 +268,7 @@ def binomial_path(
         out_df[i] = int(np.count_nonzero(coef))
     return PathResult(
         "binomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
-        getattr(provider, "passes", 1), x_mean, x_std,
+        getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
     )
 
 

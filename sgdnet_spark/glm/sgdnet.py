@@ -53,6 +53,7 @@ class SgdnetFit:
     intercept: bool = True
     standardize: bool = True
     _train: dict | None = None  # inputs retained for exact refits (update())
+    diagnostics: dict | None = None  # {'loss': [...]} as reference sgdnet.debug
 
     # ---- coefficient access -------------------------------------------------
 
@@ -418,4 +419,5 @@ def sgdnet(
         intercept=intercept,
         standardize=standardize,
         _train=train,
+        diagnostics={"loss": res.loss} if res.loss is not None else None,
     )

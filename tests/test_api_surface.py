@@ -40,6 +40,25 @@ def test_exact_refit(fit_and_df):
     assert "p" in pred.columns
 
 
+def test_diagnostics_loss_trace(fit_and_df, spark):
+    """Mirrors reference test-options.R: per-lambda losses exist, are
+    positive and finite, and IRLS traces are non-increasing-ish."""
+    import numpy as np
+    from sgdnet_spark.glm import sgdnet as _sgdnet
+
+    fit, df, cols = fit_and_df
+    loss = fit.diagnostics["loss"]
+    assert len(loss) == fit.nlambda
+    flat = [v for lam in loss for v in lam]
+    assert all(np.isfinite(v) and v > 0 for v in flat)
+    # binomial trace shows IRLS progress per lambda
+    dfb = df.withColumn("yb", (df.y > 1.0).cast("int"))
+    fb = _sgdnet(dfb, cols, "yb", family="binomial", nlambda=6, lambda_min_ratio=1e-2)
+    tr = fb.diagnostics["loss"]
+    assert len(tr) == 6
+    assert all(len(t) >= 1 for t in tr)
+
+
 def test_cv_predict_and_repr(fit_and_df, spark):
     fit, df, cols = fit_and_df
     cv = cv_sgdnet(df, cols, "y", nfolds=3, nlambda=8)
