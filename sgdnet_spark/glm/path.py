@@ -234,6 +234,7 @@ def binomial_path(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
+    losses: list = []
     # at lambda_max every coefficient is zero by construction (KKT with
     # equality) — fit the null model directly rather than letting FP noise
     # in the recomputed gradient fake a nonzero coef. For ridge (alpha=0)
@@ -243,6 +244,7 @@ def binomial_path(
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0
+            losses.append([-ll_null / n])
             continue
         ll = ll_null
         lam_losses: list = []
