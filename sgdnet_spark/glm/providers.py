@@ -57,15 +57,27 @@ class LocalXY:
         return self._xs_cache
 
     def irls_binomial(self, coef: np.ndarray, intercept: float):
+        # hot loop: ~3 calls per lambda over the full n — reuse buffers to
+        # stay allocation-light (n-sized temporaries dominate otherwise)
         self.passes += 1
         xs = self._xs()
         yb = self.y[:, 0]
-        eta = xs @ coef + intercept
-        mu = 1.0 / (1.0 + np.exp(-eta))
-        w = np.maximum(mu * (1.0 - mu), 1e-10)
-        z = eta + (yb - mu) / w
+        if not hasattr(self, "_buf") or self._buf[0].shape[0] != self.n:
+            self._buf = tuple(np.empty(self.n) for _ in range(4))
+        eta, mu, w, z = self._buf
+        np.dot(xs, coef, out=eta)
+        eta += intercept
+        np.multiply(eta, -1.0, out=mu)
+        np.exp(mu, out=mu)
+        mu += 1.0
+        np.divide(1.0, mu, out=mu)  # mu = sigmoid(eta)
+        np.multiply(mu, 1.0 - mu, out=w)
+        np.maximum(w, 1e-10, out=w)
+        np.subtract(yb, mu, out=z)
+        z /= w
+        z += eta
+        ll = float(np.sum(yb * eta) - np.logaddexp(0.0, eta).sum())
         xw = xs * w[:, None]
-        ll = float(np.sum(yb * eta - np.logaddexp(0.0, eta)))
         return (
             float(w.sum()),
             xw.sum(axis=0),
