@@ -158,9 +158,11 @@ def score(
     univariate families; collect+numpy for auc/multivariate."""
     cols = list(feature_cols) if feature_cols else fit.feature_names
     fam = fit.family
+    from sgdnet_spark.glm.sgdnet import colref
+
     distributed = fam in ("gaussian", "binomial") and type_measure in ("deviance", "mse", "mae", "class")
     if not distributed:
-        pdf = df.select(*cols, label_col).toPandas()
+        pdf = df.select(*[colref(c).alias(c) for c in cols], label_col).toPandas()
         x = pdf[cols].to_numpy(dtype=float)
         y = pdf[label_col].to_numpy()
         return score_np(fit, x, y, type_measure, s=s)
@@ -179,7 +181,7 @@ def score(
         eta = F.lit(float(cf[0, i]))
         for w, c in zip(cf[1:, i], cols):
             if w != 0.0:
-                eta = eta + F.lit(float(w)) * F.col(c).cast("double")
+                eta = eta + F.lit(float(w)) * colref(c).cast("double")
         if fam == "gaussian":
             d = eta - ycol
             expr = F.avg(d * d) if type_measure in ("deviance", "mse") else F.avg(F.abs(d))

@@ -28,6 +28,15 @@ from sgdnet_spark.glm.providers import LocalXY, SparkXY
 FAMILIES = ("gaussian", "binomial", "multinomial", "mgaussian")
 
 
+def colref(name: str) -> F.Column:
+    """Column reference that understands the 'arr[i]' names produced by
+    array-column feature expansion."""
+    if name.endswith("]") and "[" in name:
+        base, idx = name[:-1].rsplit("[", 1)
+        return F.col(base)[int(idx)]
+    return F.col(name)
+
+
 @dataclass
 class SgdnetFit:
     """Fitted path. Mirrors the reference's sgdnet object fields
@@ -140,7 +149,7 @@ class SgdnetFit:
             expr = F.lit(float(weights[0]))
             for w, c in zip(weights[1:], cols):
                 if w != 0.0:
-                    expr = expr + F.lit(float(w)) * F.col(c).cast("double")
+                    expr = expr + F.lit(float(w)) * colref(c).cast("double")
             return expr
 
         out = newx
@@ -343,11 +352,26 @@ def sgdnet(
     if nlambda <= 0 and (lambdas is None or len(lambdas) == 0):
         raise ValueError("lambda path cannot be of zero length.")
 
-    feature_cols = list(feature_cols)
+    orig_features = feature_cols if isinstance(feature_cols, str) else list(feature_cols)
+    if isinstance(feature_cols, str):
+        # single array<numeric> column (e.g. an embedding): expand to
+        # element expressions; dim taken from the first row
+        arr = feature_cols
+        first = df.select(F.size(F.col(arr)).alias("d")).first()
+        if first is None:
+            raise ValueError("the predictor matrix (x) is empty.")
+        dim = int(first["d"])
+        feature_exprs = [F.col(arr)[i] for i in range(dim)]
+        feature_names = [f"{arr}[{i}]" for i in range(dim)]
+    else:
+        feature_exprs = list(feature_cols)
+        feature_names = list(feature_cols)
+
     label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
 
     # assemble: only the needed columns reach the scan (column pruning)
-    xy = suffstats.assemble(df, feature_cols, label_exprs)
+    xy = suffstats.assemble(df, feature_exprs, label_exprs)
+    feature_cols = feature_names
 
     p = len(feature_cols)
     k = len(label_exprs)
@@ -397,7 +421,7 @@ def sgdnet(
         provider.unpersist()
 
     train = dict(
-        df=df, feature_cols=feature_cols, label_col=label_col, family=family,
+        df=df, feature_cols=orig_features, label_col=label_col, family=family,
         alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
         thresh=thresh, standardize_response=standardize_response, solver=solver,
     )

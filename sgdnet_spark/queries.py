@@ -1083,6 +1083,18 @@ def glm_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="s int, deviance double")
 
 
+@register("glm_embedding_multinomial")
+def glm_embedding_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Softmax regression straight on an array<float> embedding column
+    (10 classes, p=64) — the vector-native fit path."""
+    from sgdnet_spark.glm import sgdnet
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn("label_s", F.col("label").cast("string"))
+    fit = sgdnet(emb, "embedding", "label_s", family="multinomial", alpha=1.0,
+                 nlambda=8, lambda_min_ratio=0.05)
+    return fit.path_frame(spark)
+
+
 @register("glm_cv")
 def glm_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgdnet_spark.glm import cv_sgdnet
