@@ -1,0 +1,49 @@
+"""Sketches vs exact answers (tolerance-based — sketch encodings differ
+across engines, so these live in tests rather than the duckdb gate)."""
+
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import sketch
+
+
+def test_approx_distinct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = sketch.approx_distinct(li, ["l_orderkey", "l_partkey"]).first()
+    exact_ok = li.select(F.countDistinct("l_orderkey"), F.countDistinct("l_partkey")).first()
+    for a, e in zip(approx, exact_ok):
+        assert abs(a - e) / e < 0.05
+
+
+def test_approx_quantiles(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = sketch.approx_quantiles(li, "l_extendedprice", [0.5, 0.9])
+    exact = li.agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))")).first()[0]
+    for a, e in zip(qs, exact):
+        assert abs(a - e) / e < 0.02
+
+
+def test_bloom_filter_join_prefilter(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    n_keys = keys.count()
+    bf = sketch.bloom_filter(keys, "o_orderkey", expected=max(n_keys, 1))
+    # prefilter keeps every true match (no false negatives) and drops most others
+    true_matches = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").count()
+    kept_df = li.filter(bf.might_contain_col(F.col("l_orderkey")))
+    kept = kept_df.count()
+    assert kept >= true_matches
+    total = li.count()
+    if n_keys < total / 10:
+        assert kept < total  # it actually filters
+    # everything the prefilter kept that was real survives the true join
+    assert kept_df.join(keys, kept_df.l_orderkey == keys.o_orderkey, "left_semi").count() == true_matches
+
+
+def test_count_min_heavy_hitter(spark):
+    rows = [("hot",)] * 3000 + [(f"k{i % 100}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string")
+    cms = sketch.count_min(df, "key")
+    est = cms.estimate_count("hot")
+    assert 3000 <= est <= 3000 * 1.05
+    assert cms.estimate_count("absent-key") <= 4000 * 0.01  # eps * total bound
