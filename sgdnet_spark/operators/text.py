@@ -103,6 +103,50 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish sub-word segmentation: letter runs / digit runs /
+    single punctuation (a portable stand-in for a GPT-style pre-tokenizer
+    regex; identical semantics in Java regex and RE2)."""
+    toks = F.regexp_extract_all(norm_text(text_col), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_bpe_unique"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every
+    char k-gram (md5 — engine-portable), keep each sliding window's
+    minimum, emit the distinct fingerprint set. The standard local-
+    fingerprint scheme behind plagiarism/near-dup detection at scale.
+    """
+    staged = df.select(F.col(id_col), norm_text(text_col).alias("__norm"))
+    norm = F.col("__norm")
+    nhash = F.length(norm) - (k - 1)
+    idx = F.when(nhash >= 1, F.sequence(F.lit(1), nhash)).otherwise(F.array().cast("array<int>"))
+    hashed = staged.select(
+        F.col(id_col),
+        F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(k)).cast("binary"))).alias("__h"),
+    )
+    h = F.col("__h")
+    nwin = F.size(h) - (window - 1)
+    widx = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.when(F.size(h) > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+    )
+    fps = F.transform(widx, lambda i: F.array_min(F.slice(h, i, window)))
+    return hashed.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """md5 fingerprint of normalized text (engine-portable, deterministic)."""
     return df.select(

@@ -906,6 +906,41 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
 
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_unique
+FROM documents
+"""
+
+
+@register("text_token_bpe", _BPE_ORACLE)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+_WINNOW_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+h AS (SELECT doc_id,
+        list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                       i -> md5(substring(s, i, 8))) AS hs
+      FROM n),
+w AS (SELECT doc_id,
+        CASE WHEN len(hs) >= 16
+               THEN list_transform(generate_series(1, len(hs) - 15),
+                                   i -> list_min(hs[i:i+15]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
+@register("text_winnow", _WINNOW_ORACLE)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 _FP_ORACLE = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 
