@@ -34,9 +34,14 @@ def test_q1_column_pruning_and_codegen(spark, sf_dir):
 
 
 def test_q3_q5_broadcast_dims(spark, sf_dir):
-    # dimension tables must broadcast, not shuffle the fact table
-    assert I.broadcast_join_count(q3_shipping_priority(spark, sf_dir)) >= 1
-    assert I.broadcast_join_count(q5_local_supplier(spark, sf_dir)) >= 4
+    # with no hand-placed hints on SF-scaling tables, AQE must still pick
+    # broadcast joins at this scale (region/nation keep explicit hints)
+    q3 = q3_shipping_priority(spark, sf_dir)
+    q3.collect()
+    assert I.broadcast_join_count(q3) >= 1
+    q5 = q5_local_supplier(spark, sf_dir)
+    q5.collect()
+    assert I.broadcast_join_count(q5) >= 4
 
 
 def test_glm_scan_prunes_to_features(spark, sf_dir):
