@@ -1,0 +1,61 @@
+"""Streaming incremental GLM == batch GLM (moments are additive)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sgdnet_spark.glm import path as P
+from sgdnet_spark.glm.providers import LocalXY
+from sgdnet_spark.streaming.online_glm import OnlineGaussianPath
+
+
+def _mkdf(spark, x, y, cols):
+    rows = [(*map(float, xi), float(yi)) for xi, yi in zip(x, y)]
+    return spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y double")
+
+
+def test_incremental_equals_batch(spark):
+    rng = np.random.default_rng(71)
+    n, p = 900, 4
+    x = rng.normal(size=(n, p))
+    y = 0.5 + x @ np.array([1.0, -0.7, 0.0, 0.3]) + rng.normal(scale=0.3, size=n)
+    cols = [f"x{i}" for i in range(p)]
+
+    online = OnlineGaussianPath(cols, "y", alpha=0.5, nlambda=10)
+    for lo, hi in [(0, 300), (300, 650), (650, 900)]:
+        online.update(_mkdf(spark, x[lo:hi], y[lo:hi], cols))
+    inc = online.fit()
+
+    full = P.gaussian_path(LocalXY(x, y), alpha=0.5, nlambda=10, lambda_min_ratio=1e-3)
+    assert np.allclose(inc.lambdas, full.lambdas, rtol=1e-9)
+    assert np.allclose(inc.beta, full.beta, rtol=1e-7, atol=1e-10)
+    assert np.allclose(inc.a0, full.a0, rtol=1e-7, atol=1e-10)
+
+
+def test_online_via_streaming_sink(spark, sf_dir, tmp_path):
+    # drive the accumulator from an actual structured-streaming query
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_discount").cast("double").alias("d"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    stage = str(tmp_path / "stream_in")
+    li.repartition(3).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema("q double, d double, y double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stage)
+    online = OnlineGaussianPath(["q", "d"], "y", alpha=1.0, nlambda=8)
+    q = stream.writeStream.foreachBatch(online.foreach_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert online.n_batches >= 2  # maxFilesPerTrigger drip-feeds batches
+    inc = online.fit()
+    assert online.moments.n == li.count()
+    full = P.gaussian_path(
+        LocalXY(
+            li.toPandas()[["q", "d"]].to_numpy(float), li.toPandas()["y"].to_numpy(float)
+        ),
+        alpha=1.0, nlambda=8, lambda_min_ratio=1e-3,
+    )
+    assert np.allclose(inc.beta, full.beta, rtol=1e-6, atol=1e-9)
