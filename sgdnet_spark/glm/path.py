@@ -199,6 +199,104 @@ def mgaussian_path(
     )
 
 
+def gaussian_path_fista(
+    provider,
+    alpha: float,
+    nlambda: int = 20,
+    lambda_min_ratio: float = 1e-2,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-6,
+    maxit: int = 200,
+    mom=None,
+) -> PathResult:
+    """Wide-p gaussian path: accelerated proximal gradient (FISTA) with
+    one distributed gradient pass per iteration — O(p) memory, never a
+    p×p Gram. Lipschitz constant from distributed power iteration
+    (Cv = grad(v) + b, one pass per step).
+
+    The n-scalable complement to gaussian_path: use when p² no longer
+    fits the driver (SURVEY §7 known-gaps closure).
+    """
+    mom = mom or provider.moments()
+    n = mom.n
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    provider.set_standardization(x_mean, 1.0 / x_std)
+    y_mean = float(mom.y_mean[0]) if intercept else 0.0
+    y_var = float(mom.sum_yy[0] / n - y_mean**2) if intercept else float(mom.sum_yy[0] / n)
+    nulldev = y_var * n
+    inv = 1.0 / x_std
+    if intercept:
+        b = (mom.sum_xy[:, 0] / n - mom.x_mean * y_mean) * inv
+    else:
+        b = (mom.sum_xy[:, 0] / n) * inv
+    p = len(b)
+
+    def grad_at(v: np.ndarray) -> tuple[np.ndarray, float]:
+        g, _, rssn = provider.gradient_gaussian(v, y_mean)
+        return g, rssn
+
+    # power iteration for L = lambda_max(C): Cv = grad(v) + b
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=p)
+    v /= np.linalg.norm(v)
+    L = 1.0
+    for _ in range(6):
+        cv = grad_at(v)[0] + b
+        nrm = float(np.linalg.norm(cv))
+        if nrm == 0:
+            break
+        L = nrm
+        v = cv / nrm
+    L *= 1.05  # safety margin over the power-iteration estimate
+
+    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+
+    beta = np.zeros(p)
+    out_beta = np.zeros((p, nl))
+    out_a0 = np.zeros(nl)
+    out_df = np.zeros(nl, dtype=int)
+    out_dr = np.zeros(nl)
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    rssn_last = y_var
+    for i, lam in enumerate(lam_path):
+        if auto_path and i == 0:
+            out_a0[i] = y_mean
+            continue
+        step = 1.0 / (L + lam * (1 - alpha))
+        z = beta.copy()
+        t = 1.0
+        prev = beta.copy()
+        for _ in range(maxit):
+            g, rssn_last = grad_at(z)
+            cand = z - step * (g + lam * (1 - alpha) * z)
+            from sgdnet_spark.glm.solvers import soft_threshold
+
+            new = soft_threshold(cand, step * lam * alpha)
+            t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            z = new + (t - 1.0) / t_new * (new - prev)
+            delta = float(np.max(np.abs(new - prev)))
+            scale = max(float(np.max(np.abs(new))), 1e-12)
+            prev = new
+            t = t_new
+            if delta <= thresh * scale:
+                break
+        beta = prev
+        g, rssn_last = grad_at(beta)
+        out_dr[i] = 1.0 - rssn_last * n / nulldev if nulldev > 0 else 0.0
+        ob, oa0 = _unstandardize(beta, x_mean, x_std, y_mean, intercept)
+        out_beta[:, i] = ob
+        out_a0[i] = oa0
+        out_df[i] = int(np.count_nonzero(beta))
+    return PathResult(
+        "gaussian", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std,
+    )
+
+
 def binomial_path(
     provider,
     alpha: float,

@@ -32,6 +32,9 @@ class LocalXY:
         self.n, self.p = self.x.shape
         self.passes = 0
 
+    def moments_diag(self) -> Moments:
+        return self.moments()
+
     def moments(self) -> Moments:
         self.passes += 1
         x, y = self.x, self.y
@@ -55,6 +58,12 @@ class LocalXY:
         if getattr(self, "_xs_cache", None) is None:
             self._xs_cache = (self.x - self.x_mean) * self.x_inv_std
         return self._xs_cache
+
+    def gradient_gaussian(self, coef: np.ndarray, intercept: float):
+        self.passes += 1
+        xs = self._xs()
+        r = xs @ coef + intercept - self.y[:, 0]
+        return xs.T @ r / self.n, float(r.sum()) / self.n, float(r @ r) / self.n
 
     def irls_binomial(self, coef: np.ndarray, intercept: float):
         # hot loop: ~3 calls per lambda over the full n — reuse buffers to
@@ -132,9 +141,22 @@ class SparkXY:
         self.x_mean = x_mean
         self.x_inv_std = x_inv_std
 
+    def moments_diag(self) -> Moments:
+        """O(p) moments for the wide-p path — never builds the p² Gram."""
+        self.passes += 1
+        mom = suffstats.moments_diag(self.xy, self.p, self.k)
+        self.n = mom.n
+        return mom
+
     def irls_binomial(self, coef: np.ndarray, intercept: float):
         self.passes += 1
         return suffstats.weighted_quadratic(
+            self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std
+        )
+
+    def gradient_gaussian(self, coef: np.ndarray, intercept: float):
+        self.passes += 1
+        return suffstats.gradient_gaussian(
             self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std
         )
 

@@ -375,10 +375,41 @@ def sgdnet(
 
     p = len(feature_cols)
     k = len(label_exprs)
-    if solver not in ("auto", "local", "spark"):
-        raise ValueError("solver must be one of 'auto', 'local', 'spark'")
+    if solver not in ("auto", "local", "spark", "fista"):
+        raise ValueError("solver must be one of 'auto', 'local', 'spark', 'fista'")
 
     provider: LocalXY | SparkXY = SparkXY(xy, p, k)
+    # wide-p gaussian: the p x p Gram stops paying -> pass-per-iteration
+    # FISTA with O(p) state (explicit solver='fista', or auto beyond ~2000
+    # features)
+    use_fista = family == "gaussian" and (
+        solver == "fista" or (solver in ("auto", "spark") and p > 2000)
+    )
+    if use_fista:
+        provider.cache()
+        mom = provider.moments_diag()
+        n = mom.n
+        if lambda_min_ratio is None:
+            lambda_min_ratio = 0.01 if n < p else 1e-4
+        res = path_mod.gaussian_path_fista(
+            provider, alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
+            lambdas=lambdas, standardize=standardize, intercept=intercept,
+            thresh=min(thresh, 1e-6), maxit=max(maxit, 100), mom=mom,
+        )
+        provider.unpersist()
+        train = dict(
+            df=df, feature_cols=orig_features, label_col=label_col, family=family,
+            alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
+            thresh=thresh, standardize_response=standardize_response, solver=solver,
+        )
+        return SgdnetFit(
+            family=family, alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
+            df=res.df, dev_ratio=res.dev_ratio, nulldev=res.nulldev, npasses=res.npasses,
+            nobs=n, feature_names=feature_cols, intercept=intercept,
+            standardize=standardize, _train=train,
+        )
+    if solver == "fista":
+        raise ValueError("solver='fista' currently supports family='gaussian'")
     if solver == "local":
         # force the numpy provider end-to-end (tests / debugging)
         provider = provider.to_local(max_cells=float("inf"))

@@ -171,6 +171,64 @@ def moments_and_gram(xy: DataFrame, p: int, k: int) -> Moments:
     return Moments(n, sum_x, sum_y, sum_xx, sum_xy, sum_yy)
 
 
+def moments_diag(xy: DataFrame, p: int, k: int) -> Moments:
+    """O(p) moments (no p×p Gram): n, Σx, Σx² (diag only), Σy, Σxy, Σy².
+
+    The wide-p path needs means/stds/X'y but must never materialize p².
+    Returned as a Moments whose sum_xx is DIAGONAL-only (off-diagonals
+    zero) — callers on this path use x_std()/x_mean/sum_xy exclusively.
+    """
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        return np.concatenate(
+            [
+                [float(x.shape[0])],
+                x.sum(axis=0),
+                (x * x).sum(axis=0),
+                y.sum(axis=0),
+                (x.T @ y).ravel(),
+                (y * y).sum(axis=0),
+            ]
+        )
+
+    out = _sum_partials(xy, fn, p, k)
+    i = 0
+    n = int(round(out[0])); i += 1
+    sum_x = out[i : i + p]; i += p
+    sum_xsq = out[i : i + p]; i += p
+    sum_y = out[i : i + k]; i += k
+    sum_xy = out[i : i + p * k].reshape(p, k); i += p * k
+    sum_yy = out[i : i + k]
+    return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)
+
+
+def gradient_gaussian(
+    xy: DataFrame,
+    p: int,
+    coef: np.ndarray,
+    intercept: float,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+) -> tuple[np.ndarray, float, float]:
+    """One pass -> (X~'r/n, sum_r/n, rss/n) with r = X~ coef + b0 - y.
+
+    The wide-p gaussian path (FISTA) uses this instead of the p² Gram:
+    memory O(p), passes O(iterations). Standardization folds in
+    algebraically as in the IRLS passes.
+    """
+    scaled = coef * x_inv_std
+    off = intercept - float(x_mean @ scaled)
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        r = x @ scaled + off - y[:, 0]
+        xs = (x - x_mean) * x_inv_std
+        return np.concatenate([xs.T @ r, [r.sum()], [r @ r], [float(len(r))]])
+
+    out = _sum_partials(xy, fn, p, 1)
+    n = out[-1]
+    return out[:p] / n, out[p] / n, out[p + 1] / n
+
+
 def weighted_quadratic(
     xy: DataFrame,
     p: int,
