@@ -391,12 +391,19 @@ def sgdnet(
         n = mom.n
         if lambda_min_ratio is None:
             lambda_min_ratio = 0.01 if n < p else 1e-4
+        if solver in ("auto", "fista") and n * (p + k) <= collect_max_cells:
+            # per-iteration passes become numpy calls when the data fits
+            local = provider.to_local(max_cells=float("inf"))
+            provider.unpersist()
+            local.passes += provider.passes
+            provider = local
         res = path_mod.gaussian_path_fista(
             provider, alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
             lambdas=lambdas, standardize=standardize, intercept=intercept,
             thresh=min(thresh, 1e-6), maxit=max(maxit, 100), mom=mom,
         )
-        provider.unpersist()
+        if isinstance(provider, SparkXY):
+            provider.unpersist()
         train = dict(
             df=df, feature_cols=orig_features, label_col=label_col, family=family,
             alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,

@@ -48,3 +48,40 @@ def hashed_token_features(
         [f"{c} {dict(df.dtypes)[c]}" for c in keep_cols] + [f"x{j} double" for j in range(n_features)]
     )
     return base.mapInPandas(run, schema=schema)
+
+
+def hashed_token_features_sparse(
+    df: DataFrame,
+    n_features: int = 4096,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sparse twin of hashed_token_features: (indices, values) arrays of
+    nonzero term counts — the encoding the sparse GLM path consumes."""
+    keep_cols = keep_cols or []
+    base = df.select(*keep_cols, norm_text(text_col).alias("__norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx_out, val_out = [], []
+            for s in pdf["__norm"]:
+                counts: dict[int, float] = {}
+                for tok in s.split(" "):
+                    if tok:
+                        h = zlib.crc32(tok.encode()) % n_features
+                        counts[h] = counts.get(h, 0.0) + 1.0
+                keys = sorted(counts)
+                idx_out.append(keys)
+                val_out.append([counts[k] for k in keys])
+            out = pdf[keep_cols].copy()
+            out["indices"] = idx_out
+            out["values"] = val_out
+            yield out
+
+    schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in keep_cols]
+        + ["indices array<int>", "values array<double>"]
+    )
+    return base.mapInPandas(run, schema=schema)

@@ -1,0 +1,75 @@
+"""Sparse wide-p GLM path == dense fit on the same hashed features."""
+
+import numpy as np
+
+from sgdnet_spark.glm.sgdnet import sgdnet
+from sgdnet_spark.glm.sparse import sgdnet_sparse
+from sgdnet_spark.operators.features import (
+    hashed_token_features,
+    hashed_token_features_sparse,
+)
+
+
+def test_sparse_matches_dense(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 128
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "n_chars"])
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "n_chars"])
+
+    dfit = sgdnet(dense, [f"x{i}" for i in range(p)], "n_chars", alpha=1.0,
+                  nlambda=6, lambda_min_ratio=0.05, solver="fista", thresh=1e-7)
+    sfit = sgdnet_sparse(sparse, "indices", "values", "n_chars", p=p, alpha=1.0,
+                         nlambda=6, lambda_min_ratio=0.05, thresh=1e-7)
+    assert np.allclose(dfit.lambdas, sfit.lambdas, rtol=1e-9)
+    assert np.allclose(dfit.beta, sfit.beta, atol=1e-5)
+    assert np.allclose(dfit.a0, sfit.a0, atol=1e-4)
+    assert sfit.dev_ratio[-1] > 0.5
+
+
+def test_sparse_distributed_kernels(spark):
+    """The sparse mapInPandas kernels (moments + gradient pass) agree
+    with dense numpy — covers the path the collect-fallback skips."""
+    import numpy as np
+    from sgdnet_spark.glm.sparse import SparseSparkXY, assemble_sparse
+
+    rng = np.random.default_rng(83)
+    n, p = 200, 30
+    dense = np.zeros((n, p))
+    rows = []
+    for r in range(n):
+        nz = rng.choice(p, size=5, replace=False)
+        vals = rng.uniform(1, 3, size=5)
+        dense[r, nz] = vals
+        y = float(dense[r] @ np.arange(p) / p + rng.normal())
+        rows.append(([int(i) for i in sorted(nz)], [float(dense[r, i]) for i in sorted(nz)], y))
+    df = spark.createDataFrame(rows, "indices array<int>, vals array<double>, y double")
+    prov = SparseSparkXY(assemble_sparse(df, "indices", "vals", "y"), p)
+    mom = prov.moments_diag()
+    assert mom.n == n
+    assert np.allclose(mom.sum_x, dense.sum(0), rtol=1e-10)
+    assert np.allclose(np.diag(mom.sum_xx), (dense**2).sum(0), rtol=1e-10)
+    yv = np.array([r[2] for r in rows])
+    assert np.allclose(mom.sum_xy[:, 0], dense.T @ yv, rtol=1e-10)
+    # gradient pass vs dense formula (standardized)
+    x_mean = dense.mean(0)
+    x_std = dense.std(0)
+    x_std[x_std == 0] = 1.0
+    prov.set_standardization(x_mean, 1.0 / x_std)
+    coef = rng.normal(size=p)
+    b0 = 0.7
+    g, sr, rssn = prov.gradient_gaussian(coef, b0)
+    xs = (dense - x_mean) / x_std
+    r = xs @ coef + b0 - yv
+    assert np.allclose(g, xs.T @ r / n, atol=1e-10)
+    assert abs(sr - r.sum() / n) < 1e-10
+    assert abs(rssn - r @ r / n) < 1e-8
+
+
+def test_sparse_wide_runs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 4096
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["n_chars"])
+    fit = sgdnet_sparse(sparse, "indices", "values", "n_chars", p=p, nlambda=4,
+                        lambda_min_ratio=0.1)
+    assert fit.beta.shape == (p, 4)
+    assert np.all(np.isfinite(fit.beta))
