@@ -22,8 +22,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sgdnet_spark.glm import suffstats
-
 PROB_MIN = 1e-05  # reference score.R:86
 PROB_MAX = 1 - PROB_MIN
 

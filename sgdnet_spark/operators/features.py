@@ -14,7 +14,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from sgdnet_spark.operators.text import norm_text
 

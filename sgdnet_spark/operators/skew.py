@@ -7,7 +7,7 @@ ineligible hot-key joins — with explicit two-stage salting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
