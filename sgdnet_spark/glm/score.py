@@ -143,6 +143,49 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
     raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
 
 
+def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s):
+    """Multinomial deviance/class in ONE aggregation pass: per-lambda
+    per-class eta expressions -> softmax -> measure (all JVM-side)."""
+    from sgdnet_spark.glm.sgdnet import colref
+
+    s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+    cf = fit.coef(s_arr)  # (k, p+1, nl)
+    k, _, nl = cf.shape
+    classes = fit.classnames
+    aggs = []
+    for i in range(nl):
+        etas = []
+        for c in range(k):
+            e = F.lit(float(cf[c, 0, i]))
+            for w, name in zip(cf[c, 1:, i], cols):
+                if w != 0.0:
+                    e = e + F.lit(float(w)) * colref(name).cast("double")
+            etas.append(e)
+        mx = F.greatest(*etas) if k > 1 else etas[0]
+        exps = [F.exp(e - mx) for e in etas]
+        tot = exps[0]
+        for e in exps[1:]:
+            tot = tot + e
+        if type_measure == "deviance":
+            # -2 log p_trueclass, clamped as score.R
+            ptrue = None
+            for c, cls in enumerate(classes):
+                pc = exps[c] / tot
+                ptrue = F.when(F.col(label_col) == F.lit(cls), pc) if ptrue is None else ptrue.when(
+                    F.col(label_col) == F.lit(cls), pc
+                )
+            pclamp = F.least(F.greatest(ptrue, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+            aggs.append(F.avg(F.lit(-2.0) * F.log(pclamp)).alias(f"m{i}"))
+        else:  # class: misclassification rate via argmax over (eta, -class_idx)
+            best = F.array(
+                *[F.struct(e.alias("eta"), F.lit(str(cls)).alias("cls")) for e, cls in zip(etas, classes)]
+            )
+            pred = F.array_max(best)["cls"]
+            aggs.append(F.avg((pred != F.col(label_col).cast("string")).cast("double")).alias(f"m{i}"))
+    row = df.agg(*aggs).first()
+    return np.array([row[f"m{i}"] for i in range(nl)])
+
+
 def score(
     fit,
     df: DataFrame,
@@ -158,6 +201,8 @@ def score(
     fam = fit.family
     from sgdnet_spark.glm.sgdnet import colref
 
+    if fam == "multinomial" and type_measure in ("deviance", "class"):
+        return _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s)
     distributed = fam in ("gaussian", "binomial") and type_measure in ("deviance", "mse", "mae", "class")
     if not distributed:
         pdf = df.select(*[colref(c).alias(c) for c in cols], label_col).toPandas()

@@ -62,6 +62,25 @@ def test_score_distributed_matches_numpy(gauss_df):
         assert np.allclose(dist, loc, rtol=1e-9)
 
 
+def test_multinomial_score_distributed_matches_numpy(spark):
+    rng = np.random.default_rng(97)
+    n, p, k = 500, 4, 3
+    x = rng.normal(size=(n, p))
+    eta = x @ rng.normal(size=(p, k))
+    pr = np.exp(eta - eta.max(1, keepdims=True))
+    pr /= pr.sum(1, keepdims=True)
+    yi = np.array([rng.choice(k, p=pi) for pi in pr])
+    names = np.array(["a", "b", "c"])
+    cols = [f"x{i}" for i in range(p)]
+    rows = [(*map(float, xi), str(names[c])) for xi, c in zip(x, yi)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y string")
+    fit = sgdnet(df, cols, "y", family="multinomial", nlambda=6, lambda_min_ratio=1e-2)
+    for measure in ("deviance", "class"):
+        dist = score(fit, df, cols, "y", measure)
+        loc = score_np(fit, x, names[yi].astype(object), measure)
+        assert np.allclose(dist, loc, rtol=1e-9), measure
+
+
 def test_deviance_identity(gauss_df):
     df, cols, x, y = gauss_df
     fit = sgdnet(df, cols, "y", nlambda=8)
