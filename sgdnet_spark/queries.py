@@ -444,6 +444,38 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q2_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT p_partkey, p_brand, l_suppkey, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY s_acctbal, l_suppkey) AS rn
+  FROM part, ps, supplier
+  WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey AND p_size < 10)
+SELECT p_partkey, p_brand, l_suppkey AS best_suppkey, ROUND(s_acctbal, 2) AS acctbal
+FROM j WHERE rn = 1
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern: correlated min-per-group subquery as a window."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "l_suppkey")
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(supp, ps.l_suppkey == supp.s_suppkey)  # AQE broadcasts while small
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_brand",
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
 _Q4_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
