@@ -3,22 +3,33 @@
 Folds are assigned with a deterministic content hash (xxhash64 of the
 row, mod k) so results are reproducible and independent of partitioning
 — the distributed stand-in for the reference's ``sample()`` foldid.
-Each (alpha, fold) cell is a full path fit on the fold's complement;
-at scale every fit is the usual aggregate-pass solver over a filtered
-DataFrame, so folds never materialize.
+
+For the Gram-solved families (gaussian/mgaussian) with a moment-
+expressible measure (mse/deviance), the WHOLE cross-validation is ONE
+grouped data pass: per-fold raw moments via groupBy(foldid), each
+fold's training moments by subtraction from the total, every (alpha,
+fold, lambda) fit solved from those p²-sized statistics on the driver,
+and the held-out mse evaluated from the fold's own moments — data
+passes drop from (nfolds+1)·nalpha to 1, with identical results.
+Other families/measures run the generic per-(alpha, fold) path fit over
+a filtered DataFrame (still aggregate-pass solvers; folds never
+materialize).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sgdnet_spark.glm import path as path_mod
 from sgdnet_spark.glm.score import score
 from sgdnet_spark.glm.sgdnet import SgdnetFit, sgdnet
+from sgdnet_spark.glm.suffstats import Moments, xcols, ycols
 
 FOLD_COL = "__fold"
 
@@ -76,6 +87,159 @@ MEASURE_NAMES = {
 }
 
 
+def _fold_moments(
+    df: DataFrame, feature_cols: Sequence[str], label_cols: Sequence[str], foldid_col: str
+) -> dict[int, Moments]:
+    """ONE grouped pass -> raw Moments per fold (mapInPandas partial
+    outer-products keyed by fold, map-side combined; the shuffle carries
+    nfolds × O(p²) doubles, independent of n)."""
+    p, k = len(feature_cols), len(label_cols)
+    sel = [F.col(c).cast("double").alias(f"x{i}") for i, c in enumerate(feature_cols)]
+    sel += [F.col(c).cast("double").alias(f"y{i}") for i, c in enumerate(label_cols)]
+    sel.append(F.col(foldid_col).cast("long").alias("__fold"))
+    xy = df.select(*sel)
+    xc, yc = xcols(p), ycols(k)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            folds = pdf["__fold"].to_numpy()
+            x = pdf[xc].to_numpy(dtype=np.float64)
+            y = pdf[yc].to_numpy(dtype=np.float64)
+            for fv in np.unique(folds):
+                m = folds == fv
+                xm, ym = x[m], y[m]
+                part = np.concatenate(
+                    [
+                        [float(len(ym))],
+                        xm.sum(axis=0),
+                        ym.sum(axis=0),
+                        (xm.T @ xm).ravel(),
+                        (xm.T @ ym).ravel(),
+                        (ym * ym).sum(axis=0),
+                    ]
+                )
+                key = int(fv)
+                accs[key] = part if key not in accs else accs[key] + part
+        for key, acc in accs.items():
+            yield pd.DataFrame({"fold": [key], "partial": [acc.tolist()]})
+
+    rows = xy.mapInPandas(run, schema="fold long, partial array<double>").collect()
+    if not rows:
+        raise ValueError("empty input: no rows to aggregate")
+    packed: dict[int, np.ndarray] = {}
+    for r in rows:
+        part = np.asarray(r["partial"])
+        packed[r["fold"]] = part if r["fold"] not in packed else packed[r["fold"]] + part
+    out: dict[int, Moments] = {}
+    for fold, v in packed.items():
+        i = 0
+        n = int(round(v[0])); i += 1
+        sum_x = v[i : i + p]; i += p
+        sum_y = v[i : i + k]; i += k
+        sum_xx = v[i : i + p * p].reshape(p, p); i += p * p
+        sum_xy = v[i : i + p * k].reshape(p, k); i += p * k
+        sum_yy = v[i : i + k]
+        out[fold] = Moments(n, sum_x, sum_y, sum_xx, sum_xy, sum_yy)
+    return out
+
+
+def _mom_sub(a: Moments, b: Moments) -> Moments:
+    return Moments(
+        a.n - b.n, a.sum_x - b.sum_x, a.sum_y - b.sum_y,
+        a.sum_xx - b.sum_xx, a.sum_xy - b.sum_xy, a.sum_yy - b.sum_yy,
+    )
+
+
+def _mom_mse(mom: Moments, a0: np.ndarray, beta: np.ndarray) -> float:
+    """Held-out mean squared error straight from raw moments:
+    (1/n) Σ_c Σ_rows (y_c - a0_c - x'β_c)² — no scoring pass needed.
+
+    a0: (k,), beta: (p, k) on the ORIGINAL data scale.
+    """
+    k = len(mom.sum_y)
+    total = 0.0
+    for c in range(k):
+        b = beta[:, c]
+        a = float(a0[c])
+        total += (
+            float(mom.sum_yy[c])
+            - 2.0 * a * float(mom.sum_y[c])
+            - 2.0 * float(b @ mom.sum_xy[:, c])
+            + 2.0 * a * float(b @ mom.sum_x)
+            + float(b @ mom.sum_xx @ b)
+            + mom.n * a * a
+        )
+    return total / mom.n
+
+
+class _MomProvider:
+    """Provider shim for path drivers that already hold the Moments."""
+
+    passes = 0
+
+
+def _cv_gram_fast(
+    feature_cols: Sequence[str],
+    label_cols: Sequence[str],
+    family: str,
+    alphas: list[float],
+    lambdas,
+    fold_moms: dict[int, Moments],
+    fit_kwargs: dict,
+) -> tuple[list[SgdnetFit], list[np.ndarray], list[np.ndarray]]:
+    """All (alpha × fold × lambda) ridge/lasso fits + held-out mse from
+    the per-fold moments — zero additional data passes."""
+    folds = sorted(fold_moms)
+    total = fold_moms[folds[0]]
+    for g in folds[1:]:
+        mom = fold_moms[g]
+        total = Moments(
+            total.n + mom.n, total.sum_x + mom.sum_x, total.sum_y + mom.sum_y,
+            total.sum_xx + mom.sum_xx, total.sum_xy + mom.sum_xy, total.sum_yy + mom.sum_yy,
+        )
+    p = len(feature_cols)
+    kw = dict(fit_kwargs)
+    kw.setdefault("lambda_min_ratio", 0.01 if total.n < p else 1e-4)
+    # same effective tolerance sgdnet() hands the gaussian drivers
+    kw["thresh"] = min(kw.get("thresh", 1e-3), 1e-6)
+    driver = path_mod.gaussian_path if family == "gaussian" else path_mod.mgaussian_path
+
+    full_fits: list[SgdnetFit] = []
+    lam_lists: list[np.ndarray] = []
+    cv_raw: list[np.ndarray] = []
+    for a in alphas:
+        res = driver(_MomProvider(), alpha=a, lambdas=lambdas, mom=total, **kw)
+        lam_lists.append(res.lambdas)
+        full_fits.append(
+            SgdnetFit(
+                family=family, alpha=a, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
+                df=res.df, dev_ratio=res.dev_ratio, nulldev=res.nulldev,
+                npasses=res.npasses, nobs=total.n, feature_names=list(feature_cols),
+                response_names=list(label_cols) if family == "mgaussian" else None,
+                dfmat=res.dfmat,
+                intercept=kw.get("intercept", True), standardize=kw.get("standardize", True),
+            )
+        )
+        raw = np.full((len(folds), len(res.lambdas)), np.nan)
+        for j, g in enumerate(folds):
+            train = _mom_sub(total, fold_moms[g])
+            res_g = driver(_MomProvider(), alpha=a, lambdas=res.lambdas, mom=train, **kw)
+            test = fold_moms[g]
+            for i in range(len(res_g.lambdas)):
+                if family == "gaussian":
+                    a0 = np.array([res_g.a0[i]])
+                    beta = res_g.beta[:, i][:, None]
+                else:
+                    a0 = res_g.a0[:, i]
+                    beta = res_g.beta[:, :, i].T  # (k,p,nl) -> (p,k)
+                raw[j, i] = _mom_mse(test, a0, beta)
+        cv_raw.append(raw)
+    return full_fits, lam_lists, cv_raw
+
+
 def cv_sgdnet(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -87,6 +251,7 @@ def cv_sgdnet(
     foldid_col: str | None = None,
     type_measure: str = "deviance",
     seed: int = 42,
+    use_fold_moments: bool = True,
     **fit_kwargs,
 ) -> CvSgdnetFit:
     if nfolds <= 2:
@@ -99,32 +264,55 @@ def cv_sgdnet(
         ).cast("int")
         df = df.withColumn(FOLD_COL, fold_expr)
         foldid_col = FOLD_COL
-    df = df.persist()
-    try:
-        folds = [r[0] for r in df.select(foldid_col).distinct().collect()]
-        nfolds = len(folds)
 
-        # full-data fit per alpha defines each path's lambdas
-        full_fits = [
-            sgdnet(df, feature_cols, label_col, family=family, alpha=a, lambdas=lambdas, **fit_kwargs)
-            for a in alphas
-        ]
-        lam_lists = [f.lambdas for f in full_fits]
+    # Gram-family fast path: the entire CV from ONE grouped moments pass
+    fast = (
+        use_fold_moments
+        and family in ("gaussian", "mgaussian")
+        and type_measure in ("deviance", "mse")
+        and not isinstance(feature_cols, str)
+        and set(fit_kwargs) <= {
+            "nlambda", "lambda_min_ratio", "standardize", "intercept",
+            "thresh", "maxit", "standardize_response",
+        }
+    )
+    if fast:
+        label_cols = [label_col] if isinstance(label_col, str) else list(label_col)
+        kw = dict(fit_kwargs)
+        if family == "gaussian":
+            kw.pop("standardize_response", None)
+        fold_moms = _fold_moments(df, feature_cols, label_cols, foldid_col)
+        full_fits, lam_lists, cv_raw = _cv_gram_fast(
+            feature_cols, label_cols, family, alphas, lambdas, fold_moms, kw
+        )
+        nfolds = len(fold_moms)
+    else:
+        df = df.persist()
+        try:
+            folds = [r[0] for r in df.select(foldid_col).distinct().collect()]
+            nfolds = len(folds)
 
-        cv_raw: list[np.ndarray] = []
-        for a, lams in zip(alphas, lam_lists):
-            raw = np.full((nfolds, len(lams)), np.nan)
-            for j, fold in enumerate(sorted(folds)):
-                train = df.filter(F.col(foldid_col) != fold)
-                test = df.filter(F.col(foldid_col) == fold)
-                fit_j = sgdnet(
-                    train, feature_cols, label_col, family=family, alpha=a,
-                    lambdas=lams, **fit_kwargs,
-                )
-                raw[j, :] = score(fit_j, test, feature_cols, label_col, type_measure, s=lams)
-            cv_raw.append(raw)
-    finally:
-        df.unpersist()
+            # full-data fit per alpha defines each path's lambdas
+            full_fits = [
+                sgdnet(df, feature_cols, label_col, family=family, alpha=a, lambdas=lambdas, **fit_kwargs)
+                for a in alphas
+            ]
+            lam_lists = [f.lambdas for f in full_fits]
+
+            cv_raw = []
+            for a, lams in zip(alphas, lam_lists):
+                raw = np.full((nfolds, len(lams)), np.nan)
+                for j, fold in enumerate(sorted(folds)):
+                    train = df.filter(F.col(foldid_col) != fold)
+                    test = df.filter(F.col(foldid_col) == fold)
+                    fit_j = sgdnet(
+                        train, feature_cols, label_col, family=family, alpha=a,
+                        lambdas=lams, **fit_kwargs,
+                    )
+                    raw[j, :] = score(fit_j, test, feature_cols, label_col, type_measure, s=lams)
+                cv_raw.append(raw)
+        finally:
+            df.unpersist()
 
     cv_summary: list[dict] = []
     optima = []

@@ -123,7 +123,15 @@ def gaussian_path(
     losses: list = []
     npasses = 0
     for i, lam in enumerate(lam_path):
-        beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit)
+        if alpha == 0.0:
+            # ridge: (C + lam I) beta = b has a closed form — solve it
+            # directly (exact, and the basis of the DuckDB-checkable
+            # oracle queries; reference tests/testthat/test-gaussian.R:33
+            # does the same cross-check against glmnet's ridge).
+            beta = np.linalg.solve(C + lam * np.eye(p), b)
+            its = 1
+        else:
+            beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit)
         npasses += its
         rss_n = y_var - 2.0 * float(b @ beta) + float(beta @ C @ beta)
         pen = lam * (alpha * float(np.abs(beta).sum()) + (1 - alpha) / 2 * float(beta @ beta))

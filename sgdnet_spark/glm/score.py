@@ -6,12 +6,13 @@ Measures per family (reference cv_sgdnet.R "Measures" table):
   multinomial : deviance, mse, mae, class
   mgaussian   : deviance(=mse), mse, mae
 
-``score`` works on a Spark DataFrame: for gaussian/binomial it evaluates
-all nl lambdas in ONE aggregation pass over JVM prediction expressions
-(no Python in the loop, no per-lambda scan). auc and the multivariate
-families collect (x, y) once and score in numpy — fine for CV folds;
-the distributed generalization is a straight extension of the same
-expressions.
+``score`` works on a Spark DataFrame and is distributed for EVERY
+(family, measure) combination: gaussian/binomial/multivariate measures
+evaluate all nl lambdas in ONE aggregation pass over JVM prediction
+expressions (no Python in the loop, no per-lambda scan); path AUC runs
+as one histogram pass (explode to (lambda, prob-bin) keys, map-side
+combined to nl×bins cells — n never reaches the driver).
+``score_np`` remains as the numpy twin used by tests.
 """
 
 from __future__ import annotations
@@ -47,6 +48,18 @@ def _auc(y: np.ndarray, prob: np.ndarray) -> float:
     return (ranks[y == 1].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
 
 
+def _hist_auc(pos: np.ndarray, n: np.ndarray) -> float:
+    """Mann-Whitney AUC from a (bin-sorted) histogram with midranks."""
+    neg = n - pos
+    npos, nneg = pos.sum(), neg.sum()
+    if npos == 0 or nneg == 0:
+        return float("nan")
+    below = np.concatenate([[0.0], np.cumsum(n)[:-1]])
+    midrank = below + (n + 1) / 2.0
+    rank_sum = float((midrank * pos).sum())
+    return (rank_sum - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
 def auc_distributed(
     df: DataFrame,
     prob_col: str,
@@ -72,16 +85,57 @@ def auc_distributed(
     )
     pos = np.array([r["pos"] for r in hist], dtype=float)
     n = np.array([r["n"] for r in hist], dtype=float)
-    neg = n - pos
-    npos, nneg = pos.sum(), neg.sum()
-    if npos == 0 or nneg == 0:
-        return float("nan")
-    # rank-sum of positives with midranks inside each bucket
-    below = np.concatenate([[0.0], np.cumsum(n)[:-1]])
-    midrank = below + (n + 1) / 2.0
-    rank_sum = float((midrank * pos).sum() + ((n - 1) / 2.0 * 0).sum())
-    # within-bucket midrank handles pos/neg ties exactly like score_np's _auc
-    return (rank_sum - npos * (npos + 1) / 2.0) / (npos * nneg)
+    return _hist_auc(pos, n)
+
+
+def auc_path_distributed(
+    fit,
+    df: DataFrame,
+    cols,
+    label_col: str,
+    s=None,
+    bins: int = 1 << 13,
+) -> np.ndarray:
+    """AUC at EVERY lambda in one data pass (reference score.R
+    type.measure='auc' along the path).
+
+    Each row explodes to nl (lambda, prob-bin) keys; the groupBy's
+    map-side combine collapses them to ≤ nl×bins cells per task, so the
+    shuffle and the driver see histogram cells, never rows — the
+    100 TB-safe replacement for collecting the scoring fold.
+    """
+    from sgdnet_spark.glm.sgdnet import colref
+
+    s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+    cf = fit.coef(s_arr)
+    nl = cf.shape[-1]
+    cls = fit.classnames
+    y = F.when(F.col(label_col) == F.lit(cls[1]), 1.0).otherwise(0.0)
+    entries = []
+    for i in range(nl):
+        eta = F.lit(float(cf[0, i]))
+        for w, c in zip(cf[1:, i], cols):
+            if w != 0.0:
+                eta = eta + F.lit(float(w)) * colref(c).cast("double")
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        b = F.least(F.floor(prob * bins), F.lit(bins - 1)).cast("long")
+        entries.append(F.struct(F.lit(i).alias("li"), b.alias("b")))
+    hist = (
+        df.select(F.explode(F.array(*entries)).alias("e"), y.alias("y"))
+        .groupBy(F.col("e.li").alias("li"), F.col("e.b").alias("b"))
+        .agg(F.sum("y").alias("pos"), F.count("*").alias("n"))
+        .collect()
+    )
+    out = np.full(nl, np.nan)
+    by_l: dict[int, list] = {}
+    for r in hist:
+        by_l.setdefault(int(r["li"]), []).append((int(r["b"]), float(r["pos"]), float(r["n"])))
+    for li, cells in by_l.items():
+        cells.sort()
+        pos = np.array([c[1] for c in cells])
+        n = np.array([c[2] for c in cells])
+        out[li] = _hist_auc(pos, n)
+    return out
 
 
 def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", s=None) -> np.ndarray:
@@ -144,8 +198,9 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
 
 
 def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s):
-    """Multinomial deviance/class in ONE aggregation pass: per-lambda
-    per-class eta expressions -> softmax -> measure (all JVM-side)."""
+    """Multinomial deviance/class/mse/mae in ONE aggregation pass:
+    per-lambda per-class eta expressions -> softmax -> measure (all
+    JVM-side; mirrors score_np's multinomial branch)."""
     from sgdnet_spark.glm.sgdnet import colref
 
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
@@ -176,6 +231,15 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s):
                 )
             pclamp = F.least(F.greatest(ptrue, F.lit(PROB_MIN)), F.lit(PROB_MAX))
             aggs.append(F.avg(F.lit(-2.0) * F.log(pclamp)).alias(f"m{i}"))
+        elif type_measure in ("mse", "mae"):
+            # sum over classes of (p_c - onehot_c)^2 (resp. |.|), row-avg
+            row_sum = None
+            for c, cls in enumerate(classes):
+                oh = F.when(F.col(label_col) == F.lit(cls), 1.0).otherwise(0.0)
+                d = exps[c] / tot - oh
+                term = d * d if type_measure == "mse" else F.abs(d)
+                row_sum = term if row_sum is None else row_sum + term
+            aggs.append(F.avg(row_sum).alias(f"m{i}"))
         else:  # class: misclassification rate via argmax over (eta, -class_idx)
             best = F.array(
                 *[F.struct(e.alias("eta"), F.lit(str(cls)).alias("cls")) for e, cls in zip(etas, classes)]
@@ -186,29 +250,61 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s):
     return np.array([row[f"m{i}"] for i in range(nl)])
 
 
+def _score_mgaussian_distributed(fit, df, cols, label_cols, type_measure, s):
+    """mgaussian deviance(=mse)/mse/mae in ONE aggregation pass —
+    per-response eta expressions, per-row sum over responses, avg."""
+    from sgdnet_spark.glm.sgdnet import colref
+
+    s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+    cf = fit.coef(s_arr)  # (k, p+1, nl)
+    k, _, nl = cf.shape
+    names = list(label_cols)
+    aggs = []
+    for i in range(nl):
+        row_sum = None
+        for c in range(k):
+            e = F.lit(float(cf[c, 0, i]))
+            for w, name in zip(cf[c, 1:, i], cols):
+                if w != 0.0:
+                    e = e + F.lit(float(w)) * colref(name).cast("double")
+            d = e - colref(names[c]).cast("double")
+            term = d * d if type_measure in ("deviance", "mse") else F.abs(d)
+            row_sum = term if row_sum is None else row_sum + term
+        aggs.append(F.avg(row_sum).alias(f"m{i}"))
+    row = df.agg(*aggs).first()
+    return np.array([row[f"m{i}"] for i in range(nl)])
+
+
 def score(
     fit,
     df: DataFrame,
     feature_cols: Sequence[str] | None = None,
-    label_col: str | None = None,
+    label_col: str | Sequence[str] | None = None,
     type_measure: str = "deviance",
     s=None,
-    collect_max_cells: float = 3e8,
 ) -> np.ndarray:
-    """Score on a Spark DataFrame. One aggregation pass for the
-    univariate families; collect+numpy for auc/multivariate."""
+    """Score on a Spark DataFrame — every supported (family, measure)
+    runs as distributed aggregation; nothing is collected to the driver
+    beyond p- or histogram-sized results (reference score.R measures)."""
     cols = list(feature_cols) if feature_cols else fit.feature_names
     fam = fit.family
     from sgdnet_spark.glm.sgdnet import colref
 
-    if fam == "multinomial" and type_measure in ("deviance", "class"):
+    if fam == "multinomial":
+        if type_measure not in ("deviance", "class", "mse", "mae"):
+            raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
         return _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s)
-    distributed = fam in ("gaussian", "binomial") and type_measure in ("deviance", "mse", "mae", "class")
-    if not distributed:
-        pdf = df.select(*[colref(c).alias(c) for c in cols], label_col).toPandas()
-        x = pdf[cols].to_numpy(dtype=float)
-        y = pdf[label_col].to_numpy()
-        return score_np(fit, x, y, type_measure, s=s)
+    if fam == "mgaussian":
+        if type_measure not in ("deviance", "mse", "mae"):
+            raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
+        labels = fit.response_names if label_col is None else list(label_col)
+        return _score_mgaussian_distributed(fit, df, cols, labels, type_measure, s)
+    if fam == "binomial" and type_measure == "auc":
+        return auc_path_distributed(fit, df, cols, label_col, s=s)
+    if type_measure not in ("deviance", "mse", "mae", "class") or (
+        fam == "gaussian" and type_measure == "class"
+    ):
+        raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
 
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
     cf = fit.coef(s_arr)

@@ -68,6 +68,10 @@ def ngram_jaccard_pairs(
 
     Shuffle pattern: one groupBy(shingle) for the index, one
     groupBy(pair) for intersection counts — document text never joins.
+
+    The (small) pair output is materialized eagerly so the shingle
+    frame's cache can be released before returning — near-dup pairs are
+    bounded by the duplicate rate, the shingle index by corpus size.
     """
     sh = shingle_sets(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
@@ -85,6 +89,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
+    out = out.persist()
+    out.count()
+    sh.unpersist()
     return out
 
 
@@ -140,6 +147,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
+        sh.unpersist()
         return cand
     # verify ONLY the candidate pairs (never all-pairs): intersection counts
     # come from joining each candidate against the two shingle sets.
@@ -152,22 +160,30 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
+    # materialize the (small) verified pairs, then free the shingle cache
+    out = out.persist()
+    out.count()
+    sh.unpersist()
+    return out
 
 
-def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, canonical).
 
     Iterative min-label propagation with joins (the classic distributed
     CC algorithm; converges in O(diameter) rounds — near-dup clusters
     are shallow, so a handful). canonical = min doc_id in the component.
+    Runs to convergence (changed == 0); if the max_iters safety valve is
+    hit first the labels may be split — warn rather than return silently.
     """
+    import warnings
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -180,6 +196,7 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -203,23 +220,40 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"duplicate_components: not converged after {max_iters} iterations; "
+            "components with larger diameter are split — raise max_iters",
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical"))
 
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit SimHash near-dup pairs within a hamming radius.
+    """64-bit SimHash near-dup pairs within a hamming radius — with a
+    recall GUARANTEE: the 64 bits split into ``max_hamming + 1`` blocks,
+    so by pigeonhole any pair within the radius shares at least one
+    block unchanged (Manku et al., WWW'07 blocking).
 
     Bitwise majority over token hashes, built from JVM expressions.
-    Blocking: pairs must share one of 4 16-bit chunks (covers all pairs
-    with hamming ≤ 3 exactly; a standard recall/cost tradeoff beyond).
+    Cost/recall operating point: block width = 64/(max_hamming+1) bits;
+    wider blocks (small radius) → exponentially more buckets → smaller
+    bucket self-joins. The default radius 3 (4 blocks × 16 bits, 65k
+    buckets per block) is the documented scale point; radius 7 (8×8
+    bits, 256 buckets) trades bucket size for radius and suits smaller
+    corpora.
     """
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
     t = tokens(text_col)
     th = F.transform(t, lambda w: F.xxhash64(w))
     # per-bit majority: sum over tokens of bit b (0/1), compare to half
@@ -234,19 +268,44 @@ def simhash_pairs(
     for b in range(1, 64):
         sim = sim + F.shiftleft(bit_exprs[b], b)
     sh = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
-    chunks = [(F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))).alias(f"c{c}") for c in range(4)]
+    # block boundaries: distribute 64 bits as evenly as possible
+    width, extra = divmod(64, n_blocks)
+    starts, pos = [], 0
+    widths = []
+    for c in range(n_blocks):
+        w = width + (1 if c < extra else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
+    def _mask(w: int) -> int:
+        # signed-64 literal (full-width mask wraps to -1 = all bits set)
+        m = (1 << w) - 1
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    chunks = [
+        (F.shiftright("simhash", starts[c]).bitwiseAND(F.lit(_mask(widths[c])))).alias(f"c{c}")
+        for c in range(n_blocks)
+    ]
     blocked = sh.select("id", "simhash", *chunks)
-    cand = None
-    for c in range(4):
-        x = blocked.select("id", "simhash", F.col(f"c{c}").alias("ck"))
-        pairs = (
-            x.alias("a")
-            .join(x.alias("b"), (F.col("a.ck") == F.col("b.ck")) & (F.col("a.id") < F.col("b.id")))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-            )
+    # long format: ONE self-join on (block, key) instead of n_blocks joins
+    bb = F.array(*[
+        F.struct(F.lit(c).alias("blk"), F.col(f"c{c}").alias("ck")) for c in range(n_blocks)
+    ])
+    x = blocked.select("id", "simhash", F.explode(bb).alias("b")).select(
+        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.ck").alias("ck")
+    )
+    cand = (
+        x.alias("a")
+        .join(
+            x.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+    )
     return cand.distinct().filter(F.col("hamming") <= max_hamming)

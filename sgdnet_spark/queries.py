@@ -107,50 +107,44 @@ def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- 2. gram_matrix --------------------------------------------------------
+# --- 2. gram_corr_matrix ---------------------------------------------------
 
 _PAIRS = [(a, b) for i, a in enumerate(FEATURE_NAMES) for b in FEATURE_NAMES[i:]]
 
 _GRAM_ORACLE = "\nUNION ALL\n".join(
-    f"SELECT '{a}' AS f1, '{b}' AS f2, ROUND(SUM({a}*{b})/COUNT(*),4) AS gram FROM ({FEATURES_SQL})"
+    f"SELECT '{a}' AS f1, '{b}' AS f2, ROUND(SUM({a}*{b})/COUNT(*),4) AS gram,"
+    f" ROUND(CORR({a}, {b}),6) AS corr FROM ({FEATURES_SQL})"
     for a, b in _PAIRS
 )
 
 
-@register("gram_matrix", _GRAM_ORACLE)
-def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw second-moment matrix X'X/n — the single-pass sufficient
-    statistic behind the gaussian path solver (SURVEY.md §3)."""
+@register("gram_corr_matrix", _GRAM_ORACLE)
+def gram_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw second-moment matrix X'X/n (the single-pass sufficient
+    statistic behind the gaussian path solver, SURVEY.md §3) plus the
+    pairwise Pearson correlation of the same pairs — ONE wide aggregation
+    over one scan, stacked to long form."""
     f = feature_frame(spark, sf_dir)
     aggs = [
         F.round(F.sum(F.col(a) * F.col(b)) / F.count("*"), 4).alias(f"g_{i}")
         for i, (a, b) in enumerate(_PAIRS)
-    ]
+    ] + [F.round(F.corr(a, b), 6).alias(f"c_{i}") for i, (a, b) in enumerate(_PAIRS)]
     row = f.agg(*aggs)
-    stack_expr = ", ".join(f"'{a}', '{b}', g_{i}" for i, (a, b) in enumerate(_PAIRS))
-    return row.selectExpr(f"stack({len(_PAIRS)}, {stack_expr}) AS (f1, f2, gram)")
+    stack_expr = ", ".join(f"'{a}', '{b}', g_{i}, c_{i}" for i, (a, b) in enumerate(_PAIRS))
+    return row.selectExpr(f"stack({len(_PAIRS)}, {stack_expr}) AS (f1, f2, gram, corr)")
 
 
-# --- 3/4. lambda_max + lambda_path ----------------------------------------
+# --- 3. lambda_path (row s=0 is lambda_max) --------------------------------
 
 _LMAX_EXPR = "GREATEST(" + ", ".join(
     f"ABS(COVAR_POP({c}, y)) / STDDEV_POP({c})" for c in FEATURE_NAMES
 ) + ")"
-
-_LMAX_ORACLE = f"SELECT ROUND({_LMAX_EXPR}, 4) AS lambda_max FROM ({FEATURES_SQL})"
 
 
 def _lambda_max_col(f: DataFrame) -> F.Column:
     return F.greatest(
         *[F.abs(F.covar_pop(c, "y")) / F.stddev_pop(c) for c in FEATURE_NAMES]
     )
-
-
-@register("lambda_max_gaussian", _LMAX_ORACLE)
-def lambda_max_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_j |<x~_j, y - ybar>| / n (reference src/families.h:121)."""
-    f = feature_frame(spark, sf_dir)
-    return f.agg(F.round(_lambda_max_col(f), 4).alias("lambda_max"))
 
 
 _NLAMBDA, _LMR = 100, 1e-4
@@ -165,7 +159,10 @@ FROM lm, generate_series(0, {_NLAMBDA - 1}) t(i)
 
 @register("lambda_path", _LPATH_ORACLE)
 def lambda_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nlambda log-spaced penalties (reference src/utils.h:144)."""
+    """nlambda log-spaced penalties (reference src/utils.h:144).
+
+    The s=0 row IS lambda_max = max_j |<x~_j, y - ybar>| / n (reference
+    src/families.h:121 LambdaMax) — one entry covers both operators."""
     f = feature_frame(spark, sf_dir)
     lm = f.agg(_lambda_max_col(f).alias("lambda_max"))
     return (
@@ -200,27 +197,8 @@ def regr_univariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- 6. corr_matrix --------------------------------------------------------
-
-_CPAIRS = [(a, b) for i, a in enumerate(FEATURE_NAMES) for b in FEATURE_NAMES[i + 1:]]
-
-_CORR_ORACLE = "\nUNION ALL\n".join(
-    f"SELECT '{a}' AS f1, '{b}' AS f2, ROUND(CORR({a}, {b}),6) AS corr FROM ({FEATURES_SQL})"
-    for a, b in _CPAIRS
-)
-
-
-@register("corr_matrix", _CORR_ORACLE)
-def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = feature_frame(spark, sf_dir)
-    aggs = [F.round(F.corr(a, b), 6).alias(f"c_{i}") for i, (a, b) in enumerate(_CPAIRS)]
-    row = f.agg(*aggs)
-    stack_expr = ", ".join(f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_CPAIRS))
-    return row.selectExpr(f"stack({len(_CPAIRS)}, {stack_expr}) AS (f1, f2, corr)")
-
-
 # --------------------------------------------------------------------------
-# Analytics queries (16-23)
+# Analytics queries
 # --------------------------------------------------------------------------
 
 _Q1_ORACLE = """
@@ -851,19 +829,20 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@register("ann_lsh")
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-
-
-@register("ann_ivf")
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: distributed k-means coarse quantizer + nprobe lists."""
+@register("ann_approx")
+def ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-ANN scale paths in one long-format result:
+    method='lsh' (random-hyperplane buckets) and method='ivf'
+    (distributed k-means coarse quantizer + nprobe inverted lists).
+    Recall@k floors vs ann_topk_bruteforce are asserted in
+    tests/test_operators.py and tests/test_ivf.py."""
     from sgdnet_spark.operators.ivf import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k_neighbors=5, n_lists=8, nprobe=3)
+    q = emb.filter(F.col("vec_id") < 10)
+    lsh = similarity.lsh_topk(emb, q, k=5).withColumn("method", F.lit("lsh"))
+    ivf = ivf_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf).select("method", "query_id", "nbr_id", "cos")
 
 
 _TOKCOUNT_ORACLE = f"""
@@ -1007,9 +986,14 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical FROM reach GROUP BY a
 @register("dedup_components", _COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: iterative min-label propagation (checked
-    against a recursive-CTE transitive closure in duckdb)."""
+    against a recursive-CTE transitive closure in duckdb).
+
+    Pairs come from the MinHash+LSH scale path (bucketed candidates,
+    exact-Jaccard verification — never the all-pairs shingle self-join),
+    while the oracle derives them exhaustively: the hash match doubles
+    as an LSH recall check."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.duplicate_components(pairs)
 
 
@@ -1038,9 +1022,13 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dups) AND q.n_tokens >= 20
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end cleaning pipeline: drop near-duplicates (keep the
     lower doc_id of each pair) and too-short documents — the composition
-    a training-data pipeline actually runs."""
+    a training-data pipeline actually runs.
+
+    Near-dup pairs come from MinHash+LSH (the 100 TB path: bucketed
+    candidates + exact verification), hash-checked against the
+    exhaustive all-pairs oracle."""
     docs = _t(spark, sf_dir, "documents")
-    dups = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+    dups = dedup.minhash_lsh_pairs(docs, threshold=0.5).select(
         F.col("id_b").alias("doc_id")
     ).distinct()
     kept = docs.join(dups, "doc_id", "left_anti")
@@ -1059,21 +1047,139 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# GLM fits (7-15) — rows-only checks (iterative solvers, not SQL-expressible)
+# GLM fits — the reference's core surface (R/sgdnet.R, predict, score, cv).
+#
+# The gaussian entries run RIDGE (alpha=0) on 3 features with an explicit
+# lambda grid so that DuckDB can verify the full pipeline — standardize,
+# per-lambda solve, unstandardize, dev_ratio, interpolation, scoring, CV —
+# in closed form ((R + lam I)^-1 b via Cramer's rule on the correlation
+# matrix; reference tests/testthat/test-gaussian.R:33 cross-checks ridge
+# the same way). The iterative families (binomial/multinomial/elastic-net)
+# are not SQL-expressible: those stay rows-only here and are verified by
+# tests/test_kkt_property.py, test_distributed_solver.py, and the MLlib
+# cross-check backend.
 # --------------------------------------------------------------------------
 
+_R3 = ["l_quantity", "l_discount", "x_month"]
+_RIDGE_LAMBDAS = [0.5, 0.1, 0.01, 0.001, 0.0]  # descending; last = OLS
 
-def _fit_gaussian(spark, sf_dir, **kw):
+
+def _det3(M) -> str:
+    """SQL for det of a 3x3 matrix of SQL expressions (cofactor row 0)."""
+
+    def d2(a, b, c, d):
+        return f"(({a})*({d}) - ({b})*({c}))"
+
+    return (
+        f"(({M[0][0]})*{d2(M[1][1], M[1][2], M[2][1], M[2][2])}"
+        f" - ({M[0][1]})*{d2(M[1][0], M[1][2], M[2][0], M[2][2])}"
+        f" + ({M[0][2]})*{d2(M[1][0], M[1][1], M[2][0], M[2][1])})"
+    )
+
+
+def _ridge_stats_sql(filter_sql: str = "") -> str:
+    """Aggregate list for the ridge closed form: means/stds of the 3
+    features, their correlations, covariances with y, and y stats."""
+    filt = f" FILTER (WHERE {filter_sql})" if filter_sql else ""
+    parts = [f"COUNT(*){filt} AS n", f"AVG(y){filt} AS ym", f"VAR_POP(y){filt} AS vy"]
+    for i, c in enumerate(_R3):
+        parts.append(f"AVG({c}){filt} AS mu{i}")
+        parts.append(f"STDDEV_POP({c}){filt} AS sd{i}")
+        parts.append(f"COVAR_POP({c}, y){filt} AS c{i}y")
+    for i in range(3):
+        for j in range(i + 1, 3):
+            parts.append(f"CORR({_R3[i]}, {_R3[j]}){filt} AS r{i}{j}")
+    return ",\n       ".join(parts)
+
+
+def _ridge_solve_exprs() -> dict[str, str]:
+    """Closed-form ridge solution as SQL expressions over the stats
+    aliases of _ridge_stats_sql plus a `lambda` column.
+
+    beta_std = (R + lam I)^-1 b with R the feature correlation matrix and
+    b_i = cov(x_i, y)/sd_i; then unstandardized beta_i = beta_std_i/sd_i,
+    a0 = ym - sum beta_i mu_i, dev_ratio = 1 - rss/n/var(y) with
+    rss/n = vy - 2 b.beta_std + beta_std' R beta_std.
+    """
+    d = '(1.0 + "lambda")'
+    R = [[d if i == j else f"r{min(i, j)}{max(i, j)}" for j in range(3)] for i in range(3)]
+    b = [f"(c{i}y/sd{i})" for i in range(3)]
+    det = _det3(R)
+    bs = []
+    for i in range(3):
+        Mi = [[(b[r] if c == i else R[r][c]) for c in range(3)] for r in range(3)]
+        bs.append(f"({_det3(Mi)} / {det})")
+    beta = [f"({bs[i]} / sd{i})" for i in range(3)]
+    a0 = "(ym - (" + " + ".join(f"{beta[i]}*mu{i}" for i in range(3)) + "))"
+    quad = " + ".join(f"{bs[i]}*{bs[i]}" for i in range(3)) + " + 2*(" + " + ".join(
+        f"{bs[i]}*{bs[j]}*r{i}{j}" for i in range(3) for j in range(i + 1, 3)
+    ) + ")"
+    rss_n = f"(vy - 2*({' + '.join(f'{b[i]}*{bs[i]}' for i in range(3))}) + ({quad}))"
+    out = {"a0": a0, "dev_ratio": f"(1.0 - {rss_n}/vy)", "rss_n": rss_n}
+    for i in range(3):
+        out[f"b{i}"] = beta[i]
+    return out
+
+
+_LAM_VALUES_SQL = "(VALUES " + ", ".join(
+    f"({i}, {lam!r})" for i, lam in enumerate(_RIDGE_LAMBDAS)
+) + ') t(s, "lambda")'
+
+_SOL = _ridge_solve_exprs()
+
+_RIDGE_SOL_CTE = f"""
+f AS ({FEATURES_SQL}),
+rm AS (SELECT {_ridge_stats_sql()} FROM f),
+lam AS (SELECT CAST(s AS INTEGER) AS s, CAST("lambda" AS DOUBLE) AS "lambda" FROM {_LAM_VALUES_SQL}),
+sol AS (SELECT s, "lambda",
+               {_SOL['a0']} AS a0,
+               {_SOL['b0']} AS b0, {_SOL['b1']} AS b1, {_SOL['b2']} AS b2,
+               {_SOL['dev_ratio']} AS devr, {_SOL['rss_n']} AS rss_n, n
+        FROM rm CROSS JOIN lam)
+"""
+
+_GLM_PATH_ORACLE = f"""
+WITH {_RIDGE_SOL_CTE}
+SELECT s, ROUND("lambda", 6) AS lambda, ROUND(a0, 2) AS a0,
+       ROUND(b0, 2) AS b_quantity, ROUND(b1, 2) AS b_discount, ROUND(b2, 2) AS b_month,
+       CAST(3 AS INTEGER) AS df, ROUND(devr, 6) AS dev_ratio
+FROM sol
+"""
+
+
+def _ridge_fit(spark, sf_dir, lambdas=None):
     from sgdnet_spark.glm import sgdnet
 
     f = feature_frame(spark, sf_dir)
-    kw.setdefault("nlambda", 50)
-    return sgdnet(f, FEATURE_NAMES, "y", family="gaussian", alpha=kw.pop("alpha", 0.5), **kw)
+    return sgdnet(f, _R3, "y", family="gaussian", alpha=0.0,
+                  lambdas=lambdas or _RIDGE_LAMBDAS)
 
 
-@register("glm_gaussian_path")
+@register("glm_gaussian_path", _GLM_PATH_ORACLE)
 def glm_gaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fit_gaussian(spark, sf_dir).path_frame(spark)
+    """Gaussian path fit with per-(s, feature) coefficient values,
+    hash-checked against the DuckDB closed form (ridge via Cramer on the
+    correlation matrix). Exercises standardize -> path solve ->
+    unstandardize -> dev_ratio end-to-end."""
+    fit = _ridge_fit(spark, sf_dir)
+    rows = [
+        {
+            "s": int(i),
+            "lambda": round(float(fit.lambdas[i]), 6),
+            "a0": round(float(fit.a0[i]), 2),
+            "b_quantity": round(float(fit.beta[0, i]), 2),
+            "b_discount": round(float(fit.beta[1, i]), 2),
+            "b_month": round(float(fit.beta[2, i]), 2),
+            "df": int(fit.df[i]),
+            "dev_ratio": round(float(fit.dev_ratio[i]), 6),
+        }
+        for i in range(fit.nlambda)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="s int, lambda double, a0 double, b_quantity double, "
+               "b_discount double, b_month double, df int, dev_ratio double",
+    )
 
 
 @register("glm_binomial_path")
@@ -1106,13 +1212,30 @@ def glm_mgaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.path_frame(spark)
 
 
-@register("glm_predict_gaussian")
+# off-path prediction point: midway between lambdas[1] and lambdas[2]
+# -> interpolation weight exactly 0.5 on each side
+_PRED_S = (_RIDGE_LAMBDAS[1] + _RIDGE_LAMBDAS[2]) / 2.0
+
+_GLM_PREDICT_ORACLE = f"""
+WITH {_RIDGE_SOL_CTE},
+w AS (SELECT (a.a0 + b.a0)/2 AS a0, (a.b0 + b.b0)/2 AS b0,
+             (a.b1 + b.b1)/2 AS b1, (a.b2 + b.b2)/2 AS b2
+      FROM sol a, sol b WHERE a.s = 1 AND b.s = 2)
+SELECT l_orderkey, l_linenumber,
+       ROUND(w.a0 + w.b0*{_R3[0]} + w.b1*{_R3[1]} + w.b2*{_R3[2]}, 2) AS pred
+FROM f, w
+"""
+
+
+@register("glm_predict_gaussian", _GLM_PREDICT_ORACLE)
 def glm_predict_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fit = _fit_gaussian(spark, sf_dir, nlambda=20)
-    s = float((fit.lambdas[3] + fit.lambdas[4]) / 2)  # off-path: exercises interpolation
+    """predict(type='link') at an OFF-path s — exercises the reference's
+    lambda interpolation (predict.sgdnet.R:144) with a per-row DuckDB
+    value check against the interpolated closed-form coefficients."""
+    fit = _ridge_fit(spark, sf_dir)
     f = feature_frame(spark, sf_dir)
-    return fit.predict(f, s=s, prefix="pred").select(
-        "l_orderkey", "l_linenumber", F.round("pred", 4).alias("pred")
+    return fit.predict(f, s=_PRED_S, prefix="pred").select(
+        "l_orderkey", "l_linenumber", F.round("pred", 2).alias("pred")
     )
 
 
@@ -1127,27 +1250,43 @@ def glm_predict_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("cls").agg(F.count("*").alias("n"))
 
 
-@register("glm_score")
+_GLM_SCORE_ORACLE = f"""
+WITH {_RIDGE_SOL_CTE},
+per AS (SELECT sol.s, sol."lambda", sol.devr,
+               AVG(POW(f.y - (sol.a0 + sol.b0*{_R3[0]} + sol.b1*{_R3[1]} + sol.b2*{_R3[2]}), 2)) AS mse,
+               AVG(ABS(f.y - (sol.a0 + sol.b0*{_R3[0]} + sol.b1*{_R3[1]} + sol.b2*{_R3[2]}))) AS mae
+        FROM f CROSS JOIN sol GROUP BY 1, 2, 3)
+SELECT s, ROUND("lambda", 6) AS lambda, ROUND(mse, 2) AS mse, ROUND(mae, 3) AS mae,
+       ROUND(devr, 6) AS dev_ratio
+FROM per
+"""
+
+
+@register("glm_score", _GLM_SCORE_ORACLE)
 def glm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score(fit, x, y) along the path (reference R/score.R) — mse and
+    mae via ONE distributed aggregation pass each, plus dev_ratio, which
+    pins the reference deviance() = (1-dev.ratio)*nulldev semantics
+    (deviance.sgdnet.R; for gaussian the deviance measure IS mse)."""
     from sgdnet_spark.glm import score
 
-    fit = _fit_gaussian(spark, sf_dir, nlambda=20)
+    fit = _ridge_fit(spark, sf_dir)
     f = feature_frame(spark, sf_dir)
-    mse = score(fit, f, FEATURE_NAMES, "y", "mse")
-    mae = score(fit, f, FEATURE_NAMES, "y", "mae")
+    mse = score(fit, f, _R3, "y", "mse")
+    mae = score(fit, f, _R3, "y", "mae")
     rows = [
-        {"s": i, "mse": round(float(m), 4), "mae": round(float(a), 4)}
+        {
+            "s": int(i),
+            "lambda": round(float(fit.lambdas[i]), 6),
+            "mse": round(float(m), 2),
+            "mae": round(float(a), 3),
+            "dev_ratio": round(float(fit.dev_ratio[i]), 6),
+        }
         for i, (m, a) in enumerate(zip(mse, mae))
     ]
-    return spark.createDataFrame(rows, schema="s int, mse double, mae double")
-
-
-@register("glm_deviance")
-def glm_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fit = _fit_gaussian(spark, sf_dir, nlambda=20)
-    dev = fit.deviance()
-    rows = [{"s": i, "deviance": round(float(d), 2)} for i, d in enumerate(dev)]
-    return spark.createDataFrame(rows, schema="s int, deviance double")
+    return spark.createDataFrame(
+        rows, schema="s int, lambda double, mse double, mae double, dev_ratio double"
+    )
 
 
 @register("glm_embedding_multinomial")
@@ -1162,11 +1301,56 @@ def glm_embedding_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.path_frame(spark)
 
 
-@register("glm_cv")
+_FOLD_SQL = "(l_orderkey*31 + l_linenumber) % 3"
+
+
+def _cv_oracle() -> str:
+    """k-fold ridge CV entirely in SQL: per-fold training stats via
+    FILTER complements, Cramer solve per (fold, lambda), held-out mse,
+    then mean/sd/ci per lambda — the DuckDB twin of cv_sgdnet."""
+    sol = _ridge_solve_exprs()
+    ctes = [f'ff AS (SELECT *, {_FOLD_SQL} AS fold FROM ({FEATURES_SQL}))',
+            f'lam AS (SELECT CAST(s AS INTEGER) AS s, CAST("lambda" AS DOUBLE) AS "lambda" FROM {_LAM_VALUES_SQL})']
+    fold_sels = []
+    for g in range(3):
+        ctes.append(f"rm{g} AS (SELECT {_ridge_stats_sql(f'fold <> {g}')} FROM ff)")
+        ctes.append(
+            f'sol{g} AS (SELECT s, "lambda", {sol["a0"]} AS a0, {sol["b0"]} AS b0, '
+            f'{sol["b1"]} AS b1, {sol["b2"]} AS b2 FROM rm{g} CROSS JOIN lam)'
+        )
+        fold_sels.append(
+            f'SELECT {g} AS fold, sol{g}.s, sol{g}."lambda", '
+            f"AVG(POW(ff.y - (a0 + b0*{_R3[0]} + b1*{_R3[1]} + b2*{_R3[2]}), 2)) AS mse "
+            f"FROM ff CROSS JOIN sol{g} WHERE ff.fold = {g} GROUP BY 1, 2, 3"
+        )
+    ctes.append("fm AS (" + "\nUNION ALL\n".join(fold_sels) + ")")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        'SELECT CAST(0.0 AS DOUBLE) AS alpha, ROUND("lambda", 6) AS lambda, ROUND(AVG(mse), 2) AS mean,\n'
+        "       ROUND(STDDEV_SAMP(mse), 2) AS sd,\n"
+        "       ROUND(AVG(mse) - STDDEV_SAMP(mse), 2) AS ci_lo,\n"
+        "       ROUND(AVG(mse) + STDDEV_SAMP(mse), 2) AS ci_up\n"
+        'FROM fm GROUP BY "lambda"'
+    )
+
+
+@register("glm_cv", _cv_oracle())
 def glm_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cv_sgdnet (reference R/cv_sgdnet.R): deterministic 3-fold split,
+    per-fold ridge path fits, held-out mse, cv_summary(mean/sd/ci) —
+    every number re-derived independently by the DuckDB oracle."""
     from sgdnet_spark.glm import cv_sgdnet
 
-    f = feature_frame(spark, sf_dir)
-    cv = cv_sgdnet(f, FEATURE_NAMES, "y", family="gaussian", alpha=[0.0, 1.0], nfolds=3,
-                   nlambda=10, type_measure="mse")
-    return cv.summary_frame(spark)
+    f = feature_frame(spark, sf_dir).withColumn(
+        "fold", F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(3)).cast("int")
+    )
+    cv = cv_sgdnet(f, _R3, "y", family="gaussian", alpha=[0.0], lambdas=_RIDGE_LAMBDAS,
+                   nfolds=3, foldid_col="fold", type_measure="mse")
+    return cv.summary_frame(spark).select(
+        F.round("alpha", 1).alias("alpha"),
+        F.round("lambda", 6).alias("lambda"),
+        F.round("mean", 2).alias("mean"),
+        F.round("sd", 2).alias("sd"),
+        F.round("ci_lo", 2).alias("ci_lo"),
+        F.round("ci_up", 2).alias("ci_up"),
+    )

@@ -7,7 +7,9 @@ def test_entry_runs(spark):
     df = E.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"s", "lambda", "df", "dev_ratio"}
+    assert set(df.columns) == {
+        "s", "lambda", "a0", "b_quantity", "b_discount", "b_month", "df", "dev_ratio"
+    }
 
 
 def test_inventory_consistency():

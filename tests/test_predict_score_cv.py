@@ -122,3 +122,35 @@ def test_cv_binomial_auc(spark):
     # auc is maximized: best-lambda mean auc should beat the null 0.5
     best = min(cv.cv_summary, key=lambda r: -r["mean"])
     assert best["mean"] > 0.6
+
+
+def test_cv_fold_moments_matches_generic(gauss_df, spark):
+    """The one-pass fold-moment CV == the per-(alpha, fold) refit CV:
+    same cv_summary numbers, same winners."""
+    df, cols, x, y = gauss_df
+    kw = dict(alpha=[0.0, 1.0], nfolds=3, nlambda=6, type_measure="mse")
+    fast = cv_sgdnet(df, cols, "y", **kw)
+    slow = cv_sgdnet(df, cols, "y", use_fold_moments=False, **kw)
+    assert fast.alpha_min == slow.alpha_min
+    assert np.isclose(fast.lambda_min, slow.lambda_min)
+    assert np.isclose(fast.lambda_1se, slow.lambda_1se)
+    for a, b in zip(fast.cv_summary, slow.cv_summary):
+        assert a["alpha"] == b["alpha"]
+        assert np.isclose(a["lambda"], b["lambda"])
+        assert np.isclose(a["mean"], b["mean"], rtol=1e-6)
+        assert np.isclose(a["sd"], b["sd"], rtol=1e-4, atol=1e-10)
+
+
+def test_cv_fold_moments_mgaussian_matches_generic(spark):
+    rng = np.random.default_rng(41)
+    n, p = 300, 3
+    x = rng.normal(size=(n, p))
+    B = rng.normal(size=(p, 2))
+    y = x @ B + rng.normal(scale=0.2, size=(n, 2))
+    rows = [(*map(float, xi), float(yi[0]), float(yi[1])) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, ya double, yb double")
+    kw = dict(family="mgaussian", nfolds=3, nlambda=5, type_measure="mse")
+    fast = cv_sgdnet(df, ["x0", "x1", "x2"], ["ya", "yb"], **kw)
+    slow = cv_sgdnet(df, ["x0", "x1", "x2"], ["ya", "yb"], use_fold_moments=False, **kw)
+    for a, b in zip(fast.cv_summary, slow.cv_summary):
+        assert np.isclose(a["mean"], b["mean"], rtol=1e-6)
