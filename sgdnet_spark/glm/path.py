@@ -305,6 +305,193 @@ def gaussian_path_fista(
     )
 
 
+def _power_iter_L(provider, p: int, iters: int = 6) -> float:
+    """lambda_max of the standardized Gram via distributed power
+    iteration (one cov_vec pass per step) — never materializes p²."""
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=p)
+    v /= np.linalg.norm(v)
+    L = 1.0
+    for _ in range(iters):
+        cv = provider.cov_vec(v)
+        nrm = float(np.linalg.norm(cv))
+        if nrm == 0:
+            break
+        L = nrm
+        v = cv / nrm
+    return L * 1.05
+
+
+def binomial_path_fista(
+    provider,
+    alpha: float,
+    nlambda: int = 20,
+    lambda_min_ratio: float = 1e-2,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-7,
+    maxit: int = 500,
+    mom=None,
+) -> PathResult:
+    """Wide-p / sparse logistic elastic-net path: accelerated proximal
+    gradient with one distributed gradient pass per iteration — O(p)
+    driver state, never a p×p quadratic (the saga-sparse.h capability,
+    Spark-shaped). Lipschitz bound: max(1, lambda_max(C))/4 for the
+    centered extended design [1, X~]."""
+    from sgdnet_spark.glm.solvers import soft_threshold
+
+    mom = mom or provider.moments_diag()
+    n = mom.n
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    provider.set_standardization(x_mean, 1.0 / x_std)
+    inv = 1.0 / x_std
+    pbar = float(mom.y_mean[0])
+    ll_null = n * (pbar * np.log(max(pbar, 1e-300)) + (1 - pbar) * np.log(max(1 - pbar, 1e-300)))
+    nulldev = -2.0 * ll_null
+    if intercept:
+        b = (mom.sum_xy[:, 0] / n - mom.x_mean * pbar) * inv
+    else:
+        b = (mom.sum_xy[:, 0] / n) * inv
+    p = len(b)
+    L = max(1.0, _power_iter_L(provider, p)) / 4.0
+
+    # binomial lambda_max: gradient of the NULL model (families.h:198)
+    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+
+    coef = np.zeros(p)
+    b0 = float(np.log(pbar / (1 - pbar))) if intercept else 0.0
+    out_beta = np.zeros((p, nl))
+    out_a0 = np.zeros(nl)
+    out_df = np.zeros(nl, dtype=int)
+    out_dr = np.zeros(nl)
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    ll = ll_null
+    for i, lam in enumerate(lam_path):
+        if auto_path and i == 0:
+            out_a0[i] = b0 if intercept else 0.0
+            continue
+        step = 1.0 / (L + lam * (1 - alpha))
+        z, zb = coef.copy(), b0
+        t = 1.0
+        prev, prevb = coef.copy(), b0
+        for _ in range(maxit):
+            g, gb, ll = provider.grad_binomial(z, zb)
+            cand = z - step * (g + lam * (1 - alpha) * z)
+            new = soft_threshold(cand, step * lam * alpha)
+            newb = zb - step * gb if intercept else 0.0
+            t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            z = new + (t - 1.0) / t_new * (new - prev)
+            zb = newb + (t - 1.0) / t_new * (newb - prevb)
+            delta = max(float(np.max(np.abs(new - prev))), abs(newb - prevb))
+            scale = max(float(np.max(np.abs(new))) if p else 0.0, abs(newb), 1e-12)
+            prev, prevb = new, newb
+            t = t_new
+            if delta <= max(thresh, 1e-7) * scale:
+                break
+        coef, b0 = prev, prevb
+        _, _, ll = provider.grad_binomial(coef, b0)
+        out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
+        ob, _ = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
+        out_beta[:, i] = ob
+        out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
+        out_df[i] = int(np.count_nonzero(coef))
+    return PathResult(
+        "binomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std,
+    )
+
+
+def multinomial_path_fista(
+    provider,
+    alpha: float,
+    nlambda: int = 20,
+    lambda_min_ratio: float = 1e-2,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-7,
+    maxit: int = 500,
+    mom=None,
+) -> PathResult:
+    """Wide-p / sparse softmax elastic-net path — k×p proximal-gradient
+    twin of binomial_path_fista (elementwise soft-threshold per class,
+    glmnet's ungrouped multinomial penalty)."""
+    from sgdnet_spark.glm.solvers import soft_threshold
+
+    mom = mom or provider.moments_diag()
+    n = mom.n
+    k = len(mom.sum_y)
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    provider.set_standardization(x_mean, 1.0 / x_std)
+    inv = 1.0 / x_std
+    pri = mom.y_mean
+    ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
+    nulldev = -2.0 * ll_null
+    if intercept:
+        B = (mom.sum_xy / n - np.outer(mom.x_mean, pri)) * inv[:, None]
+    else:
+        B = (mom.sum_xy / n) * inv[:, None]
+    p = B.shape[0]
+    # softmax hessian <= (1/2) I ⊗ C  (tighter 1/4 holds per class;
+    # 1/2 is the safe multiclass bound)
+    L = max(1.0, _power_iter_L(provider, p)) / 2.0
+
+    lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+
+    coefs = np.zeros((k, p))
+    b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
+    b0s = b0s - b0s.mean() if intercept else b0s
+    out_beta = np.zeros((k, p, nl))
+    out_a0 = np.zeros((k, nl))
+    out_df = np.zeros(nl, dtype=int)
+    out_dfmat = np.zeros((k, nl), dtype=int)
+    out_dr = np.zeros(nl)
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    for i, lam in enumerate(lam_path):
+        if auto_path and i == 0:
+            out_a0[:, i] = b0s - b0s.mean() if intercept else 0.0
+            continue
+        step = 1.0 / (L + lam * (1 - alpha))
+        z, zb = coefs.copy(), b0s.copy()
+        t = 1.0
+        prev, prevb = coefs.copy(), b0s.copy()
+        ll = ll_null
+        for _ in range(maxit):
+            G, gb, ll = provider.grad_multinomial(z, zb)
+            cand = z - step * (G + lam * (1 - alpha) * z)
+            new = soft_threshold(cand, step * lam * alpha)
+            newb = zb - step * gb if intercept else np.zeros(k)
+            t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            z = new + (t - 1.0) / t_new * (new - prev)
+            zb = newb + (t - 1.0) / t_new * (newb - prevb)
+            delta = max(float(np.max(np.abs(new - prev))), float(np.max(np.abs(newb - prevb))))
+            scale = max(float(np.max(np.abs(new))), float(np.max(np.abs(newb))), 1e-12)
+            prev, prevb = new, newb
+            t = t_new
+            if delta <= max(thresh, 1e-7) * scale:
+                break
+        coefs, b0s = prev, prevb
+        _, _, ll = provider.grad_multinomial(coefs, b0s)
+        out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
+        for c in range(k):
+            ob, _ = _unstandardize(coefs[c], x_mean, x_std, 0.0, intercept)
+            out_beta[c, :, i] = ob
+            out_a0[c, i] = b0s[c] - float(x_mean @ ob) if intercept else 0.0
+            out_dfmat[c, i] = int(np.count_nonzero(coefs[c]))
+        out_df[i] = int(np.count_nonzero(np.any(coefs != 0.0, axis=0)))
+        if intercept:
+            out_a0[:, i] -= out_a0[:, i].mean()
+    return PathResult(
+        "multinomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std, out_dfmat,
+    )
+
+
 def binomial_path(
     provider,
     alpha: float,

@@ -65,6 +65,33 @@ class LocalXY:
         r = xs @ coef + intercept - self.y[:, 0]
         return xs.T @ r / self.n, float(r.sum()) / self.n, float(r @ r) / self.n
 
+    def cov_vec(self, v: np.ndarray) -> np.ndarray:
+        self.passes += 1
+        xs = self._xs()
+        return xs.T @ (xs @ v) / self.n
+
+    def grad_binomial(self, coef: np.ndarray, b0: float):
+        """Logistic gradient (standardized scale); y is the 0/1 column."""
+        self.passes += 1
+        xs = self._xs()
+        yb = self.y[:, 0]
+        eta = xs @ coef + b0
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        r = mu - yb
+        ll = float(np.sum(yb * eta) - np.logaddexp(0.0, eta).sum())
+        return xs.T @ r / self.n, float(r.mean()), ll
+
+    def grad_multinomial(self, coefs: np.ndarray, b0s: np.ndarray):
+        """Softmax gradient for all classes; self.y is one-hot (n, k)."""
+        self.passes += 1
+        xs = self._xs()
+        eta = xs @ coefs.T + b0s
+        P = _softmax(eta)
+        R = P - self.y
+        G = (R.T @ xs) / self.n
+        ll = float(np.sum(self.y * np.log(np.maximum(P, 1e-300))))
+        return G, R.mean(axis=0), ll
+
     def irls_binomial(self, coef: np.ndarray, intercept: float):
         # hot loop: ~3 calls per lambda over the full n — reuse buffers to
         # stay allocation-light (n-sized temporaries dominate otherwise)
@@ -164,6 +191,22 @@ class SparkXY:
         self.passes += 1
         return suffstats.weighted_quadratic_multinomial_all(
             self.xy, self.p, coefs, intercepts, self.x_mean, self.x_inv_std
+        )
+
+    def cov_vec(self, v: np.ndarray) -> np.ndarray:
+        self.passes += 1
+        return suffstats.cov_vec(self.xy, self.p, v, self.x_mean, self.x_inv_std)
+
+    def grad_binomial(self, coef: np.ndarray, b0: float):
+        self.passes += 1
+        return suffstats.gradient_binomial(
+            self.xy, self.p, coef, b0, self.x_mean, self.x_inv_std
+        )
+
+    def grad_multinomial(self, coefs: np.ndarray, b0s: np.ndarray):
+        self.passes += 1
+        return suffstats.gradient_multinomial(
+            self.xy, self.p, coefs, b0s, self.x_mean, self.x_inv_std
         )
 
     def to_local(self, max_cells: float = 3e8) -> LocalXY | None:

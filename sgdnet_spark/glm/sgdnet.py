@@ -379,10 +379,10 @@ def sgdnet(
         raise ValueError("solver must be one of 'auto', 'local', 'spark', 'fista'")
 
     provider: LocalXY | SparkXY = SparkXY(xy, p, k)
-    # wide-p gaussian: the p x p Gram stops paying -> pass-per-iteration
-    # FISTA with O(p) state (explicit solver='fista', or auto beyond ~2000
-    # features)
-    use_fista = family == "gaussian" and (
+    # wide p: the p x p Gram / IRLS quadratic stops paying -> pass-per-
+    # iteration proximal gradient with O(p·k) state (explicit
+    # solver='fista', or auto beyond ~2000 features)
+    use_fista = family in ("gaussian", "binomial", "multinomial") and (
         solver == "fista" or (solver in ("auto", "spark") and p > 2000)
     )
     if use_fista:
@@ -397,7 +397,12 @@ def sgdnet(
             provider.unpersist()
             local.passes += provider.passes
             provider = local
-        res = path_mod.gaussian_path_fista(
+        fista_driver = {
+            "gaussian": path_mod.gaussian_path_fista,
+            "binomial": path_mod.binomial_path_fista,
+            "multinomial": path_mod.multinomial_path_fista,
+        }[family]
+        res = fista_driver(
             provider, alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
             lambdas=lambdas, standardize=standardize, intercept=intercept,
             thresh=min(thresh, 1e-6), maxit=max(maxit, 100), mom=mom,
@@ -412,11 +417,12 @@ def sgdnet(
         return SgdnetFit(
             family=family, alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
             df=res.df, dev_ratio=res.dev_ratio, nulldev=res.nulldev, npasses=res.npasses,
-            nobs=n, feature_names=feature_cols, intercept=intercept,
+            nobs=n, feature_names=feature_cols, classnames=classnames,
+            dfmat=res.dfmat, intercept=intercept,
             standardize=standardize, _train=train,
         )
     if solver == "fista":
-        raise ValueError("solver='fista' currently supports family='gaussian'")
+        raise ValueError("solver='fista' supports gaussian, binomial, multinomial")
     if solver == "local":
         # force the numpy provider end-to-end (tests / debugging)
         provider = provider.to_local(max_cells=float("inf"))

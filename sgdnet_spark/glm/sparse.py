@@ -85,12 +85,31 @@ def moments_diag_sparse(xy: DataFrame, p: int) -> Moments:
     return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)
 
 
+def _densify(prov: "SparseSparkXY", p: int, k_onehot: int | None = None):
+    """Collect sparse rows to a LocalXY (driver fast path for small n·p)."""
+    from sgdnet_spark.glm.providers import LocalXY
+
+    pdf = prov.xy.toPandas()
+    x = np.zeros((len(pdf), p))
+    for r, (ii, vv) in enumerate(zip(pdf[IDX_COL], pdf[VAL_COL])):
+        x[r, np.asarray(ii, dtype=int)] = np.asarray(vv, dtype=float)
+    y = pdf[LBL_COL].to_numpy(dtype=float)
+    if k_onehot is not None:
+        oh = np.zeros((len(y), k_onehot))
+        oh[np.arange(len(y)), y.astype(int)] = 1.0
+        y = oh
+    local = LocalXY(x, y)
+    local.passes = prov.passes
+    return local
+
+
 def sgdnet_sparse(
     df: DataFrame,
     idx_col: str,
     val_col: str,
     label_col: str,
     p: int,
+    family: str = "gaussian",
     alpha: float = 1.0,
     nlambda: int = 20,
     lambda_min_ratio: float = 1e-2,
@@ -101,45 +120,78 @@ def sgdnet_sparse(
     maxit: int = 500,
     collect_max_cells: float = 3e8,
 ):
-    """Elastic-net gaussian path on sparse (indices, values) rows.
+    """Elastic-net GLM path on sparse (indices, values) rows — the
+    Spark-shaped counterpart of reference src/saga-sparse.h, which
+    serves every family at nnz cost.
 
-    The sparse twin of sgdnet(family='gaussian') for very wide feature
-    spaces (hashed text features, n-gram spaces): nnz-cost passes, O(p)
-    driver state.
+    gaussian/binomial/multinomial; very wide feature spaces (hashed
+    text features, n-gram spaces): every pass costs O(nnz), driver
+    state is O(p·k), and the data is never densified on the cluster.
     """
+    from pyspark.sql import functions as F
+
     from sgdnet_spark.glm import path as path_mod
     from sgdnet_spark.glm.sgdnet import SgdnetFit
 
-    xy = assemble_sparse(df, idx_col, val_col, label_col)
+    if family not in ("gaussian", "binomial", "multinomial"):
+        raise ValueError("sgdnet_sparse supports gaussian, binomial, multinomial")
+
+    classnames = None
+    k = 1
+    if family == "gaussian":
+        label_expr: object = label_col
+    else:
+        classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+        if family == "binomial":
+            if len(classes) != 2:
+                raise ValueError(f"binomial response needs exactly 2 classes, got {len(classes)}")
+            label_expr = F.when(F.col(label_col) == F.lit(classes[1]), 1.0).otherwise(0.0)
+        else:
+            if len(classes) < 3:
+                raise ValueError("multinomial response needs at least 3 classes")
+            expr = F.lit(None).cast("double")
+            mapped = None
+            for i, c in enumerate(classes):
+                mapped = (
+                    F.when(F.col(label_col) == F.lit(c), float(i))
+                    if mapped is None
+                    else mapped.when(F.col(label_col) == F.lit(c), float(i))
+                )
+            label_expr = mapped
+            k = len(classes)
+        classnames = classes
+
+    xy = assemble_sparse(df, idx_col, val_col, label_expr)
     spark_prov = prov = SparseSparkXY(xy, p)
     prov.cache()
     try:
-        mom = prov.moments_diag()
+        if family == "multinomial":
+            mom = prov.moments_diag_onehot(k)
+        else:
+            mom = prov.moments_diag()
         if mom.n * p <= collect_max_cells:
             # small data: densify to the numpy provider so each FISTA
             # iteration is a numpy call, not a Spark job
-            from sgdnet_spark.glm.providers import LocalXY
-
-            pdf = prov.xy.toPandas()
-            x = np.zeros((len(pdf), p))
-            for r, (ii, vv) in enumerate(zip(pdf[IDX_COL], pdf[VAL_COL])):
-                x[r, np.asarray(ii, dtype=int)] = np.asarray(vv, dtype=float)
-            local = LocalXY(x, pdf[LBL_COL].to_numpy(dtype=float))
-            local.passes = prov.passes
-            prov.unpersist()
-            prov = local
-        res = path_mod.gaussian_path_fista(
-            prov, alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
+            prov = _densify(prov, p, k_onehot=k if family == "multinomial" else None)
+            spark_prov.unpersist()
+        common = dict(
+            alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
             lambdas=lambdas, standardize=standardize, intercept=intercept,
             thresh=thresh, maxit=maxit, mom=mom,
         )
+        if family == "gaussian":
+            res = path_mod.gaussian_path_fista(prov, **common)
+        elif family == "binomial":
+            res = path_mod.binomial_path_fista(prov, **common)
+        else:
+            res = path_mod.multinomial_path_fista(prov, **common)
     finally:
         spark_prov.unpersist()
     return SgdnetFit(
-        family="gaussian", alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
+        family=family, alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
         df=res.df, dev_ratio=res.dev_ratio, nulldev=res.nulldev, npasses=res.npasses,
-        nobs=mom.n, feature_names=[f"f{i}" for i in range(p)],
-        intercept=intercept, standardize=standardize,
+        nobs=mom.n, feature_names=[f"f{i}" for i in range(p)], classnames=classnames,
+        dfmat=res.dfmat, intercept=intercept, standardize=standardize,
     )
 
 
@@ -201,3 +253,114 @@ class SparseSparkXY:
         out = _sum_partials(self.xy, fn)
         n = out[-1]
         return out[:p] / n, out[p] / n, out[p + 1] / n
+
+    def cov_vec(self, v: np.ndarray) -> np.ndarray:
+        """Standardized Gram-vector product C v in one nnz-cost pass
+        (power iteration for Lipschitz bounds; never builds p²)."""
+        self.passes += 1
+        p = self.p
+        scaled = v * self.x_inv_std
+        off = -float(self.x_mean @ scaled)
+        m = self.x_mean
+        inv = self.x_inv_std
+
+        def fn(idx, val, rows, indptr, y):
+            u = np.full(len(y), off)
+            np.add.at(u, rows, val * scaled[idx])
+            xu = np.bincount(idx, weights=val * u[rows], minlength=p)
+            return np.concatenate([(xu - m * u.sum()) * inv, [float(len(y))]])
+
+        out = _sum_partials(self.xy, fn)
+        return out[:p] / out[-1]
+
+    def grad_binomial(self, coef: np.ndarray, b0: float):
+        """Logistic gradient on the standardized scale: one nnz-cost
+        pass -> (X~'(mu-y)/n, mean(mu-y), loglik) — the saga-sparse.h
+        counterpart (reference src/saga-sparse.h), batch-vectorized."""
+        self.passes += 1
+        p = self.p
+        scaled = coef * self.x_inv_std
+        off = b0 - float(self.x_mean @ scaled)
+        m = self.x_mean
+        inv = self.x_inv_std
+
+        def fn(idx, val, rows, indptr, y):
+            eta = np.full(len(y), off)
+            np.add.at(eta, rows, val * scaled[idx])
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            r = mu - y
+            xr = np.bincount(idx, weights=val * r[rows], minlength=p)
+            sum_r = r.sum()
+            ll = np.sum(y * eta - np.logaddexp(0.0, eta))
+            return np.concatenate([(xr - m * sum_r) * inv, [sum_r], [ll], [float(len(y))]])
+
+        out = _sum_partials(self.xy, fn)
+        n = out[-1]
+        return out[:p] / n, out[p] / n, out[p + 1]
+
+    def grad_multinomial(self, coefs: np.ndarray, b0s: np.ndarray):
+        """Softmax gradient for all classes in one nnz-cost pass:
+        (X~'(P-Y)/n as (k,p), column means of (P-Y), loglik). The label
+        column holds the integer class index."""
+        self.passes += 1
+        p = self.p
+        k = coefs.shape[0]
+        scaled = coefs * self.x_inv_std[None, :]  # (k, p)
+        offs = b0s - scaled @ self.x_mean
+        m = self.x_mean
+        inv = self.x_inv_std
+
+        def fn(idx, val, rows, indptr, y):
+            nb = len(y)
+            eta = np.tile(offs, (nb, 1))
+            np.add.at(eta, rows, val[:, None] * scaled[:, idx].T)
+            mx = eta.max(axis=1, keepdims=True)
+            e = np.exp(eta - mx)
+            P = e / e.sum(axis=1, keepdims=True)
+            yi = y.astype(np.int64)
+            R = P.copy()
+            R[np.arange(nb), yi] -= 1.0  # P - onehot
+            XR = np.zeros((p, k))
+            for c in range(k):
+                XR[:, c] = np.bincount(idx, weights=val * R[rows, c], minlength=p)
+            G = (XR - np.outer(m, R.sum(axis=0))) * inv[:, None]
+            ll = float(np.sum(np.log(np.maximum(P[np.arange(nb), yi], 1e-300))))
+            return np.concatenate([G.T.ravel(), R.sum(axis=0), [ll], [float(nb)]])
+
+        out = _sum_partials(self.xy, fn)
+        n = out[-1]
+        G = out[: k * p].reshape(k, p) / n
+        gb = out[k * p : k * p + k] / n
+        ll = out[k * p + k]
+        return G, gb, ll
+
+    def moments_diag_onehot(self, k: int) -> Moments:
+        """Diag moments where y (an int class index) is expanded to its
+        one-hot columns — sum_y/sum_xy/sum_yy become k-wide."""
+        self.passes += 1
+        p = self.p
+
+        def fn(idx, val, rows, indptr, y):
+            nb = len(y)
+            yi = y.astype(np.int64)
+            Y = np.zeros((nb, k))
+            Y[np.arange(nb), yi] = 1.0
+            sum_x = np.bincount(idx, weights=val, minlength=p)
+            sum_xsq = np.bincount(idx, weights=val * val, minlength=p)
+            XY = np.zeros((p, k))
+            for c in range(k):
+                XY[:, c] = np.bincount(idx, weights=val * Y[rows, c], minlength=p)
+            return np.concatenate(
+                [[float(nb)], sum_x, sum_xsq, Y.sum(axis=0), XY.ravel(), (Y * Y).sum(axis=0)]
+            )
+
+        out = _sum_partials(self.xy, fn)
+        i = 0
+        n = int(round(out[0])); i += 1
+        sum_x = out[i : i + p]; i += p
+        sum_xsq = out[i : i + p]; i += p
+        sum_y = out[i : i + k]; i += k
+        sum_xy = out[i : i + p * k].reshape(p, k); i += p * k
+        sum_yy = out[i : i + k]
+        self.n = n
+        return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)

@@ -229,6 +229,83 @@ def gradient_gaussian(
     return out[:p] / n, out[p] / n, out[p + 1] / n
 
 
+def cov_vec(
+    xy: DataFrame,
+    p: int,
+    v: np.ndarray,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+) -> np.ndarray:
+    """One pass -> standardized Gram-vector product Cv (power iteration
+    for Lipschitz estimates on the wide-p paths — O(p), never p²)."""
+    scaled = v * x_inv_std
+    off = -float(x_mean @ scaled)
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        u = x @ scaled + off
+        return np.concatenate([(x.T @ u - x_mean * u.sum()) * x_inv_std, [float(len(u))]])
+
+    out = _sum_partials(xy, fn, p, 0)
+    return out[:p] / out[-1]
+
+
+def gradient_binomial(
+    xy: DataFrame,
+    p: int,
+    coef: np.ndarray,
+    b0: float,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+) -> tuple[np.ndarray, float, float]:
+    """One pass -> (X~'(mu-y)/n, mean(mu-y), loglik): the O(p) logistic
+    gradient for the wide-p proximal path (no p² quadratic)."""
+    scaled = coef * x_inv_std
+    off = b0 - float(x_mean @ scaled)
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        yb = y[:, 0]
+        eta = x @ scaled + off
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        r = mu - yb
+        ll = np.sum(yb * eta - np.logaddexp(0.0, eta))
+        return np.concatenate(
+            [(x.T @ r - x_mean * r.sum()) * x_inv_std, [r.sum()], [ll], [float(len(r))]]
+        )
+
+    out = _sum_partials(xy, fn, p, 1)
+    n = out[-1]
+    return out[:p] / n, out[p] / n, out[p + 1]
+
+
+def gradient_multinomial(
+    xy: DataFrame,
+    p: int,
+    coefs: np.ndarray,  # (k, p) standardized scale
+    b0s: np.ndarray,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """One pass -> (X~'(P-Y)/n as (k,p), colmeans(P-Y), loglik); y
+    arrives one-hot (n, k)."""
+    k = coefs.shape[0]
+    scaled = coefs * x_inv_std[None, :]
+    offs = b0s - scaled @ x_mean
+
+    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+        eta = x @ scaled.T + offs
+        mx = eta.max(axis=1, keepdims=True)
+        e = np.exp(eta - mx)
+        P = e / e.sum(axis=1, keepdims=True)
+        R = P - y
+        G = (x.T @ R - np.outer(x_mean, R.sum(axis=0))) * x_inv_std[:, None]
+        ll = float(np.sum(y * np.log(np.maximum(P, 1e-300))))
+        return np.concatenate([G.T.ravel(), R.sum(axis=0), [ll], [float(len(eta))]])
+
+    out = _sum_partials(xy, fn, p, k)
+    n = out[-1]
+    return out[: k * p].reshape(k, p) / n, out[k * p : k * p + k] / n, out[k * p + k]
+
+
 def weighted_quadratic(
     xy: DataFrame,
     p: int,

@@ -73,3 +73,101 @@ def test_sparse_wide_runs(spark, sf_dir):
                         lambda_min_ratio=0.1)
     assert fit.beta.shape == (p, 4)
     assert np.all(np.isfinite(fit.beta))
+
+
+def test_sparse_binomial_matches_dense(spark, sf_dir):
+    """sgdnet_sparse(family='binomial') == dense IRLS fit on the same
+    hashed text features (reference saga-sparse.h serves every family;
+    test-sparse.R is the template)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    p = 64
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    dense = dense.withColumn("is_en", (F.col("lang") == "en").cast("string"))
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    sparse = sparse.withColumn("is_en", (F.col("lang") == "en").cast("string"))
+
+    lams = [0.05, 0.01]
+    dfit = sgdnet(dense, [f"x{i}" for i in range(p)], "is_en", family="binomial",
+                  alpha=1.0, lambdas=lams, thresh=1e-7)
+    sfit = sgdnet_sparse(sparse, "indices", "values", "is_en", p=p, family="binomial",
+                         alpha=1.0, lambdas=lams, thresh=1e-7, maxit=3000)
+    assert sfit.classnames == dfit.classnames
+    assert np.allclose(dfit.beta, sfit.beta, atol=2e-3)
+    assert np.allclose(dfit.a0, sfit.a0, atol=2e-3)
+    assert np.allclose(dfit.dev_ratio, sfit.dev_ratio, atol=1e-4)
+
+
+def test_sparse_multinomial_matches_dense(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 32
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "lang"])
+
+    lams = [0.05, 0.02]
+    dfit = sgdnet(dense, [f"x{i}" for i in range(p)], "lang", family="multinomial",
+                  alpha=1.0, lambdas=lams, thresh=1e-7)
+    sfit = sgdnet_sparse(sparse, "indices", "values", "lang", p=p, family="multinomial",
+                         alpha=1.0, lambdas=lams, thresh=1e-7, maxit=3000)
+    assert sfit.classnames == dfit.classnames
+    assert np.allclose(dfit.dev_ratio, sfit.dev_ratio, atol=1e-3)
+    # softmax has a level ambiguity only in intercepts (both recentered);
+    # coefficients should agree per class
+    assert np.allclose(dfit.beta, sfit.beta, atol=5e-3)
+
+
+def test_sparse_binomial_distributed_gradient(spark):
+    """grad_binomial / grad_multinomial sparse kernels == dense numpy."""
+    from sgdnet_spark.glm.sparse import SparseSparkXY, assemble_sparse
+
+    rng = np.random.default_rng(11)
+    n, p, k = 150, 20, 3
+    dense = np.zeros((n, p))
+    rows = []
+    for r in range(n):
+        nz = rng.choice(p, size=4, replace=False)
+        vals = rng.uniform(1, 2, size=4)
+        dense[r, nz] = vals
+        yc = int(rng.integers(k))
+        rows.append(([int(i) for i in sorted(nz)], [float(dense[r, i]) for i in sorted(nz)], float(yc)))
+    df = spark.createDataFrame(rows, "indices array<int>, vals array<double>, y double")
+    yv = np.array([r[2] for r in rows])
+    x_mean = dense.mean(0)
+    x_std = np.where(dense.std(0) > 0, dense.std(0), 1.0)
+    xs = (dense - x_mean) / x_std
+
+    prov = SparseSparkXY(assemble_sparse(df, "indices", "vals", "y"), p)
+    prov.set_standardization(x_mean, 1.0 / x_std)
+
+    # binomial kernel vs dense (binarize y)
+    yb = (yv > 0).astype(float)
+    dfb = spark.createDataFrame(
+        [(a, b, float(c)) for (a, b, _), c in zip(rows, yb)],
+        "indices array<int>, vals array<double>, y double",
+    )
+    pb = SparseSparkXY(assemble_sparse(dfb, "indices", "vals", "y"), p)
+    pb.set_standardization(x_mean, 1.0 / x_std)
+    coef = rng.normal(size=p) * 0.1
+    g, gb, ll = pb.grad_binomial(coef, 0.3)
+    eta = xs @ coef + 0.3
+    mu = 1 / (1 + np.exp(-eta))
+    assert np.allclose(g, xs.T @ (mu - yb) / n, atol=1e-10)
+    assert abs(gb - (mu - yb).mean()) < 1e-10
+    assert abs(ll - (np.sum(yb * eta - np.logaddexp(0.0, eta)))) < 1e-8
+
+    # multinomial kernel vs dense
+    coefs = rng.normal(size=(k, p)) * 0.1
+    b0s = np.array([0.1, -0.2, 0.1])
+    G, gbs, llm = prov.grad_multinomial(coefs, b0s)
+    eta = xs @ coefs.T + b0s
+    P = np.exp(eta - eta.max(1, keepdims=True))
+    P /= P.sum(1, keepdims=True)
+    Y = np.eye(k)[yv.astype(int)]
+    assert np.allclose(G, (P - Y).T @ xs / n, atol=1e-10)
+    assert np.allclose(gbs, (P - Y).mean(0), atol=1e-10)
+    assert abs(llm - np.sum(Y * np.log(P))) < 1e-8
+
+    # cov_vec kernel
+    v = rng.normal(size=p)
+    assert np.allclose(prov.cov_vec(v), xs.T @ (xs @ v) / n, atol=1e-10)
