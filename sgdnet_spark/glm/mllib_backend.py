@@ -4,8 +4,10 @@ MLlib's LinearRegression & LogisticRegression minimize the same
 glmnet-parameterized objective our native solver does
 (1/(2n)·RSS resp. -1/n·loglik + lam*(alpha*L1 + (1-alpha)/2*L2)),
 so coefficients at matching (lambda, alpha) agree to solver tolerance.
-Used in tests as an independent implementation; also available via
-``sgdnet(..., solver='mllib')`` for users who want JVM-side optimization.
+Used in tests as an independent implementation — call ``mllib_path()``
+directly for JVM-side optimization of a fixed lambda grid (it is not a
+``sgdnet(solver=...)`` option: it returns bare (a0, beta) arrays, not a
+full path fit).
 """
 
 from __future__ import annotations

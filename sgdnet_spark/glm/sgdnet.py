@@ -164,6 +164,11 @@ class SgdnetFit:
                 out = out.withColumn(f"{prefix}_{i}" if nl > 1 else prefix, e)
             return out
         # multivariate: one column per class/response (single s supported per call)
+        if s is not None and np.atleast_1d(np.asarray(s, dtype=float)).size > 1:
+            raise ValueError(
+                "multivariate predict needs a single s per call (got "
+                f"{np.atleast_1d(np.asarray(s, dtype=float)).size})"
+            )
         if nl != 1 and s is None and self.nlambda != 1:
             raise ValueError("multivariate predict needs a single s (or a 1-lambda fit)")
         k = cf.shape[0]
@@ -338,13 +343,20 @@ def sgdnet(
     Defaults mirror reference R/sgdnet.R:183 (sgdnet.default): alpha=1,
     nlambda=100, lambda.min.ratio = 0.01 if n<p else 1e-4, maxit=1000,
     standardize=TRUE, intercept=TRUE, thresh=1e-3.
+
+    Note: ``thresh`` is the reference's loose outer tolerance; the
+    deterministic batch solvers here tighten it (gaussian/mgaussian/
+    FISTA use min(thresh, 1e-6); iterative families floor it) and FISTA
+    floors ``maxit`` at 100 — a per-lambda proximal iteration is far
+    cheaper than a reference epoch, so the stricter settings keep the
+    documented accuracy without the SAGA-era cost model.
     """
     if family not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}")
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
     if lambdas is not None and np.any(np.asarray(lambdas) < 0):
-        raise ValueError("penalty strengths (lambdas) must be positive.")
+        raise ValueError("penalty strengths (lambdas) must be non-negative.")
     if thresh < 0:
         raise ValueError("threshold for stopping criteria cannot be negative.")
     if maxit <= 0:

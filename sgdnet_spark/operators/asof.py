@@ -47,7 +47,18 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = allrows
+    # carry ONE struct of all payload columns: the struct is non-null for
+    # every right row, so the LATEST matching row wins atomically even
+    # when individual payload fields are legitimately NULL (matching
+    # DuckDB ASOF JOIN semantics for nullable payloads). Carrying each
+    # column with its own last(ignorenulls) would leak an older row's
+    # value into a NULL field of the matched row.
+    pay = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(c + suffix).alias(c) for c in right_cols]),
+    )
+    carried = allrows.withColumn("__pay", F.last(pay, ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1)
     for c in right_cols:
-        carried = carried.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
-    return carried.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(c + suffix, F.col("__pay")[c])
+    return out.drop("__pay", "__side")

@@ -24,42 +24,77 @@ def approx_quantiles(
     return df.approxQuantile(col, probs, 1.0 / accuracy)
 
 
-class BloomFilter:
-    """Driver-held bitset built by a distributed pass (pyspark 4 has no
-    Python binding for the JVM bloom filter, so this builds one from
-    xxhash64 positions — same guarantees: no false negatives)."""
+# bit masks 1<<b as signed-64 literals (bit 63 wraps to the sign bit)
+_POW2 = [(1 << b) if b < 63 else (1 << 63) - (1 << 64) for b in range(64)]
 
-    def __init__(self, bits, m: int, k: int, seeds: list[int]):
-        self.bits = bits
+
+class BloomFilter:
+    """Packed-word bitset built by a distributed pass (pyspark 4 exposes
+    no Python binding for the JVM bloom filter; this mirrors its design:
+    per-task packed bitsets, OR-merged — the driver only ever holds
+    sketch-sized state, never per-row state. No false negatives.)"""
+
+    def __init__(self, words, m: int, k: int, seeds: list[int]):
+        self.words = words  # np.int64 array of m/64 packed words
         self.m = m
         self.k = k
         self.seeds = seeds
 
     def might_contain_col(self, col: Column) -> Column:
-        """JVM-side membership test against the (broadcast) literal bitset
-        packed as sorted array — via array_contains on each position."""
-        import pyspark.sql.functions as Fn
-
-        arr = Fn.lit(sorted(self.bits))
+        """JVM-side membership test: O(1) word lookups in the broadcast
+        literal word array (element_at + bitmask), one per hash."""
+        words = F.lit([int(w) for w in self.words])
+        masks = F.lit(_POW2)
         cond = None
         for s in self.seeds:
-            pos = Fn.pmod(Fn.xxhash64(col, Fn.lit(s)), Fn.lit(self.m))
-            c = Fn.array_contains(arr, pos)
+            pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(self.m))
+            word = F.element_at(words, (pos / 64).cast("int") + 1)
+            mask = F.element_at(masks, F.pmod(pos, 64).cast("int") + 1)
+            c = word.bitwiseAND(mask) != 0
             cond = c if cond is None else cond & c
         return cond
 
 
 def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> BloomFilter:
     """Build a Bloom pre-filter with one distributed pass (e.g. ship to
-    the probe side of a join to drop non-matching rows pre-shuffle)."""
+    the probe side of a join to drop non-matching rows pre-shuffle).
+
+    Each partition packs its hash positions into an m-bit numpy word
+    array; partials are OR-merged on the driver — the transfer is
+    #partitions × m/8 bytes, independent of row count (the same merge
+    shape as Spark's own BloomFilterAggregate)."""
     import math
 
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
     k = max(1, round(m / max(expected, 1) * math.log(2)))
     seeds = list(range(k))
+    n_words = m // 64
     pos_arr = F.array(*[F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m)) for s in seeds])
-    rows = df.select(F.explode(pos_arr).alias("pos")).distinct().collect()
-    return BloomFilter({int(r["pos"]) for r in rows}, m, k, seeds)
+    positions = df.select(F.explode(pos_arr).alias("pos"))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            p = pdf["pos"].to_numpy(dtype=np.uint64)
+            np.bitwise_or.at(acc, p // np.uint64(64), np.uint64(1) << (p % np.uint64(64)))
+        if seen:
+            yield pd.DataFrame({"words": [acc.view(np.int64).tolist()]})
+
+    parts = positions.mapInPandas(pack, schema="words array<long>").collect()
+    acc = np.zeros(n_words, dtype=np.int64)
+    for r in parts:
+        acc |= np.asarray(r["words"], dtype=np.int64)
+    return BloomFilter(acc, m, k, seeds)
 
 
 class CountMinSketch:

@@ -32,12 +32,16 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # oracle comparisons assume UTC timestamp semantics (duckdb is tz-naive)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # oracle comparisons assume UTC timestamp semantics (duckdb is tz-naive);
+    # only touch session conf when it actually differs (conf writes
+    # invalidate cached session state)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for: read nanos as long, truncate to micros (= duckdb's view)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -89,22 +93,27 @@ _FEATURE_STATS_ORACLE = "\nUNION ALL\n".join(
 
 @register("feature_stats", _FEATURE_STATS_ORACLE)
 def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standardization statistics (reference src/utils.h:Standardize)."""
+    """Standardization statistics (reference src/utils.h:Standardize).
+
+    ONE wide aggregation over ONE scan of lineitem (all 5×4 statistics
+    in a single agg row, stacked to long form) — never one scan branch
+    per feature."""
     f = feature_frame(spark, sf_dir)
-    parts = [
-        f.agg(
-            F.lit(c).alias("feature"),
-            F.round(F.avg(c), 4).alias("mean"),
-            F.round(F.stddev_pop(c), 4).alias("std"),
-            F.round(F.min(c), 4).alias("vmin"),
-            F.round(F.max(c), 4).alias("vmax"),
-        )
-        for c in FEATURE_NAMES
-    ]
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
-    return out
+    aggs = []
+    for i, c in enumerate(FEATURE_NAMES):
+        aggs += [
+            F.round(F.avg(c), 4).alias(f"mean_{i}"),
+            F.round(F.stddev_pop(c), 4).alias(f"std_{i}"),
+            F.round(F.min(c), 4).alias(f"min_{i}"),
+            F.round(F.max(c), 4).alias(f"max_{i}"),
+        ]
+    row = f.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', mean_{i}, std_{i}, min_{i}, max_{i}" for i, c in enumerate(FEATURE_NAMES)
+    )
+    return row.selectExpr(
+        f"stack({len(FEATURE_NAMES)}, {stack_expr}) AS (feature, mean, std, vmin, vmax)"
+    )
 
 
 # --- 2. gram_corr_matrix ---------------------------------------------------

@@ -108,3 +108,19 @@ def test_multimodal_plumbing(docs):
     assert rows[0]["width"] == rows[1]["width"]
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"bytes")
+
+
+def test_asof_null_payload_latest_row_wins(spark):
+    """A matched right row whose payload field is NULL must yield NULL,
+    not an older row's value (DuckDB ASOF JOIN semantics)."""
+    from sgdnet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L1")], "u int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 8, None)], "u int, ts int, v int"
+    )
+    out = asof_join(left, right, on="ts", by="u", right_cols=["v", "ts"]).collect()
+    assert len(out) == 1
+    # the ts=8 row is the as-of match; its v is legitimately NULL
+    assert out[0]["ts_r"] == 8
+    assert out[0]["v_r"] is None

@@ -62,3 +62,14 @@ def test_events_windowed_single_shuffle(spark, sf_dir):
     df = events_windowed(spark, sf_dir)
     # one partial+final aggregation: exactly one exchange
     assert I.shuffle_count(df) == 1
+
+
+def test_feature_stats_single_scan(spark, sf_dir):
+    """All 5x4 standardization statistics come from ONE scan of
+    lineitem (a scan branch per feature is a 5x read amplification at
+    100 TB)."""
+    from sgdnet_spark.queries import feature_stats
+
+    df = feature_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1

@@ -154,3 +154,16 @@ def test_cv_fold_moments_mgaussian_matches_generic(spark):
     slow = cv_sgdnet(df, ["x0", "x1", "x2"], ["ya", "yb"], use_fold_moments=False, **kw)
     for a, b in zip(fast.cv_summary, slow.cv_summary):
         assert np.isclose(a["mean"], b["mean"], rtol=1e-6)
+
+
+def test_multivariate_predict_rejects_multi_s(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(100, 3))
+    y = x @ rng.normal(size=(3, 2))
+    rows = [(*map(float, xi), float(a), float(b)) for xi, (a, b) in zip(x, y)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, ya double, yb double")
+    from sgdnet_spark.glm import sgdnet
+    fit = sgdnet(df, ["x0", "x1", "x2"], ["ya", "yb"], family="mgaussian", nlambda=5)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="single s"):
+        fit.predict(df, s=[float(fit.lambdas[0]), float(fit.lambdas[1])])
