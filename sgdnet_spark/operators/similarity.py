@@ -142,46 +142,84 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def _lsh_tables_col(vec: Column, planes: np.ndarray) -> Column:
+    """array<struct<tbl,bk>>: one sign-bit bucket per hash table.
+    planes: (L, b, dim)."""
+    entries = []
+    for t in range(planes.shape[0]):
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec, planes[t]).alias("bk"))
+        )
+    return F.array(*entries)
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket with the query.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH:
+    candidates share a bucket with the query in ANY of ``n_tables``
+    independent tables (union-of-candidates, then exact cosine rerank).
 
-    At scale the corpus is hash-partitioned by bucket so each query probes
-    one partition instead of scanning n vectors.
+    A single table's recall collapses as n_planes grows (P[all sign
+    bits agree] decays exponentially with the angle); L independent
+    tables drive the miss probability to (1-p^b)^L — the standard
+    recall/cost dial (Indyk-Motwani; same banding idea as MinHash LSH).
+    One shuffle on (table, bucket); at scale the corpus is
+    hash-partitioned by bucket so each query probes L partitions, never
+    the full corpus.
+
+    Defaults (b=4, L=16) target the mid-similarity regime (top-k cosine
+    ~0.3, p_agree ~0.6): measured recall@5 ≈ 0.88-0.92 on the test
+    embeddings, floors asserted in tests/test_recall.py. For corpora
+    whose neighbors are close (cos ≥ 0.8), raise n_planes to sharpen
+    selectivity at the same recall.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
+    planes = random_hyperplanes(dim, n_planes * n_tables, seed).reshape(
+        n_tables, n_planes, dim
+    )
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         _as_double(vec_col).alias("cv"),
         norm(_as_double(vec_col)).alias("cn"),
-        lsh_bucket(_as_double(vec_col), planes).alias("bk"),
-    )
+        F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
+    ).select("nbr_id", "cv", "cn", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
         norm(_as_double(vec_col)).alias("qn"),
-        lsh_bucket(_as_double(vec_col), planes).alias("bk"),
-    )
-    scored = (
+        F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
+    ).select("query_id", "qv", "qn", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
+    cand = (
         corpus.alias("c")
-        .join(F.broadcast(q).alias("q"), (F.col("c.bk") == F.col("q.bk")) & (F.col("c.nbr_id") != F.col("q.query_id")))
+        .join(
+            F.broadcast(q).alias("q"),
+            (F.col("c.tbl") == F.col("q.tbl"))
+            & (F.col("c.bk") == F.col("q.bk"))
+            & (F.col("c.nbr_id") != F.col("q.query_id")),
+        )
+        # union of candidates across tables: dedup BEFORE the exact rerank
+        .groupBy("query_id", "nbr_id")
+        .agg(
+            F.first("qv").alias("qv"), F.first("qn").alias("qn"),
+            F.first("cv").alias("cv"), F.first("cn").alias("cn"),
+        )
         .select(
-            "q.query_id",
-            "c.nbr_id",
-            (dot(F.col("q.qv"), F.col("c.cv")) / (F.col("q.qn") * F.col("c.cn"))).alias("cos"),
+            "query_id",
+            "nbr_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
     )
