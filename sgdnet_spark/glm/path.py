@@ -534,11 +534,21 @@ def binomial_path(
     # nothing is exactly zeroed, so the first point is a real fit
     # (reference R/sgdnet.R 'Relationship with glmnet').
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0
             losses.append([-ll_null / n])
             continue
+        # secant warm-start: extrapolate the solution curve from the two
+        # previous lambdas — most path points then converge in ONE IRLS
+        # pass instead of two+ (the passes are the entire fit cost)
+        if len(prev_sol) >= 2:
+            (l1, c1, i1), (l2, c2, i2) = prev_sol[-2], prev_sol[-1]
+            if l1 != l2:
+                r = (lam - l2) / (l2 - l1)
+                coef = c2 + r * (c2 - c1)
+                b0 = i2 + r * (i2 - i1)
         ll = ll_null
         lam_losses: list = []
         for _ in range(outer_maxit):
@@ -555,6 +565,9 @@ def binomial_path(
             coef, b0 = new_coef, new_b0
             if delta <= max(thresh, 1e-6) * scale:
                 break
+        prev_sol.append((float(lam), coef.copy(), float(b0)))
+        if len(prev_sol) > 2:
+            prev_sol.pop(0)
         losses.append(lam_losses)
         out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
         ob, oa0 = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
@@ -606,10 +619,18 @@ def multinomial_path(
     out_dfmat = np.zeros((k, nl), dtype=int)
     out_dr = np.zeros(nl)
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    prev_sol: list[tuple[float, np.ndarray, np.ndarray]] = []
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[:, i] = b0s - b0s.mean() if intercept else 0.0
             continue
+        # secant warm-start along the path (see binomial_path)
+        if len(prev_sol) >= 2:
+            (l1, c1, i1), (l2, c2, i2) = prev_sol[-2], prev_sol[-1]
+            if l1 != l2:
+                r = (lam - l2) / (l2 - l1)
+                coefs = c2 + r * (c2 - c1)
+                b0s = i2 + r * (i2 - i1)
         ll = ll_null
         for _ in range(outer_maxit):
             # ONE data pass yields every class's quadratic (block-diagonal
@@ -630,6 +651,9 @@ def multinomial_path(
                 b0s[c] = new_b0
             if max_delta <= max(thresh, 1e-6) * max_scale:
                 break
+        prev_sol.append((float(lam), coefs.copy(), b0s.copy()))
+        if len(prev_sol) > 2:
+            prev_sol.pop(0)
         out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
         for c in range(k):
             ob, _ = _unstandardize(coefs[c], x_mean, x_std, 0.0, intercept)

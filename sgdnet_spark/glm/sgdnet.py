@@ -130,9 +130,16 @@ class SgdnetFit:
 
         Built entirely from JVM column expressions (dot product over the
         named feature columns) — whole-stage-codegen'd, no Python UDF.
-        Types follow reference predict.sgdnet: link | response | class;
+        Types follow reference predict.sgdnet.R:105-118: link | response
+        | class return DataFrames; coefficients | nonzero return the
+        driver-side objects the reference returns (a coefficient matrix
+        resp. index lists — no data pass involved).
         ``exact=True`` refits at off-path s instead of interpolating.
         """
+        if type == "coefficients":
+            return self.coef(s)
+        if type == "nonzero":
+            return self.nonzero(s)
         if exact and s is not None:
             lam_set = set(np.atleast_1d(np.asarray(s, dtype=float)))
             if not lam_set <= set(self.lambdas):

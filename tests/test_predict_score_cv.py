@@ -167,3 +167,17 @@ def test_multivariate_predict_rejects_multi_s(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="single s"):
         fit.predict(df, s=[float(fit.lambdas[0]), float(fit.lambdas[1])])
+
+
+def test_predict_coefficients_and_nonzero_types(gauss_df):
+    """reference predict.sgdnet.R:105-118: predict(type='coefficients')
+    == coef(); predict(type='nonzero') == nonzero index lists."""
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=6)
+    cf = fit.predict(df, type="coefficients")
+    assert np.array_equal(cf, fit.coef())
+    s = float(fit.lambdas[2])
+    assert np.array_equal(fit.predict(df, s=s, type="coefficients"), fit.coef(s))
+    nz = fit.predict(df, type="nonzero")
+    assert nz == fit.nonzero()
+    assert nz[0] == []  # lambda_max kills everything
