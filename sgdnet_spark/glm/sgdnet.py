@@ -285,18 +285,37 @@ class SgdnetFit:
             lines.append(f"{i:>4} {self.df[i]:>4} {self.dev_ratio[i]:>10.4f} {self.lambdas[i]:>12.6g}")
         return "\n".join(lines)
 
-    def path_frame(self, spark) -> DataFrame:
-        """Tidy per-lambda summary (stand-in for reference plot.sgdnet)."""
-        rows = [
-            {
-                "s": int(i),
-                "lambda": float(self.lambdas[i]),
-                "df": int(self.df[i]),
-                "dev_ratio": float(self.dev_ratio[i]),
-            }
-            for i in range(self.nlambda)
-        ]
-        return spark.createDataFrame(rows, schema="s int, lambda double, df int, dev_ratio double")
+    def path_frame(self, spark, coef_digits: int = 4) -> DataFrame:
+        """Tidy per-lambda summary (stand-in for reference plot.sgdnet).
+
+        Includes the fitted values themselves — a0 and the coefficient
+        vector (flattened class-major for multivariate families),
+        rounded to ``coef_digits`` so the output is deterministic and
+        externally checkable, not just shape-stable."""
+        multi = self.family in ("multinomial", "mgaussian")
+        rows = []
+        for i in range(self.nlambda):
+            if multi:
+                a0 = [round(float(v), coef_digits) for v in self.a0[:, i]]
+                coefs = [round(float(v), coef_digits) for v in self.beta[:, :, i].ravel()]
+            else:
+                a0 = [round(float(self.a0[i]), coef_digits)]
+                coefs = [round(float(v), coef_digits) for v in self.beta[:, i]]
+            rows.append(
+                {
+                    "s": int(i),
+                    "lambda": float(self.lambdas[i]),
+                    "df": int(self.df[i]),
+                    "dev_ratio": float(self.dev_ratio[i]),
+                    "a0": a0,
+                    "coefs": coefs,
+                }
+            )
+        return spark.createDataFrame(
+            rows,
+            schema="s int, lambda double, df int, dev_ratio double, "
+                   "a0 array<double>, coefs array<double>",
+        )
 
 
 def _prepare_labels(df: DataFrame, label_col: str | Sequence[str], family: str):
