@@ -364,3 +364,102 @@ class SparseSparkXY:
         sum_yy = out[i : i + k]
         self.n = n
         return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)
+
+
+def predict_sparse(
+    fit,
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    s=None,
+    type: str = "link",
+    prefix: str = "pred",
+) -> DataFrame:
+    """predict() for (indices, values) sparse rows — the counterpart of
+    SgdnetFit.predict for wide-p fits, at nnz cost per row (reference
+    predict.sgdnet.R accepts sparse newx the same way).
+
+    Arrow-batched mapInPandas: per batch, eta[i] = a0 + sum over nnz of
+    beta[idx]·val (coefficients on the ORIGINAL data scale, interpolated
+    at off-path s exactly like the dense predict). All input columns are
+    passed through; prediction columns are appended.
+
+    Univariate families emit one column per requested lambda
+    (``prefix_{i}``, or ``prefix`` for a single one); multinomial needs
+    a single s and emits per-class columns (response) or one label
+    column (class).
+    """
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    fam = fit.family
+    cf = fit.coef(s) if s is not None else fit.coef()
+    multi = fam == "multinomial"
+    if fam == "mgaussian":
+        raise ValueError("predict_sparse supports gaussian, binomial, multinomial fits")
+    if multi and cf.shape[-1] != 1:
+        raise ValueError("multinomial predict_sparse needs a single s per call")
+
+    in_fields = list(df.schema.fields)
+    if not multi:
+        nl = cf.shape[-1]
+        names = [f"{prefix}_{i}" if nl > 1 else prefix for i in range(nl)]
+        if type == "class" and fam == "binomial":
+            out_fields = [StructField(n, StringType()) for n in names]
+        else:
+            out_fields = [StructField(n, DoubleType()) for n in names]
+    else:
+        classes = [str(c) for c in (fit.classnames or [])]
+        if type == "class":
+            out_fields = [StructField(prefix, StringType())]
+        else:
+            out_fields = [StructField(f"{prefix}_{c}", DoubleType()) for c in classes]
+    schema = StructType(in_fields + out_fields)
+    cls_labels = [str(c) for c in (fit.classnames or ["0", "1"])]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx_lists = pdf[idx_col].to_numpy()
+            val_lists = pdf[val_col].to_numpy()
+            lens = np.fromiter((len(a) for a in idx_lists), dtype=np.int64, count=len(idx_lists))
+            idx = (
+                np.concatenate([np.asarray(a, dtype=np.int64) for a in idx_lists])
+                if lens.sum() else np.zeros(0, dtype=np.int64)
+            )
+            val = (
+                np.concatenate([np.asarray(a, dtype=np.float64) for a in val_lists])
+                if lens.sum() else np.zeros(0)
+            )
+            rows = np.repeat(np.arange(len(lens)), lens)
+            out = pdf.copy()
+            if not multi:
+                for i in range(cf.shape[-1]):
+                    eta = np.full(len(pdf), float(cf[0, i]))
+                    np.add.at(eta, rows, val * cf[1:, i][idx])
+                    if fam == "binomial" and type == "response":
+                        col = 1.0 / (1.0 + np.exp(-eta))
+                    elif fam == "binomial" and type == "class":
+                        col = np.where(eta > 0, cls_labels[1], cls_labels[0])
+                    else:
+                        col = eta
+                    out[out_fields[i].name if cf.shape[-1] > 1 else prefix] = col
+            else:
+                k = cf.shape[0]
+                etas = np.tile(cf[:, 0, 0], (len(pdf), 1))  # (n, k) intercepts
+                for c in range(k):
+                    np.add.at(etas[:, c], rows, val * cf[c, 1:, 0][idx])
+                if type == "class":
+                    out[prefix] = np.asarray(cls_labels)[etas.argmax(axis=1)]
+                elif type == "response":
+                    m = etas.max(axis=1, keepdims=True)
+                    e = np.exp(etas - m)
+                    probs = e / e.sum(axis=1, keepdims=True)
+                    for c, name in enumerate(cls_labels):
+                        out[f"{prefix}_{name}"] = probs[:, c]
+                else:  # link
+                    for c, name in enumerate(cls_labels):
+                        out[f"{prefix}_{name}"] = etas[:, c]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

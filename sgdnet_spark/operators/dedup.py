@@ -63,17 +63,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
     """All-pairs word-k-gram Jaccard ≥ threshold via shingle inverted index.
 
     Shuffle pattern: one groupBy(shingle) for the index, one
     groupBy(pair) for intersection counts — document text never joins.
 
+    ``max_doc_freq`` is the skew valve (docs/SCALE.md): shingles present
+    in more than that fraction of documents are dropped before the
+    self-join, exactly like stopwords — a boilerplate shingle shared by
+    half the corpus would otherwise contribute (n/2)² join rows while
+    carrying no dedup signal. Jaccard is then computed on the reduced
+    shingle universe (consistently for both sides of every pair);
+    default None keeps the exact measure (the oracle baseline).
+
     The (small) pair output is materialized eagerly so the shingle
     frame's cache can be released before returning — near-dup pairs are
     bounded by the duplicate rate, the shingle index by corpus size.
     """
-    sh = shingle_sets(df, text_col, id_col, k).persist()
+    sh = shingle_sets(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        n_docs = df.select(id_col).distinct().count()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq * n_docs)
+            .select("shingle")
+        )
+        # the hot set is tiny by construction — broadcast anti-join
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

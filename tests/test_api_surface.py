@@ -70,3 +70,26 @@ def test_cv_predict_and_repr(fit_and_df, spark):
     assert "lambda_min" in repr(cv)
     assert "sgdnet fit" in repr(fit)
     assert "dev_ratio" in repr(fit)
+
+
+def test_dataset_analogs_fit_every_family(spark):
+    """The reference's bundled-dataset examples (man/sgdnet.Rd) run
+    verbatim on the dataset analogs (R/data.R -> sgdnet_spark.datasets)."""
+    from sgdnet_spark import datasets
+    from sgdnet_spark.glm import sgdnet
+
+    df, feats, y = datasets.abalone(spark)
+    fit = sgdnet(df, feats, y, alpha=0.0, lambdas=[1.0, 0.1])
+    assert fit.family == "gaussian" and fit.beta.shape == (5, 2)
+
+    df, feats, y = datasets.heart(spark)
+    fit = sgdnet(df, feats, y, family="binomial", alpha=0.5, nlambda=4, lambda_min_ratio=0.1)
+    assert fit.classnames == ["false", "true"]
+
+    df, feats, y = datasets.wine(spark)
+    fit = sgdnet(df, feats, y, family="multinomial", nlambda=4, lambda_min_ratio=0.1)
+    assert len(fit.classnames) == 3
+
+    df, feats, ys = datasets.student(spark)
+    fit = sgdnet(df, feats, ys, family="mgaussian", nlambda=4)
+    assert fit.beta.shape[0] == 2

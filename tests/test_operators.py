@@ -124,3 +124,19 @@ def test_asof_null_payload_latest_row_wins(spark):
     # the ts=8 row is the as-of match; its v is legitimately NULL
     assert out[0]["ts_r"] == 8
     assert out[0]["v_r"] is None
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """max_doc_freq drops corpus-wide boilerplate shingles (the skew
+    valve) while near-identical pairs are still found."""
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} unique filler text number {i} again {i}") for i in range(20)]
+    # docs 100/101 are true near-dups beyond the boilerplate
+    dup = "the quick brown fox jumps over the lazy dog every single day"
+    rows += [(100, f"{boiler} {dup}"), (101, f"{boiler} {dup} extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    # boilerplate-only overlap must NOT pair the filler docs
+    assert not any(a < 100 and b < 100 for a, b in pairs)

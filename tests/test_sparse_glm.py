@@ -171,3 +171,60 @@ def test_sparse_binomial_distributed_gradient(spark):
     # cov_vec kernel
     v = rng.normal(size=p)
     assert np.allclose(prov.cov_vec(v), xs.T @ (xs @ v) / n, atol=1e-10)
+
+
+def test_predict_sparse_matches_dense(spark, sf_dir):
+    """predict_sparse == SgdnetFit.predict on the same rows (link,
+    response, class; on-path and interpolated off-path s)."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.glm.sparse import predict_sparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 64
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    dense = dense.withColumn("is_en", (F.col("lang") == "en").cast("string"))
+    sparse = sparse.withColumn("is_en", (F.col("lang") == "en").cast("string"))
+
+    lams = [0.05, 0.01]
+    dfit = sgdnet(dense, [f"x{i}" for i in range(p)], "is_en", family="binomial",
+                  alpha=1.0, lambdas=lams, thresh=1e-7)
+    s_mid = (lams[0] + lams[1]) / 2  # off-path: exercises interpolation
+    for typ in ("link", "response"):
+        want = {
+            r["doc_id"]: r["pred"]
+            for r in dfit.predict(dense, s=s_mid, type=typ, prefix="pred").select("doc_id", "pred").collect()
+        }
+        got = {
+            r["doc_id"]: r["pred"]
+            for r in predict_sparse(dfit, sparse, "indices", "values", s=s_mid, type=typ).select("doc_id", "pred").collect()
+        }
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in want), typ
+    # class labels agree too
+    want_c = {r["doc_id"]: r["pred"] for r in dfit.predict(dense, s=lams[1], type="class", prefix="pred").select("doc_id", "pred").collect()}
+    got_c = {r["doc_id"]: r["pred"] for r in predict_sparse(dfit, sparse, "indices", "values", s=lams[1], type="class").select("doc_id", "pred").collect()}
+    assert got_c == want_c
+
+
+def test_predict_sparse_multinomial(spark, sf_dir):
+    from sgdnet_spark.glm.sparse import predict_sparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 32
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    lams = [0.05, 0.02]
+    fit = sgdnet(dense, [f"x{i}" for i in range(p)], "lang", family="multinomial",
+                 alpha=1.0, lambdas=lams, thresh=1e-7)
+    s = lams[1]
+    want = {r["doc_id"]: r["cls"] for r in fit.predict(dense, s=s, type="class", prefix="cls").select("doc_id", "cls").collect()}
+    got = {r["doc_id"]: r["cls"] for r in predict_sparse(fit, sparse, "indices", "values", s=s, type="class", prefix="cls").select("doc_id", "cls").collect()}
+    assert got == want
+    # response probabilities sum to 1
+    resp = predict_sparse(fit, sparse, "indices", "values", s=s, type="response").collect()
+    import numpy as _np
+    for r in resp[:10]:
+        tot = sum(r[f"pred_{c}"] for c in fit.classnames)
+        assert _np.isclose(tot, 1.0)
