@@ -57,6 +57,64 @@ def decode_real(payload: bytes) -> dict:  # pragma: no cover - gate for real lib
     )
 
 
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: a real deployment returns re-encoded
+    pixels; the stub returns a content-derived payload of the right
+    conceptual identity (same input -> same output)."""
+    h = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    return h * (1 + len(payload) // (4 * len(h)))
+
+
+def resize(media: DataFrame, width: int, height: int, batch_resize=resize_stub) -> DataFrame:
+    """Batch resize over mapInPandas: payload -> payload at (width,
+    height), metadata updated. The Spark-side shape — binary in/out per
+    Arrow batch, meta struct rebuilt — is exactly what a PIL/ffmpeg
+    kernel drops into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [batch_resize(bytes(p), width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "meta": [
+                        {"mime": m["mime"], "n_bytes": len(b)}
+                        for m, b in zip(pdf["meta"], out)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4, batch_decode=decode_stub) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per
+    sampled frame (doc_id, frame_idx, frame payload), evenly spaced
+    over the decoded frame count. The explode happens INSIDE the Arrow
+    batch (pure pandas), so the only Spark cost is the widened output —
+    the shape a real ffmpeg frame extractor needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                n = batch_decode(payload)["n_frames"]
+                take = min(max_frames, n)
+                # evenly spaced, deterministic frame indices
+                step = n / take
+                for j in range(take):
+                    fi = int(j * step)
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(hashlib.sha256(payload + bytes([fi])).digest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema="doc_id bigint, frame_idx bigint, frame binary")
+
+
 def extract_features(media: DataFrame, batch_decode=decode_stub) -> DataFrame:
     """mapInPandas decode + feature extraction over Arrow batches.
 

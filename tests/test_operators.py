@@ -140,3 +140,27 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert (100, 101) in pairs
     # boilerplate-only overlap must NOT pair the filler docs
     assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_multimodal_resize_and_frame_sampling(docs):
+    media = multimodal.attach_fake_media(docs)
+    n_docs = media.count()
+    resized = multimodal.resize(media, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == n_docs
+    assert {r["media_type"] for r in rows} == {"image"}
+    for r in rows[:5]:
+        assert r["meta"]["n_bytes"] == len(r["payload"])  # meta tracks new payload
+    # deterministic: same input -> same resized payload
+    again = {r["doc_id"]: bytes(r["payload"]) for r in multimodal.resize(media, 32, 32).collect()}
+    assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in rows)
+
+    frames = multimodal.sample_frames(media, max_frames=3)
+    fr = frames.collect()
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert set(per_doc) == {r["doc_id"] for r in rows}
+    for idxs in per_doc.values():
+        assert 1 <= len(idxs) <= 3
+        assert idxs == sorted(idxs)  # evenly spaced ascending
