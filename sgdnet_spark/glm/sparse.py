@@ -463,3 +463,107 @@ def predict_sparse(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def score_sparse(
+    fit,
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    label_col: str,
+    type_measure: str = "deviance",
+    s=None,
+) -> np.ndarray:
+    """score() for sparse rows: ONE predict_sparse pass emits every
+    lambda's prediction column, then a single JVM aggregation computes
+    the measure — same distributed shape as glm.score, nnz prediction
+    cost (reference R/score.R measures)."""
+    from sgdnet_spark.glm.score import PROB_MAX, PROB_MIN, auc_distributed
+
+    fam = fit.family
+    if fam == "binomial" and type_measure == "auc":
+        # one nnz predict pass emits every lambda's prob; histogram AUC
+        # per lambda over the (persisted) prediction frame
+        s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+        nl = len(s_arr)
+        pred = predict_sparse(fit, df, idx_col, val_col, s=s, type="response", prefix="p")
+        cls = fit.classnames
+        yb = F.when(F.col(label_col).cast("string") == F.lit(str(cls[1])), 1.0).otherwise(0.0)
+        pred = pred.withColumn("__yb", yb).persist()
+        try:
+            names = [f"p_{i}" if nl > 1 else "p" for i in range(nl)]
+            return np.array([auc_distributed(pred, n, "__yb") for n in names])
+        finally:
+            pred.unpersist()
+    if fam == "multinomial":
+        # per-lambda: class probabilities then measure, one pass per lambda
+        s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+        out = np.zeros(len(s_arr))
+        classes = [str(c) for c in fit.classnames]
+        for i, si in enumerate(s_arr):
+            typ = "response" if type_measure in ("deviance", "mse", "mae") else "class"
+            pred = predict_sparse(fit, df, idx_col, val_col, s=float(si), type=typ)
+            lbl = F.col(label_col).cast("string")
+            if type_measure == "deviance":
+                ptrue = None
+                for c in classes:
+                    ptrue = (
+                        F.when(lbl == F.lit(c), F.col(f"pred_{c}"))
+                        if ptrue is None
+                        else ptrue.when(lbl == F.lit(c), F.col(f"pred_{c}"))
+                    )
+                pc = F.least(F.greatest(ptrue, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+                expr = F.avg(F.lit(-2.0) * F.log(pc))
+            elif type_measure in ("mse", "mae"):
+                row = None
+                for c in classes:
+                    oh = F.when(lbl == F.lit(c), 1.0).otherwise(0.0)
+                    d = F.col(f"pred_{c}") - oh
+                    term = d * d if type_measure == "mse" else F.abs(d)
+                    row = term if row is None else row + term
+                expr = F.avg(row)
+            elif type_measure == "class":
+                expr = F.avg((F.col("pred") != lbl).cast("double"))
+            else:
+                raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
+            out[i] = pred.agg(expr.alias("m")).first()["m"]
+        return out
+
+    if fam not in ("gaussian", "binomial"):
+        raise ValueError("score_sparse supports gaussian, binomial, multinomial fits")
+    pred = predict_sparse(fit, df, idx_col, val_col, s=s, type="link", prefix="p")
+    s_arr = fit.lambdas if s is None else np.atleast_1d(s)
+    nl = len(s_arr)
+    names = [f"p_{i}" if nl > 1 else "p" for i in range(nl)]
+    if fam == "binomial":
+        cls = fit.classnames
+        y = F.when(F.col(label_col).cast("string") == F.lit(str(cls[1])), 1.0).otherwise(0.0)
+    else:
+        y = F.col(label_col).cast("double")
+    aggs = []
+    for i, n in enumerate(names):
+        eta = F.col(n)
+        if fam == "gaussian":
+            d = eta - y
+            if type_measure in ("deviance", "mse"):
+                expr = F.avg(d * d)
+            elif type_measure == "mae":
+                expr = F.avg(F.abs(d))
+            else:
+                raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
+        else:
+            prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            if type_measure == "deviance":
+                pc = F.least(F.greatest(prob, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+                expr = F.avg(F.lit(-2.0) * (y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc)))
+            elif type_measure == "mse":
+                expr = F.avg((prob - y) * (prob - y) * F.lit(2.0))
+            elif type_measure == "mae":
+                expr = F.avg(F.abs(prob - y) * F.lit(2.0))
+            elif type_measure == "class":
+                expr = F.avg(((prob > 0.5).cast("double") - y) * ((prob > 0.5).cast("double") - y))
+            else:
+                raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
+        aggs.append(expr.alias(f"m{i}"))
+    row = pred.agg(*aggs).first()
+    return np.array([row[f"m{i}"] for i in range(nl)])

@@ -228,3 +228,53 @@ def test_predict_sparse_multinomial(spark, sf_dir):
     for r in resp[:10]:
         tot = sum(r[f"pred_{c}"] for c in fit.classnames)
         assert _np.isclose(tot, 1.0)
+
+
+def test_score_sparse_matches_dense(spark, sf_dir):
+    """score_sparse == glm.score on the same rows, every measure."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.glm.score import score
+    from sgdnet_spark.glm.sparse import score_sparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 64
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "lang"])
+    dense = dense.withColumn("is_en", (F.col("lang") == "en").cast("string"))
+    sparse = sparse.withColumn("is_en", (F.col("lang") == "en").cast("string"))
+    lams = [0.05, 0.01]
+
+    bfit = sgdnet(dense, [f"x{i}" for i in range(p)], "is_en", family="binomial",
+                  alpha=1.0, lambdas=lams, thresh=1e-7)
+    for m in ("deviance", "mse", "mae", "class"):
+        want = score(bfit, dense, [f"x{i}" for i in range(p)], "is_en", m)
+        got = score_sparse(bfit, sparse, "indices", "values", "is_en", m)
+        assert np.allclose(got, want, rtol=1e-9), m
+
+    mfit = sgdnet(dense, [f"x{i}" for i in range(p)], "lang", family="multinomial",
+                  alpha=1.0, lambdas=lams, thresh=1e-7)
+    for m in ("deviance", "class"):
+        want = score(mfit, dense, [f"x{i}" for i in range(p)], "lang", m)
+        got = score_sparse(mfit, sparse, "indices", "values", "lang", m)
+        assert np.allclose(got, want, rtol=1e-8), m
+
+
+def test_score_sparse_auc_matches_dense(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.glm.score import score
+    from sgdnet_spark.glm.sparse import score_sparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 64
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id", "lang"]).withColumn(
+        "is_en", (F.col("lang") == "en").cast("string"))
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "lang"]).withColumn(
+        "is_en", (F.col("lang") == "en").cast("string"))
+    lams = [0.05, 0.01]
+    fit = sgdnet(dense, [f"x{i}" for i in range(p)], "is_en", family="binomial",
+                 alpha=1.0, lambdas=lams, thresh=1e-7)
+    want = score(fit, dense, [f"x{i}" for i in range(p)], "is_en", "auc")
+    got = score_sparse(fit, sparse, "indices", "values", "is_en", "auc")
+    assert np.all(np.abs(got - want) < 1e-3)
