@@ -314,6 +314,20 @@ def cv_sgdnet(
         finally:
             df.unpersist()
 
+    return summarize_cv(alphas, lam_lists, cv_raw, full_fits, type_measure, family)
+
+
+def summarize_cv(
+    alphas: list[float],
+    lam_lists: list[np.ndarray],
+    cv_raw: list[np.ndarray],
+    full_fits: list[SgdnetFit],
+    type_measure: str,
+    family: str,
+) -> CvSgdnetFit:
+    """cv_summary / lambda_min / lambda_1se / best-alpha selection from
+    per-(alpha, fold, lambda) raw scores — shared by the dense, the
+    fold-moment, and the sparse CV drivers (reference cv_sgdnet.R:250)."""
     cv_summary: list[dict] = []
     optima = []
     for a, lams, raw in zip(alphas, lam_lists, cv_raw):

@@ -567,3 +567,62 @@ def score_sparse(
         aggs.append(expr.alias(f"m{i}"))
     row = pred.agg(*aggs).first()
     return np.array([row[f"m{i}"] for i in range(nl)])
+
+
+def cv_sgdnet_sparse(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    label_col: str,
+    p: int,
+    family: str = "gaussian",
+    alpha=1.0,
+    lambdas=None,
+    nfolds: int = 10,
+    foldid_col: str | None = None,
+    type_measure: str = "deviance",
+    seed: int = 42,
+    **fit_kwargs,
+):
+    """k-fold CV on sparse (indices, values) rows — reference cv_sgdnet
+    accepts sparse x the same way (tests/testthat/test-sparse.R).
+
+    Same fold semantics and summary as cv_sgdnet (deterministic content
+    hash folds, per-fold path fits on the complement, scored on the
+    held-out fold with score_sparse — distributed end to end)."""
+    if nfolds <= 2:
+        raise ValueError("nfolds must be greater than 2")
+    alphas = [float(a) for a in (alpha if isinstance(alpha, (list, tuple, np.ndarray)) else [alpha])]
+
+    from sgdnet_spark.glm.cv import FOLD_COL, summarize_cv
+
+    if foldid_col is None:
+        fold_expr = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns]), F.lit(seed)), F.lit(nfolds)
+        ).cast("int")
+        df = df.withColumn(FOLD_COL, fold_expr)
+        foldid_col = FOLD_COL
+    df = df.persist()
+    try:
+        folds = sorted(r[0] for r in df.select(foldid_col).distinct().collect())
+        nfolds = len(folds)
+        full_fits = [
+            sgdnet_sparse(df, idx_col, val_col, label_col, p, family=family, alpha=a,
+                          lambdas=lambdas, **fit_kwargs)
+            for a in alphas
+        ]
+        lam_lists = [f.lambdas for f in full_fits]
+        cv_raw = []
+        for a, lams in zip(alphas, lam_lists):
+            raw = np.full((nfolds, len(lams)), np.nan)
+            for j, fold in enumerate(folds):
+                train = df.filter(F.col(foldid_col) != fold)
+                test = df.filter(F.col(foldid_col) == fold)
+                fit_j = sgdnet_sparse(train, idx_col, val_col, label_col, p, family=family,
+                                      alpha=a, lambdas=[float(x) for x in lams], **fit_kwargs)
+                raw[j, :] = score_sparse(fit_j, test, idx_col, val_col, label_col,
+                                         type_measure, s=lams)
+            cv_raw.append(raw)
+    finally:
+        df.unpersist()
+    return summarize_cv(alphas, lam_lists, cv_raw, full_fits, type_measure, family)

@@ -278,3 +278,35 @@ def test_score_sparse_auc_matches_dense(spark, sf_dir):
     want = score(fit, dense, [f"x{i}" for i in range(p)], "is_en", "auc")
     got = score_sparse(fit, sparse, "indices", "values", "is_en", "auc")
     assert np.all(np.abs(got - want) < 1e-3)
+
+
+def test_cv_sgdnet_sparse(spark, sf_dir):
+    """Sparse CV end-to-end (reference test-sparse.R + cv coverage):
+    structure invariants + agreement with dense CV on the same rows."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.glm.cv import cv_sgdnet
+    from sgdnet_spark.glm.sparse import cv_sgdnet_sparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 32
+    dense = hashed_token_features(docs, n_features=p, keep_cols=["doc_id"]).withColumn(
+        "fold", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
+    sparse = hashed_token_features_sparse(docs, n_features=p, keep_cols=["doc_id", "n_chars"]).withColumn(
+        "fold", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
+    # same label on both: n_chars
+    from sgdnet_spark.operators.features import hashed_token_features as _h
+    dense = _h(docs, n_features=p, keep_cols=["doc_id", "n_chars"]).withColumn(
+        "fold", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
+
+    lams = [2.0, 0.5, 0.1]
+    cvs = cv_sgdnet_sparse(sparse, "indices", "values", "n_chars", p=p, alpha=1.0,
+                           lambdas=lams, nfolds=3, foldid_col="fold",
+                           type_measure="mse", thresh=1e-7)
+    cvd = cv_sgdnet(dense, [f"x{i}" for i in range(p)], "n_chars", alpha=1.0,
+                    lambdas=lams, nfolds=3, foldid_col="fold", type_measure="mse",
+                    use_fold_moments=False, solver="fista", thresh=1e-7)
+    assert np.isclose(cvs.lambda_min, cvd.lambda_min)
+    for a, b in zip(cvs.cv_summary, cvd.cv_summary):
+        assert np.isclose(a["mean"], b["mean"], rtol=1e-4), (a, b)
+    assert cvs.lambda_1se >= cvs.lambda_min
