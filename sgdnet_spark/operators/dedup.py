@@ -40,8 +40,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) distinct word-k-gram pairs.
+def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) — the distinct word-k-grams of each
+    document as ONE array column (pure per-row expressions, no shuffle).
 
     Tokens are materialized as a column BEFORE the per-shingle lambda so
     the normalize+split expression is evaluated once per row, not once
@@ -53,8 +54,14 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
         F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
-    # per-doc dedup happens map-side (array_distinct) — no shuffle needed
-    return toks.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return toks.select("id", F.array_distinct(sh).alias("shingles"))
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) distinct word-k-gram pairs (exploded long form)."""
+    return shingle_array(df, text_col, id_col, k).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -115,6 +122,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def band_keys(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, bk) LSH band keys, computed PER ROW — zero shuffles.
+
+    signature[h] = array_min over the document's shingle array of
+    xxhash64(shingle, seed=h) (identical values to a groupBy(min) over
+    exploded shingles, without the exchange); band key = hash of the
+    band's signature entries. Long format so ONE self-join (batch) or
+    ONE stateful groupBy (streaming) covers every band — and because
+    everything is a stateless column expression, the same code runs on
+    a Structured Streaming frame (streaming/dedup_stream.py).
+
+    Documents with no shingles (< k tokens) produce no band keys, as in
+    the exploded formulation.
+    """
+    rows_per_band = num_hashes // bands
+    sa = shingle_array(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+
+    def _minhash(h: int) -> F.Column:
+        # NOTE: the transform lambda must be single-argument — a second
+        # parameter would be interpreted as the element INDEX by Spark
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(h))))
+
+    hs = [_minhash(h) for h in range(num_hashes)]
+    sig = sa.select("id", *[h.alias(f"h{i}") for i, h in enumerate(hs)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -135,26 +187,10 @@ def minhash_lsh_pairs(
     ~n·num_hashes, not with the square of bucket sizes (near-dup sets
     are small by construction at sane thresholds).
     """
-    rows_per_band = num_hashes // bands
     sh = shingle_sets(df, text_col, id_col, k).persist()
-    sig = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}") for h in range(num_hashes)]
-    )
-    # long format (id, band, bucket): ONE self-join on (band, bucket)
-    # instead of `bands` separate joins, so the signature aggregation is
-    # computed exactly once.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
-    )
+    # band keys come from the per-row (shuffle-free) signature path; the
+    # exploded shingle frame is only needed for candidate verification
+    banded = band_keys(df, num_hashes, bands, text_col, id_col, k)
     cand = (
         banded.alias("a")
         .join(

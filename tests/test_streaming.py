@@ -32,3 +32,37 @@ def test_stream_sessionize(spark, sf_dir):
     for r in rows:
         stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + 1
     assert stream_counts == batch
+
+
+def test_streaming_near_dup_candidates_match_batch(spark, sf_dir):
+    """Stateful MinHash LSH over a document stream: the union of pairs
+    emitted across the stream == the batch candidate set
+    (dedup.minhash_lsh_pairs(verify=False)) on the same corpus."""
+    import shutil
+    import tempfile
+
+    from sgdnet_spark.operators import dedup
+    from sgdnet_spark.streaming.dedup_stream import near_dup_candidates
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    docs_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_static.schema).format("parquet").load(stage)
+    assert stream.isStreaming
+
+    out = near_dup_candidates(stream)
+    q = out.writeStream.outputMode("update").format("memory").queryName("nd_cand").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM nd_cand").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs_static, verify=False).collect()
+    }
+    assert got == want
+    assert len(got) > 0
