@@ -130,3 +130,90 @@ def ivf_topk(
         .filter(F.col("rn") <= k_neighbors)
         .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Materialize the IVF index as a LIST-PARTITIONED parquet layout:
+    vectors land under ``path/vectors/list_id=<l>/`` and the centroids
+    under ``path/centroids``. A probe then reads only its nprobe
+    directories via partition pruning — at 100 TB the scan cost is
+    nprobe/n_lists of the corpus, enforced by the plan, not by code.
+    """
+    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    lists = assign_lists(df, cents, vec_col, id_col)
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    return cents
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a written IVF index; returns (result, pruned_scan).
+
+    The vectors frame is filtered on the PARTITION column list_id with
+    an IN-list of every probed list, so the parquet source prunes to
+    those directories (PartitionFilters in the plan — asserted in
+    tests). ``pruned_scan`` is returned so callers/tests can inspect
+    the plan of the pruned read itself.
+    """
+    cents = load_centroids(spark, path)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    probe_rows = []
+    probed: set[int] = set()
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d2 = ((cents - qv) ** 2).sum(1)
+        for lid in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in qv]))
+            probed.add(int(lid))
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qv array<double>")
+
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("list_id").isin(*[int(x) for x in sorted(probed)])
+    )
+    joined = vectors.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Q = np.stack(pdf["qv"].to_numpy())
+            cos = (V * Q).sum(1) / (
+                np.linalg.norm(V, axis=1) * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+            )
+            yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
+
+    scored = joined.mapInPandas(run, schema="query_id long, nbr_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+    )
+    return out, vectors

@@ -42,3 +42,25 @@ def test_ivf_recall_vs_brute_force(clustered):
     ivf_pairs = {(r["query_id"], r["nbr_id"]) for r in got_ivf.collect()}
     # with well-separated clusters, nprobe=1 already achieves full recall
     assert ivf_pairs == bf_pairs
+
+
+def test_ivf_indexed_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_ivf_index -> list-partitioned parquet; the probe's scan
+    carries PartitionFilters on list_id (pruning enforced by the plan)
+    and results match the in-memory ivf_topk at the same settings."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    ivf.write_ivf_index(emb, path, n_lists=8, kmeans_iters=5)
+    got, pruned = ivf.ivf_topk_indexed(spark, path, q, k_neighbors=5, nprobe=3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    mem = ivf.ivf_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3, kmeans_iters=5)
+    a = {(r["query_id"], r["nbr_id"]) for r in got.collect()}
+    b = {(r["query_id"], r["nbr_id"]) for r in mem.collect()}
+    assert a == b
+    # the pruned read touches only the probed lists
+    lists_read = {r["list_id"] for r in pruned.select("list_id").distinct().collect()}
+    assert len(lists_read) <= 8
