@@ -73,3 +73,26 @@ def test_feature_stats_single_scan(spark, sf_dir):
     df = feature_stats(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_single_shuffle_aggregations(spark, sf_dir):
+    """Scale guardrail: these queries are one-exchange shapes — a
+    refactor that adds a shuffle is a 100 TB regression even when
+    results stay correct."""
+    from sgdnet_spark.queries import (
+        events_sessionize,
+        q1_pricing_summary,
+        quantile_prices,
+        running_customer_total,
+    )
+
+    for fn in (q1_pricing_summary, events_sessionize, quantile_prices, running_customer_total):
+        assert I.shuffle_count(fn(spark, sf_dir)) <= 1, fn.__name__
+
+
+def test_text_ops_zero_shuffle(spark, sf_dir):
+    """Per-document text operators are pure narrow scans."""
+    from sgdnet_spark.queries import text_quality, text_fingerprint, text_token_count
+
+    for fn in (text_quality, text_fingerprint, text_token_count):
+        assert I.shuffle_count(fn(spark, sf_dir)) == 0, fn.__name__
