@@ -147,3 +147,95 @@ class OnlineGaussianPath:
             _MomOnly, self.alpha, nlambda=self.nlambda,
             lambda_min_ratio=self.lambda_min_ratio, mom=self.moments,
         )
+
+
+class OnlineMultinomial:
+    """Streaming softmax regression: one damped block-Newton step per
+    micro-batch — the k-class sibling of OnlineBinomial.
+
+    Each batch contributes every class's local IRLS quadratic in ONE
+    pass (suffstats.weighted_quadratic_multinomial_all on just that
+    batch); all class coefficients take a damped penalized-WLS step.
+    Classes must be declared up front (a stream can't sort labels it
+    has not seen yet) — matching the reference's factor-level contract.
+    """
+
+    def __init__(self, feature_cols: Sequence[str], label_col: str, classes: Sequence,
+                 lam: float = 0.0, alpha: float = 1.0, step: float = 0.7,
+                 intercept: bool = True):
+        import numpy as np
+
+        self.feature_cols = list(feature_cols)
+        self.label_col = label_col
+        self.classes = list(classes)
+        self.lam = lam
+        self.alpha = alpha
+        self.step = step
+        self.intercept = intercept
+        self.moments: Moments | None = None
+        p, k = len(self.feature_cols), len(self.classes)
+        self.coefs = np.zeros((k, p))
+        self.b0s = np.zeros(k)
+        self.n_batches = 0
+
+    def update(self, batch_df: DataFrame) -> None:
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from sgdnet_spark.glm.solvers import wls_enet_cd
+
+        p, k = len(self.feature_cols), len(self.classes)
+        onehot = [
+            F.when(F.col(self.label_col) == F.lit(c), 1.0).otherwise(0.0) for c in self.classes
+        ]
+        xy = suffstats.assemble(batch_df, self.feature_cols, onehot)
+        prov = SparkXY(xy, p, k)
+        try:
+            mom = prov.moments()
+        except ValueError:  # empty batch
+            return
+        if self.moments is None:
+            self.moments = mom
+        else:
+            a = self.moments
+            self.moments = Moments(
+                n=a.n + mom.n, sum_x=a.sum_x + mom.sum_x, sum_y=a.sum_y + mom.sum_y,
+                sum_xx=a.sum_xx + mom.sum_xx, sum_xy=a.sum_xy + mom.sum_xy,
+                sum_yy=a.sum_yy + mom.sum_yy,
+            )
+        m = self.moments
+        x_mean = m.x_mean
+        x_std = np.where(m.x_std() > 0, m.x_std(), 1.0)
+        prov.set_standardization(x_mean, 1.0 / x_std)
+        stats, _ = prov.irls_multinomial_all(self.coefs, self.b0s)
+        for c in range(k):
+            sw, swx, swxx, swxz, swz = stats[c]
+            new_coef, new_b0, _ = wls_enet_cd(
+                sw, swx, swxx, swxz, swz, mom.n, self.lam, self.alpha,
+                self.coefs[c], float(self.b0s[c]), self.intercept,
+            )
+            self.coefs[c] = self.coefs[c] + self.step * (new_coef - self.coefs[c])
+            self.b0s[c] = self.b0s[c] + self.step * (new_b0 - self.b0s[c])
+        self._x_mean, self._x_std = x_mean, x_std
+        self.n_batches += 1
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.update(batch_df)
+
+    def coefficients(self):
+        """(a0s (k,), coefs (k, p)) on the ORIGINAL feature scale,
+        intercepts recentred to sum to zero (reference R/sgdnet.R:409)."""
+        import numpy as np
+
+        B = self.coefs / self._x_std[None, :]
+        a0 = self.b0s - B @ self._x_mean if self.intercept else np.zeros(len(self.classes))
+        if self.intercept:
+            a0 = a0 - a0.mean()
+        return a0, B
+
+    def predict_class_np(self, x) -> list:
+        import numpy as np
+
+        a0, B = self.coefficients()
+        eta = np.asarray(x, dtype=float) @ B.T + a0
+        return [self.classes[i] for i in eta.argmax(axis=1)]

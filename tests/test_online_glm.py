@@ -82,3 +82,46 @@ def test_online_via_streaming_sink(spark, sf_dir, tmp_path):
         alpha=1.0, nlambda=8, lambda_min_ratio=1e-3,
     )
     assert np.allclose(inc.beta, full.beta, rtol=1e-6, atol=1e-9)
+
+
+def test_online_multinomial_converges_to_batch(spark):
+    """Damped block-Newton micro-batch updates approach the batch
+    multinomial MLE on a stationary stream."""
+    import numpy as np
+
+    from sgdnet_spark.glm import sgdnet
+    from sgdnet_spark.streaming.online_glm import OnlineMultinomial
+
+    rng = np.random.default_rng(59)
+    n, p, k = 1200, 3, 3
+    x = rng.normal(size=(n, p))
+    W = np.array([[1.5, -1.0, 0.0], [-0.5, 1.0, -0.5], [0.0, 0.5, 1.0]])
+    eta = x @ W
+    pr = np.exp(eta - eta.max(1, keepdims=True))
+    pr /= pr.sum(1, keepdims=True)
+    yi = np.array([rng.choice(k, p=pi) for pi in pr])
+    names = np.array(["a", "b", "c"])
+    cols = [f"x{i}" for i in range(p)]
+    rows = [(*map(float, xi), str(names[c])) for xi, c in zip(x, yi)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y string")
+
+    online = OnlineMultinomial(cols, "y", classes=["a", "b", "c"], lam=0.01, alpha=0.0)
+    # simulate 6 micro-batches, two passes over the stream
+    batches = [df.filter(F.pmod(F.xxhash64("x0"), F.lit(3)) == i) for i in range(3)]
+    for _ in range(2):
+        for b in batches:
+            online.update(b)
+    assert online.n_batches == 6
+
+    batch_fit = sgdnet(df, cols, "y", family="multinomial", alpha=0.0, lambdas=[0.01],
+                       thresh=1e-8)
+    a0_o, B_o = online.coefficients()
+    a0_b = batch_fit.a0[:, 0]
+    B_b = batch_fit.beta[:, :, 0]
+    # within the MLE neighborhood (damped online steps, not exact)
+    assert np.max(np.abs(B_o - B_b)) < 0.25
+    # and predictions agree on the vast majority of points
+    pred_o = np.array(online.predict_class_np(x))
+    pred_b = np.asarray(batch_fit.predict_np(x, s=0.01, type="class")).reshape(-1)
+    agree = (pred_o == pred_b).mean()
+    assert agree > 0.95
