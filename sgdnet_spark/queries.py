@@ -1051,8 +1051,18 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_meta")
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing chain: attach binary payloads →
+    batch decode/feature-extract → frame sampling, joined per doc (the
+    decode itself is the declared deterministic stub; the Spark-side
+    schema/batch/explode shapes are real)."""
     media = multimodal.attach_fake_media(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    frames = (
+        multimodal.sample_frames(media, max_frames=4)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sampled_frames"))
+    )
+    return feats.join(frames, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1250,13 +1260,23 @@ def glm_predict_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("glm_predict_class")
 def glm_predict_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict(type='class') + per-class response-probability summary —
+    one row per (predicted class), with count and rounded mean
+    P(class=1), so the rows-only check pins real values, not just a
+    label histogram."""
     from sgdnet_spark.glm import sgdnet
 
     f = feature_frame(spark, sf_dir).withColumn("is_return", (F.col("l_returnflag") == "R").cast("string"))
     fit = sgdnet(f, FEATURE_NAMES, "is_return", family="binomial", alpha=0.5, nlambda=20,
                  lambda_min_ratio=1e-2)
-    pred = fit.predict(f, s=float(fit.lambdas[-1]), type="class", prefix="cls")
-    return pred.groupBy("cls").agg(F.count("*").alias("n"))
+    s = float(fit.lambdas[-1])
+    pred = fit.predict(f, s=s, type="class", prefix="cls")
+    pred = fit.predict(pred, s=s, type="response", prefix="prob")
+    return (
+        pred.groupBy("cls")
+        .agg(F.count("*").alias("n"), F.round(F.avg("prob"), 4).alias("avg_prob"))
+        .orderBy("cls")
+    )
 
 
 _GLM_SCORE_ORACLE = f"""
