@@ -286,35 +286,46 @@ class SgdnetFit:
         return "\n".join(lines)
 
     def path_frame(self, spark, coef_digits: int = 4) -> DataFrame:
-        """Tidy per-lambda summary (stand-in for reference plot.sgdnet).
+        """Tidy long-format path summary (stand-in for reference
+        plot.sgdnet): one row per (s, class, feature) with the fitted
+        coefficient value, plus the intercept as feature
+        ``(Intercept)``.
 
-        Includes the fitted values themselves — a0 and the coefficient
-        vector (flattened class-major for multivariate families),
-        rounded to ``coef_digits`` so the output is deterministic and
-        externally checkable, not just shape-stable."""
+        Scalar columns only — external harnesses sort/hash cell values,
+        so array-typed cells are forbidden here. Values are rounded
+        (coef to ``coef_digits``, lambda/dev_ratio to 6) so the output
+        is deterministic across runs, not just shape-stable."""
+        if self.family == "multinomial":
+            groups = [str(c) for c in (self.classnames or range(self.a0.shape[0]))]
+        elif self.family == "mgaussian":
+            groups = [str(c) for c in (self.response_names or range(self.a0.shape[0]))]
+        elif self.family == "binomial":
+            groups = [str(self.classnames[1]) if self.classnames else "y"]
+        else:
+            groups = ["y"]
         multi = self.family in ("multinomial", "mgaussian")
+        feats = list(self.feature_names)
         rows = []
         for i in range(self.nlambda):
-            if multi:
-                a0 = [round(float(v), coef_digits) for v in self.a0[:, i]]
-                coefs = [round(float(v), coef_digits) for v in self.beta[:, :, i].ravel()]
-            else:
-                a0 = [round(float(self.a0[i]), coef_digits)]
-                coefs = [round(float(v), coef_digits) for v in self.beta[:, i]]
-            rows.append(
-                {
+            for c, cls in enumerate(groups):
+                a0 = self.a0[c, i] if multi else self.a0[i]
+                bvec = self.beta[c, :, i] if multi else self.beta[:, i]
+                base = {
                     "s": int(i),
-                    "lambda": float(self.lambdas[i]),
+                    "lambda": round(float(self.lambdas[i]), 6),
                     "df": int(self.df[i]),
-                    "dev_ratio": float(self.dev_ratio[i]),
-                    "a0": a0,
-                    "coefs": coefs,
+                    "dev_ratio": round(float(self.dev_ratio[i]), 6),
+                    "class": cls,
                 }
-            )
+                rows.append(dict(base, feature="(Intercept)",
+                                 coef=round(float(a0), coef_digits)))
+                for j, name in enumerate(feats):
+                    rows.append(dict(base, feature=name,
+                                     coef=round(float(bvec[j]), coef_digits)))
         return spark.createDataFrame(
             rows,
             schema="s int, lambda double, df int, dev_ratio double, "
-                   "a0 array<double>, coefs array<double>",
+                   "class string, feature string, coef double",
         )
 
 

@@ -1260,23 +1260,35 @@ def glm_predict_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("glm_predict_class")
 def glm_predict_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """predict(type='class') + per-class response-probability summary —
-    one row per (predicted class), with count and rounded mean
-    P(class=1), so the rows-only check pins real values, not just a
-    label histogram."""
+    """predict(type='class') confusion summary at THREE path points
+    including lambda_max (reference test-predictions.R checks class
+    output against known labels). Grouping by (s, actual, predicted)
+    forces both true classes into the output at every s — at s=0
+    (lambda_max) the intercept-only model must predict the majority
+    class for every row, a known, pinned outcome; deeper in the path
+    both predicted classes appear. One row per (s, actual, predicted)
+    with count and rounded mean P(class=1)."""
     from sgdnet_spark.glm import sgdnet
 
     f = feature_frame(spark, sf_dir).withColumn("is_return", (F.col("l_returnflag") == "R").cast("string"))
     fit = sgdnet(f, FEATURE_NAMES, "is_return", family="binomial", alpha=0.5, nlambda=20,
                  lambda_min_ratio=1e-2)
-    s = float(fit.lambdas[-1])
-    pred = fit.predict(f, s=s, type="class", prefix="cls")
-    pred = fit.predict(pred, s=s, type="response", prefix="prob")
-    return (
-        pred.groupBy("cls")
-        .agg(F.count("*").alias("n"), F.round(F.avg("prob"), 4).alias("avg_prob"))
-        .orderBy("cls")
-    )
+    parts = []
+    for s_idx in (0, fit.nlambda // 2, fit.nlambda - 1):
+        s = float(fit.lambdas[s_idx])
+        pred = fit.predict(f, s=s, type="class", prefix="cls")
+        pred = fit.predict(pred, s=s, type="response", prefix="prob")
+        parts.append(
+            pred.groupBy(
+                F.lit(int(s_idx)).alias("s"),
+                F.col("is_return").alias("actual"),
+                F.col("cls").alias("predicted"),
+            ).agg(F.count("*").alias("n"), F.round(F.avg("prob"), 4).alias("avg_prob"))
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("s", "actual", "predicted")
 
 
 _GLM_SCORE_ORACLE = f"""

@@ -22,6 +22,25 @@ def test_inventory_consistency():
         assert "SELECT" in sql.upper(), name
 
 
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """The correctness driver canonicalizes query output with a pandas
+    sort/hash — array/map/struct cells are unhashable and turn a working
+    query into a hard err row. Every registered query must emit scalar
+    columns only (this is what broke 4 GLM path queries in round 2)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in E.queries().items():
+        schema = fn(spark, sf_dir).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed output columns break the driver: {bad}"
+
+
 def test_survey_lists_every_query():
     with open("/root/repo/SURVEY.md") as fh:
         survey = fh.read()
