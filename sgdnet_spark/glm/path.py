@@ -535,6 +535,7 @@ def binomial_path(
     # (reference R/sgdnet.R 'Relationship with glmnet').
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
     prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
+    prev_stats = None  # last IRLS quadratic, anchored at the previous solution
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0
@@ -549,10 +550,19 @@ def binomial_path(
                 r = (lam - l2) / (l2 - l1)
                 coef = c2 + r * (c2 - c1)
                 b0 = i2 + r * (i2 - i1)
+        # prox-Newton warm start: re-solve the NEW lambda on the stale
+        # quadratic from the previous one (driver-side only, no data
+        # pass) — the refresh pass below then usually confirms in one go
+        if prev_stats is not None:
+            coef, b0, _ = wls_enet_cd(
+                *prev_stats, n, lam, alpha, coef, b0, intercept,
+                tol=thresh, maxit=maxit,
+            )
         ll = ll_null
         lam_losses: list = []
         for _ in range(outer_maxit):
             sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
+            prev_stats = (sw, swx, swxx, swxz, swz)
             lam_losses.append(
                 -ll / n + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
             )
@@ -631,6 +641,10 @@ def multinomial_path(
                 r = (lam - l2) / (l2 - l1)
                 coefs = c2 + r * (c2 - c1)
                 b0s = i2 + r * (i2 - i1)
+        # NOTE: the binomial-style prox-Newton warm start on stale
+        # quadratics measurably HURTS here (block-diagonal class
+        # quadratics overshoot when cross-class terms are frozen), so
+        # multinomial keeps the secant start only.
         ll = ll_null
         for _ in range(outer_maxit):
             # ONE data pass yields every class's quadratic (block-diagonal

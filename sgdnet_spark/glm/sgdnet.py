@@ -304,26 +304,26 @@ class SgdnetFit:
         else:
             groups = ["y"]
         multi = self.family in ("multinomial", "mgaussian")
-        feats = list(self.feature_names)
-        rows = []
+        feats = ["(Intercept)"] + list(self.feature_names)
+        import pandas as pd
+
+        cols = {k: [] for k in ("s", "lambda", "df", "dev_ratio", "class", "feature", "coef")}
+        nf = len(feats)
         for i in range(self.nlambda):
             for c, cls in enumerate(groups):
                 a0 = self.a0[c, i] if multi else self.a0[i]
                 bvec = self.beta[c, :, i] if multi else self.beta[:, i]
-                base = {
-                    "s": int(i),
-                    "lambda": round(float(self.lambdas[i]), 6),
-                    "df": int(self.df[i]),
-                    "dev_ratio": round(float(self.dev_ratio[i]), 6),
-                    "class": cls,
-                }
-                rows.append(dict(base, feature="(Intercept)",
-                                 coef=round(float(a0), coef_digits)))
-                for j, name in enumerate(feats):
-                    rows.append(dict(base, feature=name,
-                                     coef=round(float(bvec[j]), coef_digits)))
+                cols["s"] += [int(i)] * nf
+                cols["lambda"] += [round(float(self.lambdas[i]), 6)] * nf
+                cols["df"] += [int(self.df[i])] * nf
+                cols["dev_ratio"] += [round(float(self.dev_ratio[i]), 6)] * nf
+                cols["class"] += [cls] * nf
+                cols["feature"] += feats
+                cols["coef"] += [round(float(v), coef_digits) for v in (a0, *bvec)]
+        # pandas in, Arrow out — orders of magnitude cheaper than a
+        # row-at-a-time local relation for the wide (e.g. embedding) fits
         return spark.createDataFrame(
-            rows,
+            pd.DataFrame(cols),
             schema="s int, lambda double, df int, dev_ratio double, "
                    "class string, feature string, coef double",
         )
@@ -356,6 +356,60 @@ def _prepare_labels(df: DataFrame, label_col: str | Sequence[str], family: str):
         exprs = [F.when(F.col(label_col) == F.lit(c), 1.0).otherwise(0.0) for c in classes]
         return exprs, classes, None
     raise ValueError(f"unknown family: {family}")
+
+
+def _validate_classes(classes, family: str):
+    if family == "binomial":
+        if len(classes) > 2:
+            raise ValueError("more than two classes in response. Are you looking for family = 'multinomial'?")
+        if len(classes) < 2:
+            raise ValueError("only one class in response.")
+    else:
+        if len(classes) == 2:
+            raise ValueError("only two classes in response. Are you looking for family = 'binomial'?")
+        if len(classes) < 2:
+            raise ValueError("only one class in response.")
+
+
+def _local_classification(df, feature_exprs, label_col: str, family: str,
+                          collect_max_cells: float, p: int):
+    """Single-collect driver fast path for binomial/multinomial.
+
+    The standard path spends one scan finding the class labels
+    (distinct), one on moments, and one collecting X — but when the
+    data fits the driver budget anyway, ONE collect of (X, raw label)
+    serves all three: classes, one-hot Y, and moments all come from
+    numpy. Returns (provider, moments, classnames, k) or None when the
+    data is too big (callers then keep the fully distributed path).
+    """
+    n = df.count()  # column-pruned; metadata-only on plain parquet scans
+    if n == 0 or n * (p + 1) > collect_max_cells:
+        return None
+    cols = [
+        (F.col(e) if isinstance(e, str) else e).cast("double").alias(f"x{i}")
+        for i, e in enumerate(feature_exprs)
+    ]
+    pdf = df.select(*cols, F.col(label_col).alias("_label")).toPandas()
+    labels = pdf["_label"]
+    # sorted() over the raw values matches the distributed path's
+    # orderBy(label) (R factor-level order) for numeric and ASCII labels
+    classes = sorted(labels.dropna().unique().tolist())
+    _validate_classes(classes, family)
+    k = 1 if family == "binomial" else len(classes)
+    if n * (p + k) > collect_max_cells:
+        return None
+    x = pdf[[f"x{i}" for i in range(p)]].to_numpy(dtype=np.float64)
+    lab = labels.to_numpy()
+    if family == "binomial":
+        y = (lab == classes[1]).astype(np.float64).reshape(-1, 1)
+    else:
+        y = np.empty((n, k), dtype=np.float64)
+        for j, c in enumerate(classes):
+            y[:, j] = lab == c
+    provider = LocalXY(x, y)
+    provider.passes = 1  # the collect itself
+    mom = provider.moments()
+    return provider, mom, classes, k
 
 
 def sgdnet(
@@ -416,18 +470,34 @@ def sgdnet(
         feature_exprs = list(feature_cols)
         feature_names = list(feature_cols)
 
-    label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
-
-    # assemble: only the needed columns reach the scan (column pruning)
-    xy = suffstats.assemble(df, feature_exprs, label_exprs)
-    feature_cols = feature_names
-
-    p = len(feature_cols)
-    k = len(label_exprs)
+    p = len(feature_names)
     if solver not in ("auto", "local", "spark", "fista"):
         raise ValueError("solver must be one of 'auto', 'local', 'spark', 'fista'")
 
-    provider: LocalXY | SparkXY = SparkXY(xy, p, k)
+    fast = None
+    if (
+        family in ("binomial", "multinomial")
+        and solver == "auto"
+        and p <= 2000  # wide p goes to FISTA below
+        and isinstance(label_col, str)
+    ):
+        fast = _local_classification(df, feature_exprs, label_col, family,
+                                     collect_max_cells, p)
+
+    if fast is not None:
+        provider, mom, classnames, k = fast
+        response_names = None
+        feature_cols = feature_names
+    else:
+        label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
+
+        # assemble: only the needed columns reach the scan (column pruning)
+        xy = suffstats.assemble(df, feature_exprs, label_exprs)
+        feature_cols = feature_names
+
+        k = len(label_exprs)
+
+        provider = SparkXY(xy, p, k)
     # wide p: the p x p Gram / IRLS quadratic stops paying -> pass-per-
     # iteration proximal gradient with O(p·k) state (explicit
     # solver='fista', or auto beyond ~2000 features)
@@ -472,7 +542,9 @@ def sgdnet(
         )
     if solver == "fista":
         raise ValueError("solver='fista' supports gaussian, binomial, multinomial")
-    if solver == "local":
+    if fast is not None:
+        n = mom.n  # classes, Y, and moments all came from the one collect
+    elif solver == "local":
         # force the numpy provider end-to-end (tests / debugging)
         provider = provider.to_local(max_cells=float("inf"))
         mom = provider.moments()
