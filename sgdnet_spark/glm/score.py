@@ -99,10 +99,15 @@ def auc_path_distributed(
     """AUC at EVERY lambda in one data pass (reference score.R
     type.measure='auc' along the path).
 
-    Each row explodes to nl (lambda, prob-bin) keys; the groupBy's
+    Each row explodes to nl (lambda, score-bin) keys; the groupBy's
     map-side combine collapses them to ≤ nl×bins cells per task, so the
     shuffle and the driver see histogram cells, never rows — the
-    100 TB-safe replacement for collecting the scoring fold.
+    100 TB-safe replacement for collecting the scoring fold. Scores are
+    min-max-normalized per path point before binning (rank-preserving,
+    so AUC is unchanged) to keep full bucket resolution even when a
+    regularized point's probabilities cluster in a narrow range; the
+    residual error is the within-bucket midrank approximation,
+    ≤ 1/bins in rank units.
     """
     from sgdnet_spark.glm.sgdnet import colref
 
@@ -111,14 +116,29 @@ def auc_path_distributed(
     nl = cf.shape[-1]
     cls = fit.classnames
     y = F.when(F.col(label_col) == F.lit(cls[1]), 1.0).otherwise(0.0)
-    entries = []
-    for i in range(nl):
-        eta = F.lit(float(cf[0, i]))
+
+    def _eta(i: int) -> F.Column:
+        e = F.lit(float(cf[0, i]))
         for w, c in zip(cf[1:, i], cols):
             if w != 0.0:
-                eta = eta + F.lit(float(w)) * colref(c).cast("double")
-        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        b = F.least(F.floor(prob * bins), F.lit(bins - 1)).cast("long")
+                e = e + F.lit(float(w)) * colref(c).cast("double")
+        return e
+
+    # AUC is rank-based, so any strictly increasing transform of the
+    # score preserves it — bin the min-max-normalized LINK per path
+    # point rather than raw probabilities. A heavily regularized point
+    # whose probabilities cluster in a sliver of [0,1] would otherwise
+    # collapse into a handful of fixed-width buckets and the midrank
+    # tie handling would bias the estimate. One extra tiny aggregation
+    # (2·nl cells) buys full bucket resolution at every path point.
+    rng = df.agg(*[m for i in range(nl) for m in
+                   (F.min(_eta(i)).alias(f"lo{i}"), F.max(_eta(i)).alias(f"hi{i}"))]).first()
+    entries = []
+    for i in range(nl):
+        lo, hi = float(rng[f"lo{i}"]), float(rng[f"hi{i}"])
+        span = (hi - lo) if hi > lo else 1.0
+        b = F.least(F.floor((_eta(i) - F.lit(lo)) / F.lit(span) * bins), F.lit(bins - 1)).cast("long")
+        b = F.greatest(b, F.lit(0))
         entries.append(F.struct(F.lit(i).alias("li"), b.alias("b")))
     hist = (
         df.select(F.explode(F.array(*entries)).alias("e"), y.alias("y"))

@@ -116,10 +116,29 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
-    out = out.persist()
-    out.count()
+    return _materialize_pairs(out, sh)
+
+
+def _materialize_pairs(out: DataFrame, sh: DataFrame) -> DataFrame:
+    """Materialize verified pairs, then free the shingle cache.
+
+    Small pair sets (the normal case — bounded by the duplicate rate)
+    come back as a driver-local relation so NO executor cache outlives
+    the call: a previous version returned a still-persisted frame that
+    every caller (dedup_components, corpus_clean, ...) leaked.
+    Oversized pair sets stay persisted and distributed — then the
+    CALLER owns .unpersist()."""
+    cnt = out.persist().count()
     sh.unpersist()
+    if cnt <= _LOCAL_PAIRS_CAP:
+        pdf = out.toPandas()
+        spark = out.sparkSession
+        out.unpersist()
+        return spark.createDataFrame(pdf, schema=out.schema)
     return out
+
+
+_LOCAL_PAIRS_CAP = 2_000_000  # ~50 MB of (id, id, score) rows
 
 
 def band_keys(
@@ -223,11 +242,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
-    # materialize the (small) verified pairs, then free the shingle cache
-    out = out.persist()
-    out.count()
-    sh.unpersist()
-    return out
+    return _materialize_pairs(out, sh)
 
 
 def duplicate_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:

@@ -191,6 +191,9 @@ def ivf_topk_indexed(
         for lid in np.argsort(d2)[:nprobe]:
             probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in qv]))
             probed.add(int(lid))
+    if not probe_rows:  # empty queries frame: zero-arg isin() would raise
+        empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+        return empty, spark.read.parquet(f"{path}/vectors").limit(0)
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qv array<double>")
 
     vectors = spark.read.parquet(f"{path}/vectors").filter(

@@ -177,6 +177,10 @@ class OnlineMultinomial:
         self.coefs = np.zeros((k, p))
         self.b0s = np.zeros(k)
         self.n_batches = 0
+        # identity standardization until the first non-empty batch, so
+        # coefficients()/predict_class_np() never hit missing attributes
+        self._x_mean = np.zeros(p)
+        self._x_std = np.ones(p)
 
     def update(self, batch_df: DataFrame) -> None:
         import numpy as np

@@ -44,6 +44,19 @@ def test_ivf_recall_vs_brute_force(clustered):
     assert ivf_pairs == bf_pairs
 
 
+def test_ivf_indexed_empty_queries(spark, sf_dir, tmp_path):
+    """An empty queries frame returns an empty result instead of raising
+    from a zero-argument isin() on the partition filter."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_empty")
+    ivf.write_ivf_index(emb, path, n_lists=4, kmeans_iters=2)
+    got, pruned = ivf.ivf_topk_indexed(spark, path, emb.filter(F.lit(False)), k_neighbors=3)
+    assert got.count() == 0
+    assert pruned.count() == 0
+
+
 def test_ivf_indexed_layout_prunes_partitions(spark, sf_dir, tmp_path):
     """write_ivf_index -> list-partitioned parquet; the probe's scan
     carries PartitionFilters on list_id (pruning enforced by the plan)

@@ -106,6 +106,9 @@ def test_online_multinomial_converges_to_batch(spark):
     df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y string")
 
     online = OnlineMultinomial(cols, "y", classes=["a", "b", "c"], lam=0.01, alpha=0.0)
+    # before any batch: identity standardization, zero model, no raise
+    a0_0, B_0 = online.coefficients()
+    assert np.allclose(a0_0, 0.0) and np.allclose(B_0, 0.0)
     # simulate 6 micro-batches, two passes over the stream
     batches = [df.filter(F.pmod(F.xxhash64("x0"), F.lit(3)) == i) for i in range(3)]
     for _ in range(2):
