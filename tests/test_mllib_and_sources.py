@@ -41,6 +41,27 @@ def test_native_matches_mllib_binomial(spark, df_and_data):
     assert np.allclose(fit.a0, a0, atol=5e-3)
 
 
+def test_binomial_mle_lambda0_matches_mllib_on_testdata(spark, sf_dir):
+    """Reference tests/testthat/test-binomial.R pins the unregularized
+    (lambda=0) MLE coefficients against glmnet; here the same fixed
+    feature set the registered queries use is fit at lambda=0 by BOTH
+    the native IRLS solver and Spark MLlib — two independent optimizers
+    of the same convex likelihood must land on the same optimum. This
+    value-pins the iterative solver on the driver's own testdata (the
+    path queries' drift pins check determinism; this checks truth)."""
+    from sgdnet_spark.queries import FEATURE_NAMES, feature_frame
+
+    f = feature_frame(spark, sf_dir).withColumn(
+        "yb", (F.col("l_returnflag") == "R").cast("int")
+    )
+    fit = sgdnet(f, FEATURE_NAMES, "yb", family="binomial", alpha=0.5,
+                 lambdas=[0.0], thresh=1e-8)
+    a0, beta = mllib_path(f, FEATURE_NAMES, "yb", "binomial", alpha=0.5,
+                          lambdas=[0.0])
+    assert np.allclose(fit.beta[:, 0], beta[:, 0], atol=1e-3)
+    assert np.allclose(fit.a0, a0, atol=1e-3)
+
+
 def test_csv_json_roundtrip(spark, tmp_path, df_and_data):
     df, cols, *_ = df_and_data
     csv_path = str(tmp_path / "csv")
