@@ -40,21 +40,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingles array<string>) — the distinct word-k-grams of each
-    document as ONE array column (pure per-row expressions, no shuffle).
+def _once(col: F.Column, streaming: bool = False) -> F.Column:
+    """Evaluate-once barrier for a heavyweight derived expression.
 
-    Tokens are materialized as a column BEFORE the per-shingle lambda so
-    the normalize+split expression is evaluated once per row, not once
-    per element_at (a ~20x hot-path difference).
+    Catalyst pushes filters through deterministic Projects by
+    SUBSTITUTING the aliased expression into the condition — for a
+    heavyweight derived column (shingle arrays, 64-bit simhash
+    majorities) each conjunct re-evaluates the full expression, and the
+    pushed filter lands BELOW the spread exchange on the unparallelized
+    scan (explode's auto-generated ``size>0 AND isnotnull`` guard alone
+    tripled the shingle pipeline's cost on one core). Wrapping the
+    expression in an always-true ``rand()`` guard leaves its VALUE
+    unchanged while marking it non-deterministic, which (a) blocks
+    substitution-pushdown through the Project and (b) stops
+    CollapseProject from inlining it N times into downstream
+    projections. Streaming plans keep the plain expression (sources
+    are already partitioned; non-determinism is restricted there).
     """
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    if streaming:
+        return col
+    # single-element array shuffle: a value no-op the optimizer can't
+    # simplify away (rand()-based guards get range-folded in Spark 4)
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
+def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingles array<bigint>) — the distinct word-k-grams of each
+    document, HASHED per-gram to 64 bits (pure per-row expressions, no
+    shuffle).
+
+    Shingles are represented as xxhash64(tok_i, .., tok_{i+k-1}) rather
+    than concatenated strings: set intersections / Jaccard over the
+    hashes are identical in practice (64-bit collision odds are ~1e-9
+    even at millions of distinct shingles — the standard trade in
+    production near-dup pipelines), while skipping per-gram string
+    allocation and making every downstream comparison/minhash a cheap
+    int64 op. Tokens are materialized as a column BEFORE the per-shingle
+    lambda so the normalize+split expression is evaluated once per row.
+
+    The input is spread across cores first when the scan produced fewer
+    partitions than the session has cores (single-file small inputs
+    otherwise serialize the whole shingle+hash pipeline onto one task;
+    a no-op on well-partitioned big scans).
+    """
+    from sgdnet_spark.session import spread_small_input
+
+    toks = spread_small_input(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
     t = F.col("t")
     idx = F.when(F.size(t) >= k, F.sequence(F.lit(0), F.size(t) - k)).otherwise(
         F.array().cast("array<int>")
     )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
-    return toks.select("id", F.array_distinct(sh).alias("shingles"))
+    sh = F.transform(idx, lambda i: F.xxhash64(*[F.element_at(t, i + j + 1) for j in range(k)]))
+    return toks.select(
+        "id", _once(F.array_distinct(sh), streaming=df.isStreaming).alias("shingles")
+    )
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -163,7 +202,16 @@ def band_keys(
     the exploded formulation.
     """
     rows_per_band = num_hashes // bands
-    sa = shingle_array(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+    sa = shingle_array(df, text_col, id_col, k)
+    return band_keys_from_shingles(sa, num_hashes, bands)
+
+
+def band_keys_from_shingles(sa: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """(id, band, bk) band keys from an (id, shingles) frame — lets a
+    caller that also needs the shingles for verification compute them
+    ONCE (one pass over the text) and reuse the cached frame here."""
+    rows_per_band = num_hashes // bands
+    sa = sa.filter(F.size("shingles") > 0)
 
     def _minhash(h: int) -> F.Column:
         # NOTE: the transform lambda must be single-argument — a second
@@ -206,10 +254,12 @@ def minhash_lsh_pairs(
     ~n·num_hashes, not with the square of bucket sizes (near-dup sets
     are small by construction at sane thresholds).
     """
-    sh = shingle_sets(df, text_col, id_col, k).persist()
-    # band keys come from the per-row (shuffle-free) signature path; the
-    # exploded shingle frame is only needed for candidate verification
-    banded = band_keys(df, num_hashes, bands, text_col, id_col, k)
+    # ONE pass computes the shingle arrays; both the signature path and
+    # candidate verification read the cached frame (previously shingling
+    # ran twice — once per consumer)
+    sa = shingle_array(df, text_col, id_col, k).persist()
+    sh = sa.select("id", F.explode("shingles").alias("shingle"))
+    banded = band_keys_from_shingles(sa, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(
@@ -222,11 +272,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
-        sh.unpersist()
+        sa.unpersist()
         return cand
     # verify ONLY the candidate pairs (never all-pairs): intersection counts
     # come from joining each candidate against the two shingle sets.
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # set sizes come straight off the cached arrays — no extra shuffle
+    sizes = sa.select("id", F.size("shingles").alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -242,7 +293,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
-    return _materialize_pairs(out, sh)
+    return _materialize_pairs(out, sa)
 
 
 def duplicate_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
@@ -338,7 +389,11 @@ def simhash_pairs(
     sim = bit_exprs[0]
     for b in range(1, 64):
         sim = sim + F.shiftleft(bit_exprs[b], b)
-    sh = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    from sgdnet_spark.session import spread_small_input
+
+    sh = spread_small_input(df).select(
+        F.col(id_col).alias("id"), _once(sim, streaming=df.isStreaming).alias("simhash")
+    )
     # block boundaries: distribute 64 bits as evenly as possible
     width, extra = divmod(64, n_blocks)
     starts, pos = [], 0

@@ -33,6 +33,25 @@ def get_spark(app_name: str = "sgdnet_spark", shuffle_partitions: int | None = N
     return spark
 
 
+def spread_small_input(df):
+    """Repartition a batch frame up to the session's parallelism IF the
+    source read produced fewer partitions than cores.
+
+    Small single-file parquet inputs (the local testdata) arrive as 1-3
+    partitions, which serializes CPU-heavy per-row work (shingling,
+    minhash signatures, feature assembly) onto as many cores. At real
+    scale a 100 TB table has thousands of splits and this is a no-op —
+    the condition only fires on the small-file artifact, so no shuffle
+    is ever added to a well-partitioned scan. Streaming frames are
+    returned untouched (getNumPartitions is undefined for them)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
