@@ -75,6 +75,7 @@ def _executor_run_time_ms(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")  # for task-time capture
     spark = get_spark("sgdnet_spark_bench")
 
     from sgdnet_spark.queries import QUERIES

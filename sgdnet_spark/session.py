@@ -25,7 +25,10 @@ def get_spark(app_name: str = "sgdnet_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # the UI is off for tests (port churn); bench.py turns it on to
+        # read per-query executorRunTime from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.port", "0")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
     spark = builder.getOrCreate()
