@@ -463,6 +463,318 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tpch_deep: 10 more TPC-H query patterns, one long-format entry --------
+#
+# q7/q8/q9/q11/q12/q13/q15/q17/q20/q21 adapted to the testdata star schema
+# (no partsupp / commitdate / receiptdate / shipmode — supplycost is proxied
+# by 0.55*p_retailprice, shipmode classes by ship-delay buckets). Uniform
+# output (q, grp, metric, v) so ONE driver row hash-checks all ten; every
+# sub-query is an independent DataFrame plan unioned at the end, so Catalyst
+# optimizes each join tree separately (AQE broadcasts the small sides).
+
+_TPCH_DEEP_ORACLE = """
+SELECT 'q7' AS q, supp_nation || '|' || cust_nation || '|' || CAST(l_year AS VARCHAR) AS grp,
+       'revenue' AS metric, ROUND(SUM(volume), 2) AS v
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND year(l_shipdate) IN (1997, 1998))
+GROUP BY supp_nation, cust_nation, l_year
+UNION ALL
+SELECT 'q8', CAST(o_year AS VARCHAR), 'mkt_share',
+       FLOOR(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) / SUM(volume) * 1e6 + 0.5) / 1e6
+FROM (SELECT year(o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND s_nationkey = n1.n_nationkey AND p_type = 'PROMO')
+GROUP BY o_year
+UNION ALL
+SELECT 'q9', n_name || '|' || CAST(o_year AS VARCHAR), 'sum_profit', ROUND(SUM(amount), -1)
+FROM (SELECT n_name, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.55 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey AND p_type = 'ECONOMY')
+GROUP BY n_name, o_year
+UNION ALL
+SELECT 'q11', CAST(l_partkey AS VARCHAR), 'value', ROUND(v, 2)
+FROM (SELECT l_partkey, SUM(l_extendedprice) AS v
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      GROUP BY l_partkey) val
+WHERE v > 0.0005 * (SELECT SUM(v) FROM (SELECT SUM(l_extendedprice) AS v
+                                        FROM lineitem, supplier, nation
+                                        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                                          AND n_name = 'NATION_3'
+                                        GROUP BY l_partkey))
+UNION ALL
+SELECT 'q12', bucket, metric, CAST(COUNT(*) AS DOUBLE)
+FROM (SELECT CASE WHEN d <= 30 THEN 'fast' WHEN d <= 90 THEN 'medium' ELSE 'slow' END AS bucket,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'high_line_count' ELSE 'low_line_count' END AS metric
+      FROM (SELECT date_diff('day', o_orderdate, l_shipdate) AS d, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE year(l_shipdate) = 1998))
+GROUP BY bucket, metric
+UNION ALL
+SELECT 'q13', CAST(c_count AS VARCHAR), 'custdist', CAST(COUNT(*) AS DOUBLE)
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+GROUP BY c_count
+UNION ALL
+SELECT 'q15', s_name, 'total_revenue', ROUND(r, 2)
+FROM (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey) rev
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM (SELECT SUM(l_extendedprice * (1 - l_discount)) AS r
+                               FROM lineitem
+                               WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+                               GROUP BY l_suppkey))
+UNION ALL
+SELECT 'q17', 'all', 'avg_yearly', ROUND(SUM(l_extendedprice) / 7.0, 2)
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pq_partkey, 0.5 * AVG(l_quantity) AS t
+      FROM lineitem GROUP BY l_partkey) pq ON pq_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < t
+UNION ALL
+SELECT 'q20', n_name, 'n_suppliers', CAST(COUNT(*) AS DOUBLE)
+FROM (SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997
+      GROUP BY l_suppkey) shipped
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty > 80
+GROUP BY n_name
+UNION ALL
+SELECT 'q21', n_name, 'numwait', CAST(COUNT(*) AS DOUBLE)
+FROM (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F') l
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS mx, COUNT(DISTINCT l_suppkey) AS ns
+            FROM (SELECT l_orderkey, l_suppkey, l_shipdate
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_orderstatus = 'F')
+            GROUP BY l_orderkey) m ON l.l_orderkey = m.l_orderkey
+      WHERE m.ns >= 2 AND l.l_shipdate = m.mx
+        AND date_diff('day', o_orderdate, l_shipdate) > 120) w
+JOIN supplier ON w.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("tpch_deep", _TPCH_DEEP_ORACLE)
+def tpch_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten TPC-H query patterns (Q7/8/9/11/12/13/15/17/20/21, schema-
+    adapted) in one long-format frame: (q, grp, metric, v)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    out = lambda df, q, grp, metric, v: df.select(  # noqa: E731
+        F.lit(q).alias("q"), grp.alias("grp"), F.lit(metric).alias("metric"), v.alias("v")
+    )
+
+    # q7 — volume shipping between two nations, by year
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    q7 = (
+        li.filter(F.year("l_shipdate").isin(1997, 1998))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("sn_key"))
+        .join(n2, cust.c_nationkey == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).alias("v"))
+    )
+    q7 = out(q7, "q7", F.concat_ws("|", "supp_nation", "cust_nation", F.col("l_year").cast("string")), "revenue", F.col("v"))
+
+    # q8 — national market share within ASIA-customer PROMO-part revenue
+    n2r = F.broadcast(
+        nat.join(reg.filter(F.col("r_name") == "ASIA"), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    q8 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part.filter(F.col("p_type") == "PROMO"), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("sn_key"))
+        .join(n2r, cust.c_nationkey == F.col("cn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            text.rpos(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("v")
+        )
+    )
+    q8 = out(q8, "q8", F.col("o_year").cast("string"), "mkt_share", F.col("v"))
+
+    # q9 — product profit by supplier nation and order year
+    amount = rev - 0.55 * F.col("p_retailprice") * F.col("l_quantity")
+    q9 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part.filter(F.col("p_type") == "ECONOMY"), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        # tens grid: the profit expression subtracts two like-sized products,
+        # so cross-engine summation error reaches cents at nation-year scale
+        .agg(F.round(F.sum(amount), -1).alias("v"))
+    )
+    q9 = out(q9, "q9", F.concat_ws("|", "n_name", F.col("o_year").cast("string")), "sum_profit", F.col("v"))
+
+    # q11 — important parts by shipped value share from one nation's suppliers
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat.filter(F.col("n_name") == "NATION_3")), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    tot = val.agg(F.sum("val").alias("tot"))
+    q11 = (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > 0.0005 * F.col("tot"))
+        .select(F.col("l_partkey"), F.round("val", 2).alias("v"))
+    )
+    q11 = out(q11, "q11", F.col("l_partkey").cast("string"), "value", F.col("v"))
+
+    # q12 — ship-delay buckets × priority class line counts
+    q12 = (
+        li.filter(F.year("l_shipdate") == 1998)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(F.datediff("l_shipdate", "o_orderdate") <= 30, "fast")
+            .when(F.datediff("l_shipdate", "o_orderdate") <= 90, "medium")
+            .otherwise("slow")
+            .alias("bucket"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high_line_count"
+            ).otherwise("low_line_count").alias("metric"),
+        )
+        .groupBy("bucket", "metric")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    q12 = q12.select(F.lit("q12").alias("q"), F.col("bucket").alias("grp"), "metric", "v")
+
+    # q13 — customer order-count distribution
+    q13 = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    q13 = out(q13, "q13", F.col("c_count").cast("string"), "custdist", F.col("v"))
+
+    # q15 — top supplier(s) by revenue in a quarter
+    rev_q = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("r"))
+    )
+    mx = rev_q.agg(F.max("r").alias("mx"))
+    q15 = (
+        rev_q.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("s_name"), F.round("r", 2).alias("v"))
+    )
+    q15 = out(q15, "q15", F.col("s_name"), "total_revenue", F.col("v"))
+
+    # q17 — small-quantity order revenue for one brand (avg_yearly)
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("t")
+    )
+    q17 = (
+        li.join(part.filter(F.col("p_brand") == "Brand#1"), li.l_partkey == part.p_partkey)
+        .join(pq, F.col("pq_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("t"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("v"))
+    )
+    q17 = out(q17, "q17", F.lit("all"), "avg_yearly", F.col("v"))
+
+    # q20 — suppliers with heavy 1997 PROMO shipments, per nation
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(part.filter(F.col("p_type") == "PROMO"), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 80)
+    )
+    q20 = (
+        shipped.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    q20 = out(q20, "q20", F.col("n_name"), "n_suppliers", F.col("v"))
+
+    # q21 — suppliers who kept multi-supplier 'F' orders waiting
+    lf = (
+        li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    m = lf.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"), F.countDistinct("l_suppkey").alias("ns")
+    )
+    w = (
+        lf.join(m, "l_orderkey")
+        .filter(
+            (F.col("ns") >= 2)
+            & (F.col("l_shipdate") == F.col("mx"))
+            & (F.datediff("l_shipdate", "o_orderdate") > 120)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    q21 = (
+        w.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    q21 = out(q21, "q21", F.col("n_name"), "numwait", F.col("v"))
+
+    frames = [q7, q8, q9, q11, q12, q13, q15, q17, q20, q21]
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    return res
+
+
 _Q4_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -855,16 +1167,38 @@ def ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKCOUNT_ORACLE = f"""
-SELECT doc_id,
+SELECT doc_id, 'ws' AS tokenizer,
        CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
-       CAST(length({_NORM_SQL}) AS BIGINT) AS n_chars_norm
+       CAST(length({_NORM_SQL}) AS BIGINT) AS n_aux
+FROM documents
+UNION ALL
+SELECT doc_id, 'bpe' AS tokenizer,
+       CAST(len(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_aux
 FROM documents
 """
 
 
 @register("text_token_count", _TOKCOUNT_ORACLE)
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_count(_t(spark, sf_dir, "documents"))
+    """Whitespace + BPE-ish tokenization counts, long format: one row
+    per (doc, tokenizer). n_aux = normalized char count for 'ws',
+    distinct sub-token count for 'bpe'. (Merged driver entry — the two
+    tokenizers were separate registry keys through round 2.)"""
+    docs = _t(spark, sf_dir, "documents")
+    ws = text.token_count(docs).select(
+        "doc_id",
+        F.lit("ws").alias("tokenizer"),
+        F.col("n_tokens"),
+        F.col("n_chars_norm").alias("n_aux"),
+    )
+    bpe = text.token_count_bpe(docs).select(
+        "doc_id",
+        F.lit("bpe").alias("tokenizer"),
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        F.col("n_bpe_unique").alias("n_aux"),
+    )
+    return ws.unionByName(bpe)
 
 
 _STOP_SQL = "['" + "', '".join(text.STOPWORDS) + "']"
@@ -926,47 +1260,126 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
 
-_BPE_ORACLE = f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
-       CAST(len(list_distinct(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_unique
-FROM documents
+_FP_ORACLE = f"""
+SELECT doc_id, 'md5' AS method, md5({_NORM_SQL}) AS fp FROM documents
+UNION ALL
+SELECT doc_id, 'winnow' AS method, fp FROM (
+  WITH n AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+  h AS (SELECT doc_id,
+          list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                         i -> md5(substring(s, i, 8))) AS hs
+        FROM n),
+  w AS (SELECT doc_id,
+          CASE WHEN len(hs) >= 16
+                 THEN list_transform(generate_series(1, len(hs) - 15),
+                                     i -> list_min(hs[i:i+15]))
+               WHEN len(hs) > 0 THEN [list_min(hs)]
+               ELSE [] END AS fps
+        FROM h)
+  SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w)
 """
-
-
-@register("text_token_bpe", _BPE_ORACLE)
-def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_count_bpe(_t(spark, sf_dir, "documents"))
-
-
-_WINNOW_ORACLE = f"""
-WITH n AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
-h AS (SELECT doc_id,
-        list_transform(generate_series(1, greatest(length(s) - 7, 0)),
-                       i -> md5(substring(s, i, 8))) AS hs
-      FROM n),
-w AS (SELECT doc_id,
-        CASE WHEN len(hs) >= 16
-               THEN list_transform(generate_series(1, len(hs) - 15),
-                                   i -> list_min(hs[i:i+15]))
-             WHEN len(hs) > 0 THEN [list_min(hs)]
-             ELSE [] END AS fps
-      FROM h)
-SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
-"""
-
-
-@register("text_winnow", _WINNOW_ORACLE)
-def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
-
-
-_FP_ORACLE = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 
 @register("text_fingerprint", _FP_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(_t(spark, sf_dir, "documents"))
+    """Whole-document md5 + winnowing (Schleimer et al.) rolling local
+    fingerprints, long format: (doc, method, fp). (Merged driver entry —
+    'text_winnow' was a separate registry key through round 2.)"""
+    docs = _t(spark, sf_dir, "documents")
+    md5 = text.fingerprint(docs).select("doc_id", F.lit("md5").alias("method"), "fp")
+    win = text.winnow_fingerprints(docs).select(
+        "doc_id", F.lit("winnow").alias("method"), "fp"
+    )
+    return md5.unionByName(win)
+
+
+# --- text_mining: corpus n-gram statistics + per-doc TF-IDF ----------------
+
+_TEXT_MINING_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+SELECT 'bigram_topk' AS q, b AS grp, 'count' AS metric, CAST(n AS DOUBLE) AS v
+FROM (SELECT b, COUNT(*) AS n
+      FROM (SELECT t[i] || ' ' || t[i+1] AS b
+            FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t))
+      GROUP BY b ORDER BY n DESC, b LIMIT 20)
+UNION ALL
+SELECT 'unigram_topk', w, 'count', CAST(n AS DOUBLE)
+FROM (SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(t) AS w FROM t)
+      GROUP BY w ORDER BY n DESC, w LIMIT 30)
+UNION ALL
+SELECT 'tfidf_top', CAST(doc_id AS VARCHAR) || '|' || term, 'tfidf', score
+FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM (SELECT tfc.doc_id, tfc.term,
+               FLOOR(tf * ln(nd * 1.0 / df) * 1e6 + 0.5) / 1e6 AS score
+        FROM (SELECT doc_id, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM t WHERE doc_id < 50)
+              GROUP BY doc_id, term) tfc
+        JOIN (SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM (SELECT doc_id, unnest(t) AS term FROM t)
+              GROUP BY term) dfc ON tfc.term = dfc.term
+        CROSS JOIN (SELECT COUNT(*) AS nd FROM documents)))
+WHERE rn = 1
+"""
+
+
+@register("text_mining", _TEXT_MINING_ORACLE)
+def text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mining trio in one long-format frame (q, grp, metric, v):
+    global top-20 bigrams, top-30 unigrams (Zipf head), and each
+    document's top TF-IDF term (docs 0-49; idf over the whole corpus).
+
+    All counting is explode + groupBy (two shuffles each, map-side
+    combined); ranking ties break on the ROUNDED score then term so
+    both engines agree at the 1e-6 grid."""
+    from sgdnet_spark.session import spread_small_input
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = spread_small_input(docs).select("doc_id", text.tokens("text").alias("t"))
+    t = F.col("t")
+    uni = toks.select("doc_id", F.explode("t").alias("w"))
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(0), F.size(t) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = toks.select(
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)))
+        ).alias("b")
+    )
+    top_bg = bg.groupBy("b").agg(F.count("*").alias("n")).orderBy(F.desc("n"), F.asc("b")).limit(20)
+    top_uni = uni.groupBy("w").agg(F.count("*").alias("n")).orderBy(F.desc("n"), F.asc("w")).limit(30)
+
+    nd = float(docs.count())  # scalar aggregate (metadata-only on parquet)
+    tfc = uni.filter(F.col("doc_id") < 50).groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfc = uni.select("doc_id", "w").distinct().groupBy("w").agg(F.count("*").alias("df"))
+    rn_w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    tfidf = (
+        tfc.join(dfc, "w")
+        .withColumn("score", text.rpos(F.col("tf") * F.log(F.lit(nd) / F.col("df")), 6))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+    )
+
+    def shape(df, q, grp, v):
+        return df.select(
+            F.lit(q).alias("q"), grp.alias("grp"),
+            F.lit("count" if q != "tfidf_top" else "tfidf").alias("metric"),
+            v.cast("double").alias("v"),
+        )
+
+    return (
+        shape(top_bg, "bigram_topk", F.col("b"), F.col("n"))
+        .unionByName(shape(top_uni, "unigram_topk", F.col("w"), F.col("n")))
+        .unionByName(
+            shape(
+                tfidf, "tfidf_top",
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("w")),
+                F.col("score"),
+            )
+        )
+    )
 
 
 _COMPONENTS_ORACLE = f"""
@@ -1049,14 +1462,56 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_meta")
+# The oracle recomputes every dimension from the deterministic
+# generation rule (sha256(text) digest bytes), WITHOUT decoding — while
+# the Spark side parses them out of the real BMP/WAV payload bytes. A
+# hash match therefore certifies the whole encode → decode → extract →
+# frame-sample chain. hexbyte(i) = i-th byte of the sha256 hex digest.
+_MM_HEXBYTE = (
+    "(16 * (strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    " + strpos('0123456789abcdef', substr(h, {p} + 1, 1)) - 1)"
+)
+_MM_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           {_MM_HEXBYTE.format(p=1)} AS b0,
+           {_MM_HEXBYTE.format(p=3)} AS b1,
+           {_MM_HEXBYTE.format(p=5)} AS b2
+    FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+), dims AS (
+    SELECT doc_id,
+           doc_id % 2 = 0 AS is_img,
+           16 + b0 % 48 AS iw, 16 + b1 % 48 AS ih,
+           256 + b2 * 8 AS n_samples
+    FROM b
+)
+SELECT doc_id,
+       CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+       CAST(CASE WHEN is_img
+                 THEN 54 + ih * (3 * iw + (4 - (3 * iw) % 4) % 4)
+                 ELSE 44 + 2 * n_samples END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN is_img THEN iw ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN is_img THEN ih ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN is_img THEN 1
+                 ELSE CAST(CEIL(n_samples / 400.0) AS BIGINT) END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN is_img THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN is_img THEN 1
+                 ELSE LEAST(4, CAST(CEIL(n_samples / 400.0) AS BIGINT)) END AS BIGINT)
+           AS n_sampled_frames
+FROM dims
+"""
+
+
+@register("multimodal_meta", _MM_ORACLE)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal plumbing chain: attach binary payloads →
-    batch decode/feature-extract → frame sampling, joined per doc (the
-    decode itself is the declared deterministic stub; the Spark-side
-    schema/batch/explode shapes are real)."""
-    media = multimodal.attach_fake_media(_t(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(media)
+    """The full multimodal chain on REAL bytes: encode each document
+    into a genuine BMP image / PCM WAV clip (pure-numpy codecs,
+    operators/media_codec.py) → batch decode + feature-extract →
+    frame sampling, joined per doc. Every output value is parsed from
+    the actual payload headers/samples; the DuckDB oracle recomputes
+    the expectation from the generation rule independently."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media).drop("content_mean")
     frames = (
         multimodal.sample_frames(media, max_frames=4)
         .groupBy("doc_id")

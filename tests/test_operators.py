@@ -96,18 +96,42 @@ def test_text_ops(docs):
     assert fp[0] != fp[90]
 
 
+def test_media_codec_roundtrip():
+    from sgdnet_spark.operators import media_codec as mc
+
+    px = (np.arange(37 * 21 * 3) % 251).astype(np.uint8).reshape(21, 37, 3)
+    assert (mc.decode_bmp(mc.encode_bmp(px)) == px).all()
+    assert mc.resize_nearest(px, 8, 5).shape == (5, 8, 3)
+    s = (np.arange(1234) % 4001 - 2000).astype(np.int16)
+    rate, s2 = mc.decode_wav(mc.encode_wav(s, 8000))
+    assert rate == 8000 and (s2 == s).all()
+
+
 def test_multimodal_plumbing(docs):
-    media = multimodal.attach_fake_media(docs)
+    import hashlib
+
+    media = multimodal.attach_media(docs)
     assert dict(media.dtypes)["payload"] == "binary"
     feats = multimodal.extract_features(media)
     rows = {r["doc_id"]: r for r in feats.collect()}
     assert len(rows) == 8
+    # even doc_id -> real BMP: dims parsed from the actual header must
+    # equal the generation rule's digest-derived dims
+    d0 = hashlib.sha256(
+        b"the quick brown fox jumps over the lazy dog and runs far away today"
+    ).digest()
     r0 = rows[0]
-    assert 64 <= r0["width"] < 128 and 64 <= r0["height"] < 128
-    # deterministic: same payload -> same fake decode
-    assert rows[0]["width"] == rows[1]["width"]
+    assert r0["media_type"] == "image"
+    assert (r0["width"], r0["height"]) == (16 + d0[0] % 48, 16 + d0[1] % 48)
+    assert r0["n_frames"] == 1 and r0["sample_rate"] == 0
+    assert 0 < r0["content_mean"] < 255  # real pixel statistics
+    # odd doc_id -> real WAV: PCM sample count ties to the digest
+    r1 = rows[1]
+    assert r1["media_type"] == "audio"
+    assert r1["sample_rate"] == 8000
+    assert r1["n_frames"] == -(-(256 + d0[2] * 8) // 400)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"bytes")
+        multimodal.decode_media(b"no such container")
 
 
 def test_asof_null_payload_latest_row_wins(spark):
@@ -143,14 +167,19 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
 
 
 def test_multimodal_resize_and_frame_sampling(docs):
-    media = multimodal.attach_fake_media(docs)
+    from sgdnet_spark.operators import media_codec as mc
+
+    media = multimodal.attach_media(docs)
     n_docs = media.count()
     resized = multimodal.resize(media, 32, 32)
     rows = resized.collect()
     assert len(rows) == n_docs
-    assert {r["media_type"] for r in rows} == {"image"}
-    for r in rows[:5]:
+    assert {r["media_type"] for r in rows} == {"image", "audio"}
+    for r in rows:
         assert r["meta"]["n_bytes"] == len(r["payload"])  # meta tracks new payload
+        if r["media_type"] == "image":
+            # a REAL resize: the re-encoded BMP decodes to 32x32 pixels
+            assert mc.decode_bmp(bytes(r["payload"])).shape == (32, 32, 3)
     # deterministic: same input -> same resized payload
     again = {r["doc_id"]: bytes(r["payload"]) for r in multimodal.resize(media, 32, 32).collect()}
     assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in rows)
@@ -164,3 +193,12 @@ def test_multimodal_resize_and_frame_sampling(docs):
     for idxs in per_doc.values():
         assert 1 <= len(idxs) <= 3
         assert idxs == sorted(idxs)  # evenly spaced ascending
+    # image frames are the decoded pixel block; audio frames are real
+    # 400-sample PCM windows (800 bytes except a shorter tail)
+    by_doc = {r["doc_id"]: r for r in media.collect()}
+    for r in fr:
+        src = by_doc[r["doc_id"]]
+        if src["media_type"] == "image":
+            assert bytes(r["frame"]) == mc.decode_bmp(bytes(src["payload"])).tobytes()
+        else:
+            assert len(bytes(r["frame"])) <= 800
