@@ -158,8 +158,8 @@ def ngram_jaccard_pairs(
     return _materialize_pairs(out, sh)
 
 
-def _materialize_pairs(out: DataFrame, sh: DataFrame) -> DataFrame:
-    """Materialize verified pairs, then free the shingle cache.
+def _materialize_pairs(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize verified pairs, then free the upstream caches.
 
     Small pair sets (the normal case — bounded by the duplicate rate)
     come back as a driver-local relation so NO executor cache outlives
@@ -168,7 +168,8 @@ def _materialize_pairs(out: DataFrame, sh: DataFrame) -> DataFrame:
     Oversized pair sets stay persisted and distributed — then the
     CALLER owns .unpersist()."""
     cnt = out.persist().count()
-    sh.unpersist()
+    for c in caches:
+        c.unpersist()
     if cnt <= _LOCAL_PAIRS_CAP:
         pdf = out.toPandas()
         spark = out.sparkSession
@@ -259,7 +260,11 @@ def minhash_lsh_pairs(
     # ran twice — once per consumer)
     sa = shingle_array(df, text_col, id_col, k).persist()
     sh = sa.select("id", F.explode("shingles").alias("shingle"))
-    banded = band_keys_from_shingles(sa, num_hashes, bands)
+    # the band-key frame is tiny (n · bands rows of three int64s) but its
+    # signature computation — num_hashes array transforms per row — is the
+    # pipeline's hottest expression; persist it so the self-join's two
+    # sides don't each recompute the signatures from the shingle cache
+    banded = band_keys_from_shingles(sa, num_hashes, bands).persist()
     cand = (
         banded.alias("a")
         .join(
@@ -272,8 +277,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
-        sa.unpersist()
-        return cand
+        return _materialize_pairs(cand, sa, banded)
     # verify ONLY the candidate pairs (never all-pairs): intersection counts
     # come from joining each candidate against the two shingle sets.
     # set sizes come straight off the cached arrays — no extra shuffle
@@ -293,7 +297,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
-    return _materialize_pairs(out, sa)
+    return _materialize_pairs(out, sa, banded)
 
 
 def duplicate_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:

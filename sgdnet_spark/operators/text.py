@@ -130,7 +130,12 @@ def winnow_fingerprints(
     minimum, emit the distinct fingerprint set. The standard local-
     fingerprint scheme behind plagiarism/near-dup detection at scale.
     """
-    staged = df.select(F.col(id_col), norm_text(text_col).alias("__norm"))
+    from sgdnet_spark.session import spread_small_input
+
+    # ~1k md5 k-grams + a window-sized sliding min per document: CPU-heavy
+    # per-row work that a single-split local file would serialize onto one
+    # or two cores (no-op on well-partitioned big scans)
+    staged = spread_small_input(df).select(F.col(id_col), norm_text(text_col).alias("__norm"))
     norm = F.col("__norm")
     nhash = F.length(norm) - (k - 1)
     idx = F.when(nhash >= 1, F.sequence(F.lit(1), nhash)).otherwise(F.array().cast("array<int>"))

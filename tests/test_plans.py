@@ -91,8 +91,13 @@ def test_single_shuffle_aggregations(spark, sf_dir):
 
 
 def test_text_ops_zero_shuffle(spark, sf_dir):
-    """Per-document text operators are pure narrow scans."""
+    """Per-document text operators are pure narrow scans — except the
+    winnow arm of text_fingerprint, which is allowed exactly one
+    exchange: the small-input spread that parallelizes its ~1k-md5s-
+    per-row compute when the local single-split file would serialize it
+    (a no-op repartition on well-partitioned scans)."""
     from sgdnet_spark.queries import text_quality, text_fingerprint, text_token_count
 
-    for fn in (text_quality, text_fingerprint, text_token_count):
+    for fn in (text_quality, text_token_count):
         assert I.shuffle_count(fn(spark, sf_dir)) == 0, fn.__name__
+    assert I.shuffle_count(text_fingerprint(spark, sf_dir)) <= 1
