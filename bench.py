@@ -29,6 +29,20 @@ def _glm_gaussian_bench(spark, sf_dir):
     return fit.path_frame(spark)
 
 
+def _glm_mgaussian_bench(spark, sf_dir):
+    """The rounds-1/2 mgaussian benchmark workload (20-lambda group
+    lasso on 4 features x 2 targets), kept stable for cross-round
+    comparability after the registry entry switched to the
+    oracle-verified ridge variant in round 3."""
+    from sgdnet_spark.glm import sgdnet
+    from sgdnet_spark.queries import feature_frame
+
+    fit = sgdnet(feature_frame(spark, sf_dir),
+                 ["l_discount", "l_tax", "x_month", "x_qty_disc"],
+                 ["y", "l_quantity"], family="mgaussian", alpha=1.0, nlambda=20)
+    return fit.path_frame(spark)
+
+
 # names resolve in QUERIES unless an explicit callable is given
 HEADLINERS: list[str | tuple[str, object]] = [
     "q1_pricing_summary",
@@ -43,7 +57,7 @@ HEADLINERS: list[str | tuple[str, object]] = [
     "lambda_path",
     ("glm_gaussian_path", _glm_gaussian_bench),
     "glm_binomial_path",
-    "glm_mgaussian_path",
+    ("glm_mgaussian_path", _glm_mgaussian_bench),
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "text_quality",

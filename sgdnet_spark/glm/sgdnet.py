@@ -319,7 +319,8 @@ class SgdnetFit:
                 cols["dev_ratio"] += [round(float(self.dev_ratio[i]), 6)] * nf
                 cols["class"] += [cls] * nf
                 cols["feature"] += feats
-                cols["coef"] += [round(float(v), coef_digits) for v in (a0, *bvec)]
+                # + 0.0 folds IEEE -0.0 to +0.0 (repr-level hash stability)
+                cols["coef"] += [round(float(v), coef_digits) + 0.0 for v in (a0, *bvec)]
         # pandas in, Arrow out — orders of magnitude cheaper than a
         # row-at-a-time local relation for the wide (e.g. embedding) fits
         return spark.createDataFrame(
