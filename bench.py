@@ -89,7 +89,10 @@ def _executor_run_time_ms(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    os.environ.setdefault("SPARK_GRAFT_UI", "true")  # for task-time capture
+    # Task-time capture needs the Spark UI, whose listener bus measurably
+    # inflates CPU-heavy 32-task stages (~1.6x total at sf0.1 measured) —
+    # so it is OPT-IN for diagnostics, never the default bench config:
+    #   SPARK_GRAFT_UI=true python bench.py
     spark = get_spark("sgdnet_spark_bench")
 
     from sgdnet_spark.queries import QUERIES

@@ -29,7 +29,14 @@ def get_spark(app_name: str = "sgdnet_spark", shuffle_partitions: int | None = N
         # read per-query executorRunTime from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.port", "0")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # 1g code cache: a many-query session generates thousands of
+        # Janino/whole-stage-codegen classes; at the JDK default (240m)
+        # the JIT shuts off mid-session ("CodeCache is full") and
+        # expression-heavy operators degrade 5-10x to interpreted speed
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=1g",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
