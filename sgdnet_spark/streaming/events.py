@@ -13,33 +13,25 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see queries._t)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → timestamp).
+    """File-source stream over the events parquet (ts normalized → timestamp).
 
     The file source wants a directory (it tails new files as they land —
     the local stand-in for a kafka topic), so the single test file is
-    staged into a temp dir.
+    staged into a temp dir. The ts column has shipped as both
+    TIMESTAMP(NANOS)-read-as-long and native micros (TIMESTAMP_NTZ); the
+    schema is sniffed from a batch read so both generations stream.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stage = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    schema = spark.read.parquet(f"{stage}/events.parquet").schema
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    if schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
