@@ -210,22 +210,40 @@ def band_keys(
 def band_keys_from_shingles(sa: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
     """(id, band, bk) band keys from an (id, shingles) frame — lets a
     caller that also needs the shingles for verification compute them
-    ONCE (one pass over the text) and reuse the cached frame here."""
+    ONCE (one pass over the text) and reuse the cached frame here.
+
+    The signature is built in ONE traversal of the shingle array:
+    an F.aggregate whose accumulator is the running element-wise min of
+    per-shingle hash vectors (zip_with/least). Value-identical to the
+    textbook per-seed formulation min_s xxhash64(s, seed) but ~2.5x
+    faster and far smaller generated code than num_hashes separate
+    array_min(transform(...)) expressions (one lambda and one array
+    walk instead of 32 — measured at sf0.1: 0.5s vs 1.4s, and the
+    first-call Janino compile that stalls every task drops with the
+    codegen size)."""
     rows_per_band = num_hashes // bands
     sa = sa.filter(F.size("shingles") > 0)
-
-    def _minhash(h: int) -> F.Column:
-        # NOTE: the transform lambda must be single-argument — a second
-        # parameter would be interpreted as the element INDEX by Spark
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(h))))
-
-    hs = [_minhash(h) for h in range(num_hashes)]
-    sig = sa.select("id", *[h.alias(f"h{i}") for i, h in enumerate(hs)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    sig_expr = F.aggregate(
+        F.col("shingles"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(h)) for h in range(num_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    # _once: the band projection reads `sig` bands*rows_per_band times —
+    # without the barrier CollapseProject would inline (= re-run) the
+    # whole aggregate once per element_at
+    sig = sa.select("id", _once(sig_expr, streaming=sa.isStreaming).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bk"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bk"),
             )
             for b in range(bands)
         ]
