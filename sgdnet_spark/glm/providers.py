@@ -112,7 +112,11 @@ class LocalXY:
         np.subtract(yb, mu, out=z)
         z /= w
         z += eta
-        ll = float(np.sum(yb * eta) - np.logaddexp(0.0, eta).sum())
+        # ll = Σ y·η − Σ log(1+e^η); log(1+e^η) = η − log σ(η), and σ(η)
+        # is already in the mu buffer — one np.log instead of the much
+        # slower logaddexp over n elements (σ is clamped away from 0 by
+        # float math only when η > -745; guard with maximum for the tail)
+        ll = float(np.sum((yb - 1.0) * eta) + np.log(np.maximum(mu, 1e-300)).sum())
         xw = xs * w[:, None]
         return (
             float(w.sum()),
