@@ -86,6 +86,42 @@ def _executor_run_time_ms(spark) -> float:
         return -1.0
 
 
+def _tree_cpu_sec() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant — the python driver, the single local-mode JVM, and any
+    pyspark.daemon workers. Per-query deltas of this counter are the
+    contention-robust twin of wall time: hypervisor steal and noisy
+    neighbors inflate wall clock but not CPU actually consumed. Costs
+    one /proc walk (no Spark UI listener, whose event bus measurably
+    slows CPU-heavy stages). Returns -1 on non-/proc platforms."""
+    try:
+        me = os.getpid()
+        children: dict[int, list[int]] = {}
+        stats: dict[int, float] = {}
+        tick = os.sysconf("SC_CLK_TCK")
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat") as fh:
+                    parts = fh.read().rsplit(") ", 1)[1].split()
+                ppid = int(parts[1])
+                utime, stime = int(parts[11]), int(parts[12])
+            except (OSError, IndexError, ValueError):
+                continue
+            pid = int(pid_s)
+            children.setdefault(ppid, []).append(pid)
+            stats[pid] = (utime + stime) / tick
+        total, frontier = 0.0, [me]
+        while frontier:
+            pid = frontier.pop()
+            total += stats.get(pid, 0.0)
+            frontier.extend(children.get(pid, []))
+        return total
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,28 +140,32 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").count()
     spark.createDataFrame([{"a": 1}], schema="a long").count()
 
-    # two iterations, report the min (steady-state engine cost; first
-    # iteration carries one-time plan compilation / page-cache warmup)
+    # three iterations, report the min (steady-state engine cost; the
+    # first iteration carries one-time plan compilation / page-cache
+    # warmup, and this host shows multi-second hypervisor-steal spikes —
+    # /proc/stat steal jumps under load — so an extra sample materially
+    # improves the odds that one run lands in a quiet window; the
+    # cpu_time_sec twin is the contention-robust cross-check)
     times: dict[str, float] = {}
-    task_times: dict[str, float] = {}
+    cpu_times: dict[str, float] = {}
     for item in HEADLINERS:
         name, fn = item if isinstance(item, tuple) else (item, QUERIES[item])
-        best, best_task, n = float("inf"), -1.0, 0
-        for _ in range(2):
-            rt0 = _executor_run_time_ms(spark)
+        best, best_cpu, n = float("inf"), -1.0, 0
+        for _ in range(3):
+            c0 = _tree_cpu_sec()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             wall = time.perf_counter() - t0
+            c1 = _tree_cpu_sec()
             if wall < best:
                 best = wall
-                rt1 = _executor_run_time_ms(spark)
-                if rt0 >= 0 and rt1 >= 0:
-                    best_task = (rt1 - rt0) / 1000.0
+                if c0 >= 0 and c1 >= 0:
+                    best_cpu = c1 - c0
         times[name] = round(best, 3)
-        task_times[name] = round(best_task, 3)
+        cpu_times[name] = round(best_cpu, 3)
         print(
             f"# {name}: {times[name]:.3f}s wall / "
-            f"{task_times[name]:.3f}s task ({n} rows)",
+            f"{cpu_times[name]:.3f}s cpu ({n} rows)",
             file=sys.stderr,
         )
 
@@ -137,7 +177,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "task_time_sec": task_times,
+                "cpu_time_sec": cpu_times,
+                "cpu_time_total": round(sum(cpu_times.values()), 3),
                 "sf": float(sf),
             }
         )
