@@ -511,18 +511,44 @@ def binomial_path(
     C, B = _gram(mom, x_mean, x_std, intercept)
     b = B[:, 0]
     provider.set_standardization(x_mean, 1.0 / x_std)
+    p = len(b)
 
-    pbar = float(mom.y_mean[0])
-    ll_null = n * (pbar * np.log(max(pbar, 1e-300)) + (1 - pbar) * np.log(max(1 - pbar, 1e-300)))
+    has_off = getattr(provider, "has_offset", False)
+    prev_stats = None  # last IRLS quadratic, anchored at the previous solution
+    if not has_off:
+        # closed forms: the weighted moments already fold sample weights
+        # into pbar and the Gram, so lambda_max = max|x̃ᵀ w̃(y-ȳ)|/n holds
+        # weighted or not
+        pbar = float(mom.y_mean[0])
+        ll_null = n * (pbar * np.log(max(pbar, 1e-300)) + (1 - pbar) * np.log(max(1 - pbar, 1e-300)))
+        b0 = float(np.log(pbar / (1 - pbar))) if intercept else 0.0
+    else:
+        # with a per-row offset the null model has no closed form: Newton
+        # on the intercept (each step is one IRLS pass; the WLS solve of
+        # the intercept-only quadratic IS the Newton step), then read
+        # lambda_max off the null gradient x̃ᵀ w̃ (y-mu0)/n = (swxz-b0·swx)/n
+        b0 = 0.0
+        sw = swx = swxz = None
+        for _ in range(10):
+            sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(np.zeros(p), b0)
+            prev_stats = (sw, swx, swxx, swxz, swz)
+            if not intercept:
+                break
+            b0_new = swz / sw
+            if abs(b0_new - b0) <= 1e-10 * max(1.0, abs(b0_new)):
+                b0 = b0_new
+                break
+            b0 = b0_new
+        ll_null = ll
+        b = (swxz - b0 * swx) / n
+
     nulldev = -2.0 * ll_null
 
     lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
-    p = len(b)
 
     coef = np.zeros(p)
-    b0 = float(np.log(pbar / (1 - pbar))) if intercept else 0.0
     out_beta = np.zeros((p, nl))
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
@@ -535,7 +561,6 @@ def binomial_path(
     # (reference R/sgdnet.R 'Relationship with glmnet').
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
     prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
-    prev_stats = None  # last IRLS quadratic, anchored at the previous solution
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0
@@ -586,6 +611,111 @@ def binomial_path(
         out_df[i] = int(np.count_nonzero(coef))
     return PathResult(
         "binomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
+    )
+
+
+def poisson_path(
+    provider,
+    alpha: float,
+    nlambda: int = 100,
+    lambda_min_ratio: float = 1e-4,
+    lambdas=None,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 1e-7,
+    maxit: int = 1000,
+    outer_maxit: int = 30,
+    mom=None,
+) -> PathResult:
+    """Poisson (log link) elastic-net path — an EXTENSION of the
+    reference surface (R/sgdnet.R supports gaussian/binomial/
+    multinomial/mgaussian only; R/sgdnet.R:341 likewise leaves offset
+    as a TODO). glmnet-style semantics: IRLS with mu = exp(eta),
+    wirls = mu, working response z = eta + (y-mu)/mu, inner penalized
+    WLS coordinate descent; deviance = 2 Σ w̃ [y log(y/mu) - (y-mu)].
+    Sample weights and offsets ride through the provider. Cross-checked
+    at lambda=0 against MLlib GeneralizedLinearRegression
+    (family='poisson') in tests/test_weights_offset.py.
+    """
+    mom = mom or provider.moments()
+    n = mom.n
+    x_mean, x_std = _standardization(mom, standardize, intercept)
+    provider.set_standardization(x_mean, 1.0 / x_std)
+    p = len(x_mean)
+
+    has_off = getattr(provider, "has_offset", False)
+    if not intercept:
+        b0_null = 0.0
+    elif has_off:
+        b0_null = provider.poisson_null_intercept()
+    else:
+        b0_null = float(np.log(max(float(mom.y_mean[0]), 1e-300)))
+    # ONE pass at the null model yields nulldev, the null gradient for
+    # lambda_max (x̃ᵀ w̃(y-mu0)/n = (swxz - b0·swx)/n), and a warm
+    # prox-Newton quadratic for the first real path point
+    sw, swx, swxx, swxz, swz, dev0 = provider.irls_poisson(np.zeros(p), b0_null)
+    nulldev = float(dev0)
+    grad_null = (swxz - b0_null * swx) / n
+    lambda_max = float(np.max(np.abs(grad_null))) / max(alpha, ALPHA_FLOOR)
+    lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
+    nl = len(lam_path)
+
+    coef = np.zeros(p)
+    b0 = b0_null
+    out_beta = np.zeros((p, nl))
+    out_a0 = np.zeros(nl)
+    out_df = np.zeros(nl, dtype=int)
+    out_dr = np.zeros(nl)
+    losses: list = []
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    prev_sol: list[tuple[float, np.ndarray, float]] = []
+    prev_stats = (sw, swx, swxx, swxz, swz)
+    for i, lam in enumerate(lam_path):
+        if auto_path and i == 0:
+            out_a0[i] = b0_null
+            losses.append([nulldev / (2.0 * n)])
+            continue
+        if len(prev_sol) >= 2:
+            (l1, c1, i1), (l2, c2, i2) = prev_sol[-2], prev_sol[-1]
+            if l1 != l2:
+                r = (lam - l2) / (l2 - l1)
+                coef = c2 + r * (c2 - c1)
+                b0 = i2 + r * (i2 - i1)
+        if prev_stats is not None:
+            coef, b0, _ = wls_enet_cd(
+                *prev_stats, n, lam, alpha, coef, b0, intercept,
+                tol=thresh, maxit=maxit,
+            )
+        dev = nulldev
+        lam_losses: list = []
+        for _ in range(outer_maxit):
+            sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(coef, b0)
+            prev_stats = (sw, swx, swxx, swxz, swz)
+            lam_losses.append(
+                dev / (2.0 * n)
+                + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
+            )
+            new_coef, new_b0, _ = wls_enet_cd(
+                sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
+                tol=thresh, maxit=maxit,
+            )
+            delta = max(float(np.max(np.abs(new_coef - coef))) if p else 0.0, abs(new_b0 - b0))
+            scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
+            coef, b0 = new_coef, new_b0
+            if delta <= max(thresh, 1e-6) * scale:
+                break
+        prev_sol.append((float(lam), coef.copy(), float(b0)))
+        if len(prev_sol) > 2:
+            prev_sol.pop(0)
+        losses.append(lam_losses)
+        out_dr[i] = 1.0 - dev / nulldev if nulldev > 0 else 0.0
+        ob, _ = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
+        out_beta[:, i] = ob
+        out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
+        out_df[i] = int(np.count_nonzero(coef))
+    return PathResult(
+        "poisson", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
         getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
     )
 

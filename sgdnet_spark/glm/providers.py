@@ -23,14 +23,35 @@ def _softmax(eta: np.ndarray) -> np.ndarray:
 
 
 class LocalXY:
-    """Numpy-backed provider. x: (n,p) raw scale; y: (n,k)."""
+    """Numpy-backed provider. x: (n,p) raw scale; y: (n,k).
 
-    def __init__(self, x: np.ndarray, y: np.ndarray):
+    ``w`` (optional sample weights, any positive scale — rescaled here to
+    mean 1, the glmnet weights-sum-to-n convention) and ``o`` (optional
+    per-row linear-predictor offset for binomial/poisson) extend the
+    reference surface: R/sgdnet.R:341 leaves offset as a TODO and has no
+    weights parameter at all."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, w: np.ndarray | None = None,
+                 o: np.ndarray | None = None):
         self.x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         self.y = y.reshape(-1, 1) if y.ndim == 1 else y
         self.n, self.p = self.x.shape
+        if w is not None:
+            w = np.asarray(w, dtype=np.float64)
+            if np.any(w < 0):
+                raise ValueError("sample weights must be non-negative")
+            tot = float(w.sum())
+            if tot <= 0:
+                raise ValueError("sample weights must not all be zero")
+            w = w * (self.n / tot)
+        self.w = w
+        self.o = np.asarray(o, dtype=np.float64) if o is not None else None
         self.passes = 0
+
+    @property
+    def has_offset(self) -> bool:
+        return self.o is not None
 
     def moments_diag(self) -> Moments:
         return self.moments()
@@ -38,13 +59,17 @@ class LocalXY:
     def moments(self) -> Moments:
         self.passes += 1
         x, y = self.x, self.y
+        if self.w is None:
+            xw, yw = x, y
+        else:
+            xw, yw = x * self.w[:, None], y * self.w[:, None]
         return Moments(
             n=self.n,
-            sum_x=x.sum(axis=0),
-            sum_y=y.sum(axis=0),
-            sum_xx=x.T @ x,
-            sum_xy=x.T @ y,
-            sum_yy=(y * y).sum(axis=0),
+            sum_x=xw.sum(axis=0),
+            sum_y=yw.sum(axis=0),
+            sum_xx=xw.T @ x,
+            sum_xy=xw.T @ y,
+            sum_yy=(yw * y).sum(axis=0),
         )
 
     def set_standardization(self, x_mean: np.ndarray, x_inv_std: np.ndarray) -> None:
@@ -63,12 +88,16 @@ class LocalXY:
         self.passes += 1
         xs = self._xs()
         r = xs @ coef + intercept - self.y[:, 0]
-        return xs.T @ r / self.n, float(r.sum()) / self.n, float(r @ r) / self.n
+        rw = r if self.w is None else r * self.w
+        return xs.T @ rw / self.n, float(rw.sum()) / self.n, float(rw @ r) / self.n
 
     def cov_vec(self, v: np.ndarray) -> np.ndarray:
         self.passes += 1
         xs = self._xs()
-        return xs.T @ (xs @ v) / self.n
+        u = xs @ v
+        if self.w is not None:
+            u = u * self.w
+        return xs.T @ u / self.n
 
     def grad_binomial(self, coef: np.ndarray, b0: float):
         """Logistic gradient (standardized scale); y is the 0/1 column."""
@@ -76,10 +105,16 @@ class LocalXY:
         xs = self._xs()
         yb = self.y[:, 0]
         eta = xs @ coef + b0
+        if self.o is not None:
+            eta = eta + self.o
         mu = 1.0 / (1.0 + np.exp(-eta))
         r = mu - yb
-        ll = float(np.sum(yb * eta) - np.logaddexp(0.0, eta).sum())
-        return xs.T @ r / self.n, float(r.mean()), ll
+        ll_terms = yb * eta - np.logaddexp(0.0, eta)
+        if self.w is not None:
+            r = r * self.w
+            ll_terms = ll_terms * self.w
+        ll = float(ll_terms.sum())
+        return xs.T @ r / self.n, float(r.sum() / self.n), ll
 
     def grad_multinomial(self, coefs: np.ndarray, b0s: np.ndarray):
         """Softmax gradient for all classes; self.y is one-hot (n, k)."""
@@ -88,9 +123,13 @@ class LocalXY:
         eta = xs @ coefs.T + b0s
         P = _softmax(eta)
         R = P - self.y
+        ll_terms = np.sum(self.y * np.log(np.maximum(P, 1e-300)), axis=1)
+        if self.w is not None:
+            R = R * self.w[:, None]
+            ll_terms = ll_terms * self.w
         G = (R.T @ xs) / self.n
-        ll = float(np.sum(self.y * np.log(np.maximum(P, 1e-300))))
-        return G, R.mean(axis=0), ll
+        ll = float(ll_terms.sum())
+        return G, R.sum(axis=0) / self.n, ll
 
     def irls_binomial(self, coef: np.ndarray, intercept: float):
         # hot loop: ~3 calls per lambda over the full n — reuse buffers to
@@ -103,6 +142,8 @@ class LocalXY:
         eta, mu, w, z = self._buf
         np.dot(xs, coef, out=eta)
         eta += intercept
+        if self.o is not None:
+            eta += self.o
         np.multiply(eta, -1.0, out=mu)
         np.exp(mu, out=mu)
         mu += 1.0
@@ -112,11 +153,17 @@ class LocalXY:
         np.subtract(yb, mu, out=z)
         z /= w
         z += eta
+        if self.o is not None:
+            z -= self.o  # the WLS solve targets eta MINUS the fixed offset
         # ll = Σ y·η − Σ log(1+e^η); log(1+e^η) = η − log σ(η), and σ(η)
         # is already in the mu buffer — one np.log instead of the much
         # slower logaddexp over n elements (σ is clamped away from 0 by
         # float math only when η > -745; guard with maximum for the tail)
-        ll = float(np.sum((yb - 1.0) * eta) + np.log(np.maximum(mu, 1e-300)).sum())
+        ll_terms = (yb - 1.0) * eta + np.log(np.maximum(mu, 1e-300))
+        if self.w is not None:
+            ll_terms = ll_terms * self.w
+            w = w * self.w  # w buffer no longer aliased: new array
+        ll = float(ll_terms.sum())
         xw = xs * w[:, None]
         return (
             float(w.sum()),
@@ -127,11 +174,52 @@ class LocalXY:
             ll,
         )
 
+    def irls_poisson(self, coef: np.ndarray, intercept: float):
+        """One IRLS pass for poisson (log link): mu = exp(eta), wirls =
+        mu, z = (eta - o) + (y - mu)/mu; the fit statistic is the
+        (positive) deviance 2 Σ w̃ [y log(y/mu) - (y - mu)]."""
+        self.passes += 1
+        xs = self._xs()
+        yb = self.y[:, 0]
+        eta = xs @ coef + intercept
+        if self.o is not None:
+            eta = eta + self.o
+        mu = np.exp(eta)
+        w = np.maximum(mu, 1e-10)
+        z = eta + (yb - mu) / w
+        if self.o is not None:
+            z = z - self.o
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ylogy = np.where(yb > 0, yb * np.log(yb / np.maximum(mu, 1e-300)), 0.0)
+        dev_terms = 2.0 * (ylogy - (yb - mu))
+        if self.w is not None:
+            dev_terms = dev_terms * self.w
+            w = w * self.w
+        xw = xs * w[:, None]
+        return (
+            float(w.sum()),
+            xw.sum(axis=0),
+            xw.T @ xs,
+            xw.T @ z,
+            float((w * z).sum()),
+            float(dev_terms.sum()),
+        )
+
+    def poisson_null_intercept(self) -> float:
+        """Closed-form weighted intercept-only poisson MLE with offset:
+        e^{b0} = Σ w̃ y / Σ w̃ e^o (reduces to log(ȳ_w) without offset)."""
+        yb = self.y[:, 0]
+        sw = self.w if self.w is not None else 1.0
+        num = float(np.sum(sw * yb))
+        eo = np.exp(self.o) if self.o is not None else np.ones_like(yb)
+        den = float(np.sum(sw * eo))
+        return float(np.log(max(num, 1e-300) / max(den, 1e-300)))
+
     def irls_multinomial_all(self, coefs: np.ndarray, intercepts: np.ndarray):
         """IRLS stats for all classes at once; self.y is one-hot (n, k)."""
         self.passes += 1
         out = suffstats.multinomial_class_stats(
-            self.x, self.y, coefs, intercepts, self.x_mean, self.x_inv_std
+            self.x, self.y, coefs, intercepts, self.x_mean, self.x_inv_std, sw=self.w
         )
         return suffstats._unpack_class_stats(out, self.p, coefs.shape[0])
 
@@ -179,11 +267,35 @@ class SparkXY:
         self.n = mom.n
         return mom
 
+    @property
+    def has_offset(self) -> bool:
+        return "o" in self.xy.columns
+
     def irls_binomial(self, coef: np.ndarray, intercept: float):
         self.passes += 1
         return suffstats.weighted_quadratic(
             self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std
         )
+
+    def irls_poisson(self, coef: np.ndarray, intercept: float):
+        self.passes += 1
+        return suffstats.weighted_quadratic(
+            self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std,
+            kind="poisson",
+        )
+
+    def poisson_null_intercept(self) -> float:
+        """e^{b0} = Σ w̃ y / Σ w̃ e^o in one tiny JVM aggregation."""
+        from pyspark.sql import functions as F
+
+        w = F.col("w") if "w" in self.xy.columns else F.lit(1.0)
+        eo = F.exp(F.col("o")) if "o" in self.xy.columns else F.lit(1.0)
+        row = self.xy.agg(
+            F.sum(w * F.col("y0")).alias("num"), F.sum(w * eo).alias("den")
+        ).first()
+        import numpy as np
+
+        return float(np.log(max(float(row["num"]), 1e-300) / max(float(row["den"]), 1e-300)))
 
     def gradient_gaussian(self, coef: np.ndarray, intercept: float):
         self.passes += 1
@@ -217,5 +329,5 @@ class SparkXY:
         got = suffstats.collect_xy(self.xy, self.p, self.k, max_cells=max_cells)
         if got is None:
             return None
-        x, y = got
-        return LocalXY(x, y)
+        x, y, w, o = got
+        return LocalXY(x, y, w=w, o=o)

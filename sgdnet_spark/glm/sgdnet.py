@@ -25,7 +25,7 @@ from sgdnet_spark.glm import path as path_mod
 from sgdnet_spark.glm import suffstats
 from sgdnet_spark.glm.providers import LocalXY, SparkXY
 
-FAMILIES = ("gaussian", "binomial", "multinomial", "mgaussian")
+FAMILIES = ("gaussian", "binomial", "multinomial", "mgaussian", "poisson")
 
 
 def colref(name: str) -> F.Column:
@@ -61,6 +61,7 @@ class SgdnetFit:
     dfmat: np.ndarray | None = None
     intercept: bool = True
     standardize: bool = True
+    offset: bool = False  # True when fit with offset_col (predict then needs newoffset)
     _train: dict | None = None  # inputs retained for exact refits (update())
     diagnostics: dict | None = None  # {'loss': [...]} as reference sgdnet.debug
 
@@ -92,7 +93,7 @@ class SgdnetFit:
 
     def coef(self, s=None) -> np.ndarray:
         """Coefficient matrix with intercept row(s) first; interpolated at s."""
-        if self.family in ("gaussian", "binomial"):
+        if self.family in ("gaussian", "binomial", "poisson"):
             full = np.vstack([self.a0[None, :], self.beta])  # (p+1, nl)
         else:
             full = np.concatenate([self.a0[:, None, :], self.beta], axis=1)  # (k, p+1, nl)
@@ -125,6 +126,7 @@ class SgdnetFit:
         feature_cols: Sequence[str] | None = None,
         prefix: str = "pred",
         exact: bool = False,
+        newoffset: str | None = None,
     ) -> DataFrame:
         """Append prediction columns to ``newx`` (one per lambda requested).
 
@@ -135,16 +137,22 @@ class SgdnetFit:
         driver-side objects the reference returns (a coefficient matrix
         resp. index lists — no data pass involved).
         ``exact=True`` refits at off-path s instead of interpolating.
+        ``newoffset`` names the offset column in ``newx`` — required when
+        the fit used ``offset_col`` (reference predict.sgdnet.R:381) and
+        added to every linear predictor.
         """
         if type == "coefficients":
             return self.coef(s)
         if type == "nonzero":
             return self.nonzero(s)
+        if self.offset and newoffset is None:
+            raise ValueError("need 'newoffset' since offset was used in fit")
         if exact and s is not None:
             lam_set = set(np.atleast_1d(np.asarray(s, dtype=float)))
             if not lam_set <= set(self.lambdas):
                 return self.update(sorted(lam_set | set(self.lambdas), reverse=True)).predict(
-                    newx, s=s, type=type, feature_cols=feature_cols, prefix=prefix
+                    newx, s=s, type=type, feature_cols=feature_cols, prefix=prefix,
+                    newoffset=newoffset,
                 )
         cols = self._check_cols(feature_cols)
         cf = self.coef(s) if s is not None else self.coef()
@@ -157,6 +165,8 @@ class SgdnetFit:
             for w, c in zip(weights[1:], cols):
                 if w != 0.0:
                     expr = expr + F.lit(float(w)) * colref(c).cast("double")
+            if newoffset is not None:
+                expr = expr + F.col(newoffset).cast("double")
             return expr
 
         out = newx
@@ -165,6 +175,8 @@ class SgdnetFit:
                 e = linpred(cf[:, i])
                 if type == "response" and self.family == "binomial":
                     e = F.lit(1.0) / (F.lit(1.0) + F.exp(-e))
+                elif type == "response" and self.family == "poisson":
+                    e = F.exp(e)
                 elif type == "class" and self.family == "binomial":
                     cls = [str(c) for c in (self.classnames or [0, 1])]
                     e = F.when(e > 0, F.lit(cls[1])).otherwise(F.lit(cls[0]))
@@ -204,10 +216,12 @@ class SgdnetFit:
         """Driver-side numpy predict (used by score/CV internals)."""
         x = np.asarray(x, dtype=np.float64)
         cf = self.coef(s)
-        if self.family in ("gaussian", "binomial"):
+        if self.family in ("gaussian", "binomial", "poisson"):
             eta = cf[0][None, :] + x @ cf[1:]  # (n, nl)
             if type == "response" and self.family == "binomial":
                 return 1.0 / (1.0 + np.exp(-eta))
+            if type == "response" and self.family == "poisson":
+                return np.exp(eta)
             if type == "class":
                 cls = np.asarray(self.classnames or [0, 1])
                 return cls[(eta > 0).astype(int)]
@@ -332,7 +346,7 @@ class SgdnetFit:
 
 def _prepare_labels(df: DataFrame, label_col: str | Sequence[str], family: str):
     """Returns (label_exprs, classnames, response_names)."""
-    if family == "gaussian":
+    if family in ("gaussian", "poisson"):
         return [label_col] if isinstance(label_col, str) else list(label_col), None, None
     if family == "mgaussian":
         cols = [label_col] if isinstance(label_col, str) else list(label_col)
@@ -373,7 +387,8 @@ def _validate_classes(classes, family: str):
 
 
 def _local_classification(df, feature_exprs, label_col: str, family: str,
-                          collect_max_cells: float, p: int):
+                          collect_max_cells: float, p: int,
+                          weight_expr=None, offset_expr=None):
     """Single-collect driver fast path for binomial/multinomial.
 
     The standard path spends one scan finding the class labels
@@ -390,7 +405,12 @@ def _local_classification(df, feature_exprs, label_col: str, family: str,
         (F.col(e) if isinstance(e, str) else e).cast("double").alias(f"x{i}")
         for i, e in enumerate(feature_exprs)
     ]
-    pdf = df.select(*cols, F.col(label_col).alias("_label")).toPandas()
+    extra = []
+    if weight_expr is not None:
+        extra.append(weight_expr.cast("double").alias("_w"))
+    if offset_expr is not None:
+        extra.append(offset_expr.cast("double").alias("_o"))
+    pdf = df.select(*cols, F.col(label_col).alias("_label"), *extra).toPandas()
     labels = pdf["_label"]
     # sorted() over the raw values matches the distributed path's
     # orderBy(label) (R factor-level order) for numeric and ASCII labels
@@ -407,7 +427,9 @@ def _local_classification(df, feature_exprs, label_col: str, family: str,
         y = np.empty((n, k), dtype=np.float64)
         for j, c in enumerate(classes):
             y[:, j] = lab == c
-    provider = LocalXY(x, y)
+    w = pdf["_w"].to_numpy(dtype=np.float64) if weight_expr is not None else None
+    o = pdf["_o"].to_numpy(dtype=np.float64) if offset_expr is not None else None
+    provider = LocalXY(x, y, w=w, o=o)
     provider.passes = 1  # the collect itself
     mom = provider.moments()
     return provider, mom, classes, k
@@ -429,6 +451,8 @@ def sgdnet(
     standardize_response: bool = False,
     solver: str = "auto",
     collect_max_cells: float = 3e8,
+    weights_col: str | None = None,
+    offset_col: str | None = None,
 ) -> SgdnetFit:
     """Fit an elastic-net GLM path on a Spark DataFrame.
 
@@ -442,9 +466,22 @@ def sgdnet(
     floors ``maxit`` at 100 — a per-lambda proximal iteration is far
     cheaper than a reference epoch, so the stricter settings keep the
     documented accuracy without the SAGA-era cost model.
+
+    Extensions beyond the reference surface (R/sgdnet.R:341 leaves
+    offset as a TODO; weights are absent): ``weights_col`` — per-row
+    non-negative sample weights, glmnet semantics (internally rescaled
+    to sum to n; all families); ``offset_col`` — per-row fixed
+    linear-predictor term (gaussian, binomial, poisson; glmnet
+    semantics: predict() then requires ``newoffset``); and
+    ``family='poisson'`` (log link) itself.
     """
     if family not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}")
+    if offset_col is not None and family in ("multinomial", "mgaussian"):
+        raise NotImplementedError(
+            f"offset_col is not supported for family='{family}' "
+            "(supported: gaussian, binomial, poisson)"
+        )
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
     if lambdas is not None and np.any(np.asarray(lambdas) < 0):
@@ -475,6 +512,26 @@ def sgdnet(
     if solver not in ("auto", "local", "spark", "fista"):
         raise ValueError("solver must be one of 'auto', 'local', 'spark', 'fista'")
 
+    # sample weights: ONE tiny aggregation gives the n/Σw rescale factor
+    # (glmnet's weights-sum-to-n convention) so every downstream /n is
+    # the correct weighted mean with no kernel-side renormalization
+    weight_expr = None
+    if weights_col is not None:
+        wc = F.col(weights_col).cast("double")
+        wrow = df.agg(
+            F.count("*").alias("n"), F.sum(wc).alias("W"), F.min(wc).alias("wmin")
+        ).first()
+        if wrow["n"] == 0:
+            raise ValueError("the predictor matrix (x) is empty.")
+        if wrow["wmin"] is None or float(wrow["wmin"]) < 0:
+            raise ValueError("sample weights must be non-negative")
+        if float(wrow["W"] or 0.0) <= 0:
+            raise ValueError("sample weights must not all be zero")
+        weight_expr = wc * F.lit(float(wrow["n"]) / float(wrow["W"]))
+
+    offset_expr = F.col(offset_col).cast("double") if offset_col is not None else None
+    gaussian_offset = offset_expr is not None and family == "gaussian"
+
     fast = None
     if (
         family in ("binomial", "multinomial")
@@ -483,7 +540,8 @@ def sgdnet(
         and isinstance(label_col, str)
     ):
         fast = _local_classification(df, feature_exprs, label_col, family,
-                                     collect_max_cells, p)
+                                     collect_max_cells, p,
+                                     weight_expr=weight_expr, offset_expr=offset_expr)
 
     if fast is not None:
         provider, mom, classnames, k = fast
@@ -491,20 +549,42 @@ def sgdnet(
         feature_cols = feature_names
     else:
         label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
+        if gaussian_offset:
+            # exact equivalence: a gaussian fit with offset o is the plain
+            # fit on (y - o); predict() adds newoffset back to the link
+            label_exprs = [
+                (F.col(e) if isinstance(e, str) else e).cast("double") - offset_expr
+                for e in label_exprs
+            ]
 
         # assemble: only the needed columns reach the scan (column pruning)
-        xy = suffstats.assemble(df, feature_exprs, label_exprs)
+        xy = suffstats.assemble(
+            df, feature_exprs, label_exprs,
+            weight_expr=weight_expr,
+            offset_expr=None if gaussian_offset else offset_expr,
+        )
         feature_cols = feature_names
 
         k = len(label_exprs)
 
         provider = SparkXY(xy, p, k)
+        if family == "poisson":
+            ymin = xy.agg(F.min("y0")).first()[0]
+            if ymin is None:
+                raise ValueError("the predictor matrix (x) is empty.")
+            if float(ymin) < 0:
+                raise ValueError("negative responses not permitted for Poisson family")
     # wide p: the p x p Gram / IRLS quadratic stops paying -> pass-per-
     # iteration proximal gradient with O(p·k) state (explicit
     # solver='fista', or auto beyond ~2000 features)
     use_fista = family in ("gaussian", "binomial", "multinomial") and (
         solver == "fista" or (solver in ("auto", "spark") and p > 2000)
     )
+    if use_fista and offset_col is not None and not gaussian_offset:
+        raise NotImplementedError(
+            "offset_col is not supported on the wide-p FISTA path for "
+            "family='binomial'; use the default quadratic solver (p <= 2000)"
+        )
     if use_fista:
         provider.cache()
         mom = provider.moments_diag()
@@ -533,13 +613,14 @@ def sgdnet(
             df=df, feature_cols=orig_features, label_col=label_col, family=family,
             alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
             thresh=thresh, standardize_response=standardize_response, solver=solver,
+            weights_col=weights_col, offset_col=offset_col,
         )
         return SgdnetFit(
             family=family, alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
             df=res.df, dev_ratio=res.dev_ratio, nulldev=res.nulldev, npasses=res.npasses,
             nobs=n, feature_names=feature_cols, classnames=classnames,
             dfmat=res.dfmat, intercept=intercept,
-            standardize=standardize, _train=train,
+            standardize=standardize, offset=offset_col is not None, _train=train,
         )
     if solver == "fista":
         raise ValueError("solver='fista' supports gaussian, binomial, multinomial")
@@ -556,7 +637,7 @@ def sgdnet(
         # local-vs-distributed decision without an extra count() scan.
         mom = provider.moments()
         n = mom.n
-        if family in ("binomial", "multinomial"):
+        if family in ("binomial", "multinomial", "poisson"):
             # iterative families: collect once if it fits the driver budget
             # (gaussian/mgaussian never collect — one Gram pass IS the fit)
             if solver == "auto" and n * (p + k) <= collect_max_cells:
@@ -580,6 +661,8 @@ def sgdnet(
         res = path_mod.mgaussian_path(provider, standardize_response=standardize_response, **kwargs)
     elif family == "binomial":
         res = path_mod.binomial_path(provider, **kwargs)
+    elif family == "poisson":
+        res = path_mod.poisson_path(provider, **kwargs)
     else:
         res = path_mod.multinomial_path(provider, **kwargs)
 
@@ -590,6 +673,7 @@ def sgdnet(
         df=df, feature_cols=orig_features, label_col=label_col, family=family,
         alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
         thresh=thresh, standardize_response=standardize_response, solver=solver,
+        weights_col=weights_col, offset_col=offset_col,
     )
     return SgdnetFit(
         family=family,
@@ -608,6 +692,7 @@ def sgdnet(
         dfmat=res.dfmat,
         intercept=intercept,
         standardize=standardize,
+        offset=offset_col is not None,
         _train=train,
         diagnostics={"loss": res.loss} if res.loss is not None else None,
     )

@@ -37,12 +37,20 @@ def ycols(k: int) -> list[str]:
     return [f"y{i}" for i in range(k)]
 
 
-def assemble(df: DataFrame, feature_exprs, label_exprs=None) -> DataFrame:
-    """Project to flat double columns x0..x{p-1}, y0..y{k-1}.
+def assemble(
+    df: DataFrame, feature_exprs, label_exprs=None, weight_expr=None, offset_expr=None
+) -> DataFrame:
+    """Project to flat double columns x0..x{p-1}, y0..y{k-1} [, w, o].
 
     Flat columns (not array<double>) keep the Arrow transfer columnar:
     pandas sees a (n, p) float block, no per-row list objects — a ~10x
     difference on wide collects. Column pruning reaches the parquet scan.
+
+    ``weight_expr`` (if given) should already be rescaled by the caller
+    so the weights average 1 over the data (glmnet's convention: weights
+    sum to n) — every downstream /n then yields the correct weighted
+    mean with no kernel-side renormalization. ``offset_expr`` is the
+    per-row linear-predictor offset for binomial/poisson fits.
     """
     cols = []
     for i, e in enumerate(feature_exprs):
@@ -52,6 +60,12 @@ def assemble(df: DataFrame, feature_exprs, label_exprs=None) -> DataFrame:
         for i, e in enumerate(label_exprs):
             c = F.col(e) if isinstance(e, str) else e
             cols.append(c.cast("double").alias(f"y{i}"))
+    if weight_expr is not None:
+        c = F.col(weight_expr) if isinstance(weight_expr, str) else weight_expr
+        cols.append(c.cast("double").alias("w"))
+    if offset_expr is not None:
+        c = F.col(offset_expr) if isinstance(offset_expr, str) else offset_expr
+        cols.append(c.cast("double").alias("o"))
     return df.select(*cols)
 
 
@@ -61,12 +75,23 @@ def _batch_xy(pdf: pd.DataFrame, p: int, k: int) -> tuple[np.ndarray, np.ndarray
     return x, y
 
 
+def _batch_wo(pdf: pd.DataFrame) -> tuple[np.ndarray | None, np.ndarray | None]:
+    w = pdf["w"].to_numpy(dtype=np.float64, copy=False) if "w" in pdf.columns else None
+    o = pdf["o"].to_numpy(dtype=np.float64, copy=False) if "o" in pdf.columns else None
+    return w, o
+
+
 def _sum_partials(df: DataFrame, fn, p: int, k: int) -> np.ndarray:
-    """Run ``fn(x, y) -> 1-d partial vector`` per Arrow batch and sum.
+    """Run ``fn(x, y[, w, o]) -> 1-d partial vector`` per Arrow batch and
+    sum. ``fn`` taking two args gets (x, y); taking four also gets the
+    optional weight/offset arrays (None when the columns are absent).
 
     One packed partial row per partition; the combine on the driver sums
     #partitions vectors of O(p^2) floats — independent of n.
     """
+    import inspect
+
+    wants_wo = len(inspect.signature(fn).parameters) >= 4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
@@ -74,7 +99,11 @@ def _sum_partials(df: DataFrame, fn, p: int, k: int) -> np.ndarray:
             if len(pdf) == 0:
                 continue
             x, y = _batch_xy(pdf, p, k)
-            part = fn(x, y)
+            if wants_wo:
+                w, o = _batch_wo(pdf)
+                part = fn(x, y, w, o)
+            else:
+                part = fn(x, y)
             acc = part if acc is None else acc + part
         if acc is not None:
             yield pd.DataFrame({"partial": [acc.tolist()]})
@@ -117,17 +146,20 @@ class Moments:
 def moments_jvm(xy: DataFrame, p: int, k: int) -> Moments:
     """Moments via pure JVM aggregation (whole-stage codegen, no Python
     workers). Preferred for small/medium p; the agg list is
-    O(p^2 / 2 + p*k) expressions."""
+    O(p^2 / 2 + p*k) expressions. A ``w`` column (mean-1 sample weights,
+    see ``assemble``) turns every sum into its weighted twin while ``n``
+    stays the row count — the glmnet weights-sum-to-n convention."""
+    w = F.col("w") if "w" in xy.columns else F.lit(1.0)
     aggs = [F.count("*").alias("n")]
-    aggs += [F.sum(f"x{i}").alias(f"sx{i}") for i in range(p)]
-    aggs += [F.sum(f"y{i}").alias(f"sy{i}") for i in range(k)]
+    aggs += [F.sum(w * F.col(f"x{i}")).alias(f"sx{i}") for i in range(p)]
+    aggs += [F.sum(w * F.col(f"y{i}")).alias(f"sy{i}") for i in range(k)]
     for i in range(p):
         for j in range(i, p):
-            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"sxx{i}_{j}"))
+            aggs.append(F.sum(w * F.col(f"x{i}") * F.col(f"x{j}")).alias(f"sxx{i}_{j}"))
     for i in range(p):
         for j in range(k):
-            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"y{j}")).alias(f"sxy{i}_{j}"))
-    aggs += [F.sum(F.col(f"y{i}") * F.col(f"y{i}")).alias(f"syy{i}") for i in range(k)]
+            aggs.append(F.sum(w * F.col(f"x{i}") * F.col(f"y{j}")).alias(f"sxy{i}_{j}"))
+    aggs += [F.sum(w * F.col(f"y{i}") * F.col(f"y{i}")).alias(f"syy{i}") for i in range(k)]
     row = xy.agg(*aggs).first()
     n = int(row["n"])
     if n == 0:
@@ -144,19 +176,22 @@ def moments_jvm(xy: DataFrame, p: int, k: int) -> Moments:
 
 
 def moments_and_gram(xy: DataFrame, p: int, k: int) -> Moments:
-    """One distributed pass -> raw moments (n, Σx, Σy, ΣxxT, Σxy, Σyy)."""
+    """One distributed pass -> raw moments (n, Σx, Σy, ΣxxT, Σxy, Σyy);
+    weighted when a ``w`` column is present (mean-1 weights, n = count)."""
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
         if y is None:
             y = np.zeros((x.shape[0], k))
+        xw = x if w is None else x * w[:, None]
+        yw = y if w is None else y * w[:, None]
         return np.concatenate(
             [
                 [float(x.shape[0])],
-                x.sum(axis=0),
-                y.sum(axis=0),
-                (x.T @ x).ravel(),
-                (x.T @ y).ravel(),
-                (y * y).sum(axis=0),
+                xw.sum(axis=0),
+                yw.sum(axis=0),
+                (xw.T @ x).ravel(),
+                (xw.T @ y).ravel(),
+                (yw * y).sum(axis=0),
             ]
         )
 
@@ -179,15 +214,17 @@ def moments_diag(xy: DataFrame, p: int, k: int) -> Moments:
     zero) — callers on this path use x_std()/x_mean/sum_xy exclusively.
     """
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
+        xw = x if w is None else x * w[:, None]
+        yw = y if w is None else y * w[:, None]
         return np.concatenate(
             [
                 [float(x.shape[0])],
-                x.sum(axis=0),
-                (x * x).sum(axis=0),
-                y.sum(axis=0),
-                (x.T @ y).ravel(),
-                (y * y).sum(axis=0),
+                xw.sum(axis=0),
+                (xw * x).sum(axis=0),
+                yw.sum(axis=0),
+                (xw.T @ y).ravel(),
+                (yw * y).sum(axis=0),
             ]
         )
 
@@ -219,10 +256,11 @@ def gradient_gaussian(
     scaled = coef * x_inv_std
     off = intercept - float(x_mean @ scaled)
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
         r = x @ scaled + off - y[:, 0]
+        rw = r if w is None else r * w
         xs = (x - x_mean) * x_inv_std
-        return np.concatenate([xs.T @ r, [r.sum()], [r @ r], [float(len(r))]])
+        return np.concatenate([xs.T @ rw, [rw.sum()], [rw @ r], [float(len(r))]])
 
     out = _sum_partials(xy, fn, p, 1)
     n = out[-1]
@@ -241,8 +279,10 @@ def cov_vec(
     scaled = v * x_inv_std
     off = -float(x_mean @ scaled)
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
         u = x @ scaled + off
+        if w is not None:
+            u = u * w
         return np.concatenate([(x.T @ u - x_mean * u.sum()) * x_inv_std, [float(len(u))]])
 
     out = _sum_partials(xy, fn, p, 0)
@@ -262,14 +302,20 @@ def gradient_binomial(
     scaled = coef * x_inv_std
     off = b0 - float(x_mean @ scaled)
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
         yb = y[:, 0]
         eta = x @ scaled + off
+        if o is not None:
+            eta = eta + o
         mu = 1.0 / (1.0 + np.exp(-eta))
         r = mu - yb
-        ll = np.sum(yb * eta - np.logaddexp(0.0, eta))
+        ll_terms = yb * eta - np.logaddexp(0.0, eta)
+        if w is not None:
+            r = r * w
+            ll_terms = ll_terms * w
+        ll = np.sum(ll_terms)
         return np.concatenate(
-            [(x.T @ r - x_mean * r.sum()) * x_inv_std, [r.sum()], [ll], [float(len(r))]]
+            [(x.T @ r - x_mean * r.sum()) * x_inv_std, [r.sum()], [ll], [float(len(yb))]]
         )
 
     out = _sum_partials(xy, fn, p, 1)
@@ -291,14 +337,18 @@ def gradient_multinomial(
     scaled = coefs * x_inv_std[None, :]
     offs = b0s - scaled @ x_mean
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
         eta = x @ scaled.T + offs
         mx = eta.max(axis=1, keepdims=True)
         e = np.exp(eta - mx)
         P = e / e.sum(axis=1, keepdims=True)
         R = P - y
+        ll_terms = np.sum(y * np.log(np.maximum(P, 1e-300)), axis=1)
+        if w is not None:
+            R = R * w[:, None]
+            ll_terms = ll_terms * w
         G = (x.T @ R - np.outer(x_mean, R.sum(axis=0))) * x_inv_std[:, None]
-        ll = float(np.sum(y * np.log(np.maximum(P, 1e-300))))
+        ll = float(ll_terms.sum())
         return np.concatenate([G.T.ravel(), R.sum(axis=0), [ll], [float(len(eta))]])
 
     out = _sum_partials(xy, fn, p, k)
@@ -315,29 +365,48 @@ def weighted_quadratic(
     x_inv_std: np.ndarray,
     kind: str = "binomial",
 ) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, float, float]:
-    """One IRLS pass for binomial: stats of the local quadratic model.
+    """One IRLS pass for binomial or poisson: stats of the local
+    quadratic model.
 
-    Given current (coef, intercept) on the *standardized* scale, computes
-    with w = mu(1-mu) and working response z = eta + (y-mu)/w:
+    Given current (coef, intercept) on the *standardized* scale, with
+    IRLS weight ``wirls`` and working response ``z`` defined against the
+    linear predictor EXCLUDING the fixed per-row offset (so the WLS
+    solve targets coef/intercept only):
 
-      returns (sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik)
+      binomial: mu = sigmoid(eta), wirls = mu(1-mu), z = eta-o + (y-mu)/wirls
+      poisson:  mu = exp(eta),     wirls = mu,       z = eta-o + (y-mu)/mu
 
-    where x here is the standardized feature vector. All shaping is done
-    with raw x batches; standardization folds in algebraically so no
-    second materialized copy of the data is needed.
+      returns (sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, fit_stat)
+
+    fit_stat is the loglik for binomial and the (positive) deviance
+    2 Σ w̃ [y log(y/mu) - (y-mu)] for poisson. Sample weights (mean-1
+    ``w`` column) multiply both the IRLS weights and the fit statistic.
+    All shaping is done with raw x batches; standardization folds in
+    algebraically so no second materialized copy of the data is needed.
     """
     scaled = coef * x_inv_std  # apply to raw x
     off = intercept - float(x_mean @ scaled)
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
+    def fn(x: np.ndarray, y: np.ndarray | None, sw, o) -> np.ndarray:
         yb = y[:, 0]
-        eta = x @ scaled + off
-        mu = 1.0 / (1.0 + np.exp(-eta))
-        w = np.maximum(mu * (1.0 - mu), 1e-10)
-        z = eta + (yb - mu) / w
+        eta_lin = x @ scaled + off
+        eta = eta_lin if o is None else eta_lin + o
+        if kind == "poisson":
+            mu = np.exp(eta)
+            w = np.maximum(mu, 1e-10)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ylogy = np.where(yb > 0, yb * np.log(yb / np.maximum(mu, 1e-300)), 0.0)
+            stat_terms = 2.0 * (ylogy - (yb - mu))
+        else:
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = np.maximum(mu * (1.0 - mu), 1e-10)
+            stat_terms = yb * eta - np.logaddexp(0.0, eta)
+        z = eta_lin + (yb - mu) / w
+        if sw is not None:
+            w = w * sw
+            stat_terms = stat_terms * sw
         xs = (x - x_mean) * x_inv_std
         xw = xs * w[:, None]
-        ll = np.sum(yb * eta - np.logaddexp(0.0, eta))
         return np.concatenate(
             [
                 [w.sum()],
@@ -345,7 +414,7 @@ def weighted_quadratic(
                 (xw.T @ xs).ravel(),
                 xw.T @ z,
                 [(w * z).sum()],
-                [ll],
+                [stat_terms.sum()],
             ]
         )
 
@@ -360,10 +429,11 @@ def weighted_quadratic(
     return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
 
 
-def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std):
+def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=None):
     """Per-batch numpy kernel: IRLS quadratic stats for ALL classes at the
     current coefficients (block-diagonal Newton — one data pass serves
-    every class update). Returns a packed 1-d partial."""
+    every class update). Returns a packed 1-d partial. ``sw`` (mean-1
+    sample weights) multiplies the IRLS weights and the loglik terms."""
     scaled = coefs * x_inv_std[None, :]
     offs = intercepts - scaled @ x_mean
     eta = x @ scaled.T + offs  # (n, k)
@@ -372,12 +442,17 @@ def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std):
     prob = e / e.sum(axis=1, keepdims=True)
     xs = (x - x_mean) * x_inv_std
     k = coefs.shape[0]
-    parts = [np.array([np.sum(y * np.log(np.maximum(prob, 1e-300)))])]
+    ll_terms = np.sum(y * np.log(np.maximum(prob, 1e-300)), axis=1)
+    if sw is not None:
+        ll_terms = ll_terms * sw
+    parts = [np.array([ll_terms.sum()])]
     for cls in range(k):
         yk = y[:, cls]
         pk = prob[:, cls]
         w = np.maximum(pk * (1.0 - pk), 1e-10)
         z = eta[:, cls] + (yk - pk) / w
+        if sw is not None:
+            w = w * sw
         xw = xs * w[:, None]
         parts.append(
             np.concatenate(
@@ -415,8 +490,8 @@ def weighted_quadratic_multinomial_all(
     """ONE distributed pass -> IRLS stats for every class + loglik."""
     k = coefs.shape[0]
 
-    def fn(x: np.ndarray, y: np.ndarray | None) -> np.ndarray:
-        return multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std)
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
+        return multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=w)
 
     out = _sum_partials(xy, fn, p, k)
     return _unpack_class_stats(out, p, k)
@@ -424,8 +499,9 @@ def weighted_quadratic_multinomial_all(
 
 def collect_xy(
     xy: DataFrame, p: int, k: int, max_cells: float = 3e8
-) -> tuple[np.ndarray, np.ndarray | None] | None:
-    """Driver fast path: pull (X, Y) as numpy when n*(p+k) is small enough.
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray | None, np.ndarray | None] | None:
+    """Driver fast path: pull (X, Y[, w, o]) as numpy when n*(p+k) is
+    small enough.
 
     Returns None when the data is too big — callers then stay on the
     distributed pass-per-iteration path. (The equivalent of Spark MLlib
@@ -442,4 +518,6 @@ def collect_xy(
         raise ValueError("empty input")
     x = pdf[xcols(p)].to_numpy(dtype=np.float64)
     y = pdf[ycols(k)].to_numpy(dtype=np.float64) if k else None
-    return x, y
+    w = pdf["w"].to_numpy(dtype=np.float64) if "w" in pdf.columns else None
+    o = pdf["o"].to_numpy(dtype=np.float64) if "o" in pdf.columns else None
+    return x, y, w, o

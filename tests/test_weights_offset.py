@@ -1,0 +1,214 @@
+"""Sample weights, offsets, and the poisson family — extensions beyond
+the reference surface (R/sgdnet.R:341 leaves offset as a TODO and has no
+weights parameter; families stop at gaussian/binomial/multinomial/
+mgaussian). glmnet semantics throughout: weights rescale to sum n,
+offset is a fixed linear-predictor term, predict() with an offset fit
+requires newoffset (reference predict.sgdnet.R:380-387 documents the
+intended behavior).
+
+Independent cross-checks: numpy weighted OLS closed form, Spark MLlib
+GeneralizedLinearRegression (weightCol/offsetCol, poisson family), and
+structural invariances (uniform weights == unweighted; weight 2 ==
+duplicated row; gaussian offset == shifted label).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sgdnet_spark.glm import sgdnet
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(11)
+    n = 500
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    w = rng.uniform(0.5, 2.0, size=n)
+    o = rng.normal(scale=0.2, size=n)
+    eta = 0.4 + 0.6 * x1 - 0.3 * x2 + o
+    y = 1.5 + 2.0 * x1 - 0.7 * x2 + rng.normal(scale=0.5, size=n)
+    ypois = rng.poisson(np.exp(eta)).astype(float)
+    yb = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    pdf = pd.DataFrame(
+        {"x1": x1, "x2": x2, "y": y, "ypois": ypois, "yb": yb, "w": w, "o": o}
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _glr(df, label, family, link, **kw):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    dv = VectorAssembler(inputCols=["x1", "x2"], outputCol="fv").transform(df)
+    m = GeneralizedLinearRegression(
+        family=family, link=link, featuresCol="fv", labelCol=label,
+        regParam=0.0, tol=1e-12, maxIter=200, **kw,
+    ).fit(dv)
+    return np.array([m.intercept] + list(m.coefficients))
+
+
+def test_weighted_gaussian_matches_weighted_ols(data):
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "y", family="gaussian", lambdas=[0.0], weights_col="w")
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    beta = np.linalg.solve(X.T @ (X * pdf.w.values[:, None]), X.T @ (pdf.w.values * pdf.y.values))
+    assert np.allclose(fit.coef()[:, 0], beta, atol=1e-8)
+
+
+def test_uniform_weights_equal_unweighted(data):
+    df, _ = data
+    df2 = df.withColumn("wc", df.w * 0 + 2.5)
+    a = sgdnet(df, ["x1", "x2"], "y", family="gaussian", nlambda=5, alpha=0.5)
+    b = sgdnet(df2, ["x1", "x2"], "y", family="gaussian", nlambda=5, alpha=0.5, weights_col="wc")
+    assert np.allclose(a.lambdas, b.lambdas)
+    assert np.allclose(a.coef(), b.coef(), atol=1e-10)
+
+
+def test_weight_two_equals_duplicated_rows_binomial(data):
+    df, pdf = data
+    n = len(pdf)
+    dup = pd.concat([pdf, pdf.iloc[:100]], ignore_index=True)
+    w2 = np.ones(n)
+    w2[:100] = 2.0
+    spark = df.sparkSession
+    fit_dup = sgdnet(
+        spark.createDataFrame(dup), ["x1", "x2"], "yb", family="binomial", nlambda=4, alpha=0.5
+    )
+    fit_w = sgdnet(
+        spark.createDataFrame(pdf.assign(w2=w2)), ["x1", "x2"], "yb",
+        family="binomial", nlambda=4, alpha=0.5, weights_col="w2",
+    )
+    # the weights-sum-to-n normalization makes lambda grid AND coefficients
+    # identical between a weight-2 row and a physically duplicated row
+    assert np.allclose(fit_dup.lambdas, fit_w.lambdas)
+    assert np.allclose(fit_dup.coef(), fit_w.coef(), atol=1e-6)
+
+
+def test_gaussian_offset_equals_shifted_label_and_predict_roundtrip(data):
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "y", family="gaussian", lambdas=[0.0], offset_col="o")
+    shifted = df.withColumn("ys", df.y - df.o)
+    fit2 = sgdnet(shifted, ["x1", "x2"], "ys", family="gaussian", lambdas=[0.0])
+    assert fit.offset and not fit2.offset
+    assert np.allclose(fit.coef(), fit2.coef(), atol=1e-9)
+    with pytest.raises(ValueError, match="newoffset"):
+        fit.predict(df)
+    pred = fit.predict(df, newoffset="o").select("pred").toPandas()["pred"].to_numpy()
+    cf = fit.coef()[:, 0]
+    expect = cf[0] + cf[1] * pdf.x1.values + cf[2] * pdf.x2.values + pdf.o.values
+    assert np.allclose(pred, expect, atol=1e-9)
+
+
+def test_binomial_weights_offset_match_mllib(data):
+    df, _ = data
+    fit = sgdnet(df, ["x1", "x2"], "yb", family="binomial", lambdas=[0.0],
+                 weights_col="w", offset_col="o")
+    ref = _glr(df, "yb", "binomial", "logit", weightCol="w", offsetCol="o")
+    assert np.allclose(fit.coef()[:, 0], ref, atol=1e-5)
+
+
+def test_poisson_mle_matches_mllib(data):
+    df, _ = data
+    fit = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", lambdas=[0.0])
+    ref = _glr(df, "ypois", "poisson", "log")
+    assert np.allclose(fit.coef()[:, 0], ref, atol=1e-5)
+    assert fit.family == "poisson"
+    assert fit.dev_ratio[0] > 0.1  # the covariates explain real deviance
+
+
+def test_poisson_weights_offset_match_mllib(data):
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", lambdas=[0.0],
+                 weights_col="w", offset_col="o")
+    ref = _glr(df, "ypois", "poisson", "log", weightCol="w", offsetCol="o")
+    assert np.allclose(fit.coef()[:, 0], ref, atol=1e-4)
+    # response predict = exp(link + offset)
+    pr = fit.predict(df, type="response", newoffset="o").select("pred").toPandas()["pred"].to_numpy()
+    cf = fit.coef()[:, 0]
+    expect = np.exp(cf[0] + cf[1] * pdf.x1.values + cf[2] * pdf.x2.values + pdf.o.values)
+    assert np.allclose(pr, expect, atol=1e-8)
+
+
+def test_poisson_local_equals_distributed(data):
+    df, _ = data
+    loc = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nlambda=5, alpha=0.5,
+                 weights_col="w", offset_col="o")
+    spk = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nlambda=5, alpha=0.5,
+                 weights_col="w", offset_col="o", solver="spark", collect_max_cells=1)
+    assert np.allclose(loc.coef(), spk.coef(), atol=1e-9)
+    assert np.allclose(loc.dev_ratio, spk.dev_ratio, atol=1e-9)
+
+
+def test_binomial_weights_offset_local_equals_distributed(data):
+    df, _ = data
+    loc = sgdnet(df, ["x1", "x2"], "yb", family="binomial", nlambda=5, alpha=0.5,
+                 weights_col="w", offset_col="o", solver="local")
+    spk = sgdnet(df, ["x1", "x2"], "yb", family="binomial", nlambda=5, alpha=0.5,
+                 weights_col="w", offset_col="o", solver="spark")
+    assert np.allclose(loc.coef(), spk.coef(), atol=1e-9)
+
+
+def test_multinomial_weighted_local_equals_distributed(data):
+    df, pdf = data
+    eta = 0.4 + 0.6 * pdf.x1.values - 0.3 * pdf.x2.values
+    y3 = np.where(eta > 0.6, "a", np.where(eta > 0.2, "b", "c"))
+    spark = df.sparkSession
+    df3 = spark.createDataFrame(pdf.assign(y3=y3))
+    loc = sgdnet(df3, ["x1", "x2"], "y3", family="multinomial", nlambda=4, alpha=1.0,
+                 weights_col="w")
+    spk = sgdnet(df3, ["x1", "x2"], "y3", family="multinomial", nlambda=4, alpha=1.0,
+                 weights_col="w", solver="spark")
+    assert np.allclose(loc.coef(), spk.coef(), atol=1e-8)
+
+
+def test_poisson_path_kkt(data):
+    """KKT at an interior path point: |x̃ᵀ w̃(y-mu)/n| <= lam*alpha for
+    zero coefs, == lam*alpha + lam*(1-alpha)*beta for active ones."""
+    df, pdf = data
+    alpha = 0.5
+    fit = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nlambda=8, alpha=alpha,
+                 weights_col="w")
+    n = len(pdf)
+    w = pdf.w.values * (n / pdf.w.values.sum())
+    X = np.column_stack([pdf.x1, pdf.x2])
+    xm = (X * w[:, None]).sum(axis=0) / n
+    xv = (X * X * w[:, None]).sum(axis=0) / n - xm**2
+    xs = (X - xm) / np.sqrt(xv)
+    for i in (3, 6):
+        lam = fit.lambdas[i]
+        cf = fit.coef()[:, i]
+        eta = cf[0] + X @ cf[1:]
+        mu = np.exp(eta)
+        grad = xs.T @ (w * (mu - pdf.ypois.values)) / n  # standardized-scale gradient
+        beta_std = cf[1:] * np.sqrt(xv)  # back to the standardized scale
+        for j in range(2):
+            if beta_std[j] == 0.0:
+                assert abs(grad[j]) <= lam * alpha * 1.02 + 1e-8
+            else:
+                kkt = grad[j] + lam * alpha * np.sign(beta_std[j]) + lam * (1 - alpha) * beta_std[j]
+                assert abs(kkt) <= 2e-4 * max(lam, 1.0)
+
+
+def test_poisson_negative_y_rejected(data):
+    df, _ = data
+    bad = df.withColumn("yneg", df.ypois - 100.0)
+    with pytest.raises(ValueError, match="negative"):
+        sgdnet(bad, ["x1", "x2"], "yneg", family="poisson", lambdas=[0.0])
+
+
+def test_offset_rejected_for_multinomial_and_mgaussian(data):
+    df, _ = data
+    with pytest.raises(NotImplementedError):
+        sgdnet(df, ["x1", "x2"], "yb", family="multinomial", offset_col="o")
+    with pytest.raises(NotImplementedError):
+        sgdnet(df, ["x1", "x2"], ["y", "ypois"], family="mgaussian", offset_col="o")
+
+
+def test_negative_weights_rejected(data):
+    df, _ = data
+    bad = df.withColumn("wneg", df.w - 10.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        sgdnet(bad, ["x1", "x2"], "y", family="gaussian", lambdas=[0.0],
+               weights_col="wneg")
