@@ -354,6 +354,7 @@ def summarize_cv(
             "mgaussian": "Mean-Squared Error",
             "binomial": "Binomial Deviance",
             "multinomial": "Multinomial Deviance",
+            "poisson": "Poisson Deviance",
         }[family]
 
     return CvSgdnetFit(

@@ -172,6 +172,21 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
             return (diff**2).mean(axis=0)
         if type_measure == "mae":
             return np.abs(diff).mean(axis=0)
+    elif fam == "poisson":
+        yv = np.asarray(y, dtype=float).reshape(-1)
+        mu = fit.predict_np(x, s=s_arr, type="response")  # (n, nl)
+        if type_measure == "deviance":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ylogy = np.where(
+                    yv[:, None] > 0,
+                    yv[:, None] * np.log(yv[:, None] / np.maximum(mu, 1e-300)),
+                    0.0,
+                )
+            return (2.0 * (ylogy - (yv[:, None] - mu))).mean(axis=0)
+        if type_measure == "mse":
+            return ((mu - yv[:, None]) ** 2).mean(axis=0)
+        if type_measure == "mae":
+            return np.abs(mu - yv[:, None]).mean(axis=0)
     elif fam == "mgaussian":
         yv = np.asarray(y, dtype=float)
         out = np.zeros(nl)
@@ -322,7 +337,7 @@ def score(
     if fam == "binomial" and type_measure == "auc":
         return auc_path_distributed(fit, df, cols, label_col, s=s)
     if type_measure not in ("deviance", "mse", "mae", "class") or (
-        fam == "gaussian" and type_measure == "class"
+        fam in ("gaussian", "poisson") and type_measure == "class"
     ):
         raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
 
@@ -344,6 +359,15 @@ def score(
         if fam == "gaussian":
             d = eta - ycol
             expr = F.avg(d * d) if type_measure in ("deviance", "mse") else F.avg(F.abs(d))
+        elif fam == "poisson":
+            mu = F.exp(eta)
+            if type_measure == "deviance":
+                ylogy = F.when(ycol > 0, ycol * F.log(ycol / mu)).otherwise(F.lit(0.0))
+                expr = F.avg(F.lit(2.0) * (ylogy - (ycol - mu)))
+            elif type_measure == "mse":
+                expr = F.avg((mu - ycol) * (mu - ycol))
+            else:
+                expr = F.avg(F.abs(mu - ycol))
         else:
             prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
             if type_measure == "deviance":

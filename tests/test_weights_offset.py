@@ -206,6 +206,31 @@ def test_offset_rejected_for_multinomial_and_mgaussian(data):
         sgdnet(df, ["x1", "x2"], ["y", "ypois"], family="mgaussian", offset_col="o")
 
 
+def test_poisson_score_distributed_matches_numpy(data):
+    from sgdnet_spark.glm.score import score, score_np
+
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nlambda=5, alpha=0.5)
+    X = np.column_stack([pdf.x1, pdf.x2])
+    for m in ("deviance", "mse", "mae"):
+        a = score(fit, df, label_col="ypois", type_measure=m)
+        b = score_np(fit, X, pdf.ypois.values, type_measure=m)
+        assert np.allclose(a, b, atol=1e-9), m
+    # deviance improves along the path vs the null point
+    dev = score(fit, df, label_col="ypois", type_measure="deviance")
+    assert dev[-1] < dev[0]
+
+
+def test_poisson_cv(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    cv = cv_sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nfolds=3, nlambda=5, alpha=1.0)
+    assert cv.name == "Poisson Deviance"
+    assert cv.lambda_min <= cv.lambda_1se
+    assert len(cv.cv_summary) == 5
+
+
 def test_negative_weights_rejected(data):
     df, _ = data
     bad = df.withColumn("wneg", df.w - 10.0)
