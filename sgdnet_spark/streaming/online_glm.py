@@ -95,6 +95,77 @@ class OnlineBinomial:
         return a0, b
 
 
+class OnlinePoisson:
+    """Streaming poisson regression (log link): one damped IRLS step per
+    micro-batch — the poisson sibling of OnlineBinomial, completing the
+    online estimators for every iterative family the batch engine fits
+    (poisson itself being a round-5 extension beyond the reference)."""
+
+    def __init__(self, feature_cols: Sequence[str], label_col, lam: float = 0.0,
+                 alpha: float = 1.0, step: float = 0.7, intercept: bool = True):
+        self.feature_cols = list(feature_cols)
+        self.label_col = label_col
+        self.lam = lam
+        self.alpha = alpha
+        self.step = step
+        self.intercept = intercept
+        self.moments: Moments | None = None
+        self.coef = None
+        self.b0 = 0.0
+        self.n_batches = 0
+
+    def update(self, batch_df: DataFrame) -> None:
+        import numpy as np
+
+        from sgdnet_spark.glm.solvers import wls_enet_cd
+
+        p = len(self.feature_cols)
+        xy = suffstats.assemble(batch_df, self.feature_cols, [self.label_col])
+        prov = SparkXY(xy, p, 1)
+        try:
+            mom = prov.moments()
+        except ValueError:
+            return
+        if self.moments is None:
+            self.moments = mom
+            self.coef = np.zeros(p)
+            # start at the intercept-only MLE of the first batch so the
+            # exp() link never sees a wild eta on step one
+            if self.intercept:
+                self.b0 = float(np.log(max(float(mom.y_mean[0]), 1e-300)))
+        else:
+            a = self.moments
+            self.moments = Moments(
+                n=a.n + mom.n, sum_x=a.sum_x + mom.sum_x, sum_y=a.sum_y + mom.sum_y,
+                sum_xx=a.sum_xx + mom.sum_xx, sum_xy=a.sum_xy + mom.sum_xy,
+                sum_yy=a.sum_yy + mom.sum_yy,
+            )
+        m = self.moments
+        x_mean = m.x_mean
+        x_std = np.where(m.x_std() > 0, m.x_std(), 1.0)
+        prov.set_standardization(x_mean, 1.0 / x_std)
+        sw, swx, swxx, swxz, swz, _ = prov.irls_poisson(self.coef, self.b0)
+        new_coef, new_b0, _ = wls_enet_cd(
+            sw, swx, swxx, swxz, swz, mom.n, self.lam, self.alpha,
+            self.coef, self.b0, self.intercept,
+        )
+        self.coef = self.coef + self.step * (new_coef - self.coef)
+        self.b0 = self.b0 + self.step * (new_b0 - self.b0)
+        self._x_mean, self._x_std = x_mean, x_std
+        self.n_batches += 1
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.update(batch_df)
+
+    def coefficients(self):
+        """(intercept, coef) on the ORIGINAL feature scale."""
+        import numpy as np
+
+        b = self.coef / self._x_std
+        a0 = self.b0 - float(self._x_mean @ b) if self.intercept else 0.0
+        return a0, b
+
+
 class OnlineGaussianPath:
     """Accumulates moments batch-by-batch; refit() is driver-side only."""
 

@@ -54,6 +54,28 @@ def test_online_binomial_approaches_mle(spark):
     assert abs(a0 - full.a0[0]) < 0.1
 
 
+def test_online_poisson_approaches_mle(spark):
+    from sgdnet_spark.streaming.online_glm import OnlinePoisson
+
+    rng = np.random.default_rng(97)
+    n, p = 2400, 3
+    x = rng.normal(size=(n, p))
+    beta_true = np.array([0.5, -0.3, 0.2])
+    y = rng.poisson(np.exp(0.4 + x @ beta_true)).astype(float)
+    cols = [f"x{i}" for i in range(p)]
+
+    online = OnlinePoisson(cols, "y", lam=0.0, step=0.8)
+    for _ in range(3):
+        for lo in range(0, n, 600):
+            online.update(_mkdf(spark, x[lo : lo + 600], y[lo : lo + 600], cols))
+        online.step *= 0.5
+    a0, b = online.coefficients()
+
+    full = P.poisson_path(LocalXY(x, y.reshape(-1, 1)), alpha=1.0, lambdas=[1e-9], thresh=1e-9)
+    assert np.allclose(b, full.beta[:, 0], atol=0.1)
+    assert abs(a0 - full.a0[0]) < 0.1
+
+
 def test_online_via_streaming_sink(spark, sf_dir, tmp_path):
     # drive the accumulator from an actual structured-streaming query
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
