@@ -287,6 +287,24 @@ def cv_sgdnet(
         )
         nfolds = len(fold_moms)
     else:
+        # weighted CV (glmnet cv.glmnet(weights=)): weights_col in
+        # fit_kwargs reaches every fold fit via sgdnet(**fit_kwargs); the
+        # held-out measure is weighted too where score() supports it
+        wc = fit_kwargs.get("weights_col")
+        score_wc = wc
+        if wc is not None and (
+            family in ("multinomial", "mgaussian")
+            or (family == "binomial" and type_measure == "auc")
+        ):
+            import warnings
+
+            warnings.warn(
+                f"weights are applied to the fold fits but the "
+                f"(family={family}, type.measure={type_measure}) CV measure "
+                "is computed unweighted",
+                stacklevel=2,
+            )
+            score_wc = None
         df = df.persist()
         try:
             folds = [r[0] for r in df.select(foldid_col).distinct().collect()]
@@ -309,7 +327,10 @@ def cv_sgdnet(
                         train, feature_cols, label_col, family=family, alpha=a,
                         lambdas=lams, **fit_kwargs,
                     )
-                    raw[j, :] = score(fit_j, test, feature_cols, label_col, type_measure, s=lams)
+                    raw[j, :] = score(
+                        fit_j, test, feature_cols, label_col, type_measure, s=lams,
+                        weights_col=score_wc,
+                    )
                 cv_raw.append(raw)
         finally:
             df.unpersist()

@@ -317,14 +317,27 @@ def score(
     label_col: str | Sequence[str] | None = None,
     type_measure: str = "deviance",
     s=None,
+    weights_col: str | None = None,
 ) -> np.ndarray:
     """Score on a Spark DataFrame — every supported (family, measure)
     runs as distributed aggregation; nothing is collected to the driver
-    beyond p- or histogram-sized results (reference score.R measures)."""
+    beyond p- or histogram-sized results (reference score.R measures).
+
+    ``weights_col`` (round-5 extension, glmnet semantics) turns every
+    mean into the weighted mean Σw·term/Σw — supported for the
+    gaussian/binomial/poisson single-aggregation measures; the
+    multinomial/mgaussian distributed scorers and path AUC reject it."""
     cols = list(feature_cols) if feature_cols else fit.feature_names
     fam = fit.family
     from sgdnet_spark.glm.sgdnet import colref
 
+    if weights_col is not None and (
+        fam in ("multinomial", "mgaussian") or (fam == "binomial" and type_measure == "auc")
+    ):
+        raise ValueError(
+            f"weighted scoring is not supported for (family={fam}, "
+            f"type.measure={type_measure})"
+        )
     if fam == "multinomial":
         if type_measure not in ("deviance", "class", "mse", "mae"):
             raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
@@ -350,6 +363,14 @@ def score(
     else:
         ycol = F.col(label_col).cast("double")
 
+    if weights_col is None:
+        _mean = F.avg
+    else:
+        wcol = F.col(weights_col).cast("double")
+
+        def _mean(t):
+            return F.sum(wcol * t) / F.sum(wcol)
+
     aggs = []
     for i in range(nl):
         eta = F.lit(float(cf[0, i]))
@@ -358,27 +379,27 @@ def score(
                 eta = eta + F.lit(float(w)) * colref(c).cast("double")
         if fam == "gaussian":
             d = eta - ycol
-            expr = F.avg(d * d) if type_measure in ("deviance", "mse") else F.avg(F.abs(d))
+            expr = _mean(d * d) if type_measure in ("deviance", "mse") else _mean(F.abs(d))
         elif fam == "poisson":
             mu = F.exp(eta)
             if type_measure == "deviance":
                 ylogy = F.when(ycol > 0, ycol * F.log(ycol / mu)).otherwise(F.lit(0.0))
-                expr = F.avg(F.lit(2.0) * (ylogy - (ycol - mu)))
+                expr = _mean(F.lit(2.0) * (ylogy - (ycol - mu)))
             elif type_measure == "mse":
-                expr = F.avg((mu - ycol) * (mu - ycol))
+                expr = _mean((mu - ycol) * (mu - ycol))
             else:
-                expr = F.avg(F.abs(mu - ycol))
+                expr = _mean(F.abs(mu - ycol))
         else:
             prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
             if type_measure == "deviance":
                 pc = F.least(F.greatest(prob, F.lit(PROB_MIN)), F.lit(PROB_MAX))
-                expr = F.avg(F.lit(-2.0) * (ycol * F.log(pc) + (F.lit(1.0) - ycol) * F.log(F.lit(1.0) - pc)))
+                expr = _mean(F.lit(-2.0) * (ycol * F.log(pc) + (F.lit(1.0) - ycol) * F.log(F.lit(1.0) - pc)))
             elif type_measure == "mse":
-                expr = F.avg((prob - ycol) * (prob - ycol) * F.lit(2.0))
+                expr = _mean((prob - ycol) * (prob - ycol) * F.lit(2.0))
             elif type_measure == "mae":
-                expr = F.avg(F.abs(prob - ycol) * F.lit(2.0))
+                expr = _mean(F.abs(prob - ycol) * F.lit(2.0))
             else:  # class
-                expr = F.avg(((prob > 0.5).cast("double") - ycol) * ((prob > 0.5).cast("double") - ycol))
+                expr = _mean(((prob > 0.5).cast("double") - ycol) * ((prob > 0.5).cast("double") - ycol))
         aggs.append(expr.alias(f"m{i}"))
     row = df.agg(*aggs).first()
     return np.array([row[f"m{i}"] for i in range(nl)])

@@ -127,6 +127,10 @@ def sgdnet_sparse(
     gaussian/binomial/multinomial; very wide feature spaces (hashed
     text features, n-gram spaces): every pass costs O(nnz), driver
     state is O(p·k), and the data is never densified on the cluster.
+
+    Sample weights / offsets (round-5 extensions on the dense API) are
+    not yet threaded through the sparse kernels — pre-weight rows by
+    replication or use the dense path when p permits.
     """
     from pyspark.sql import functions as F
 

@@ -231,6 +231,33 @@ def test_poisson_cv(data):
     assert len(cv.cv_summary) == 5
 
 
+def test_weighted_score_and_cv(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+    from sgdnet_spark.glm.score import score
+
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "y", family="gaussian", nlambda=4, alpha=0.5,
+                 weights_col="w")
+    got = score(fit, df, label_col="y", type_measure="mse", weights_col="w")
+    X = np.column_stack([pdf.x1, pdf.x2])
+    w = pdf.w.values
+    cf = fit.coef()
+    expect = np.array([
+        (w * (cf[0, i] + X @ cf[1:, i] - pdf.y.values) ** 2).sum() / w.sum()
+        for i in range(cf.shape[-1])
+    ])
+    assert np.allclose(got, expect, atol=1e-9)
+    # weighted CV runs end-to-end: weights reach the fold fits AND the measure
+    cv = cv_sgdnet(df, ["x1", "x2"], "y", family="gaussian", nfolds=3, nlambda=4,
+                   alpha=0.5, weights_col="w")
+    assert len(cv.cv_summary) == 4
+    assert cv.fit.family == "gaussian"
+    # weighted-AUC combo warns and computes the measure unweighted
+    with pytest.warns(UserWarning, match="unweighted"):
+        cv_sgdnet(df, ["x1", "x2"], "yb", family="binomial", nfolds=3, nlambda=3,
+                  alpha=1.0, type_measure="auc", weights_col="w")
+
+
 def test_negative_weights_rejected(data):
     df, _ = data
     bad = df.withColumn("wneg", df.w - 10.0)
