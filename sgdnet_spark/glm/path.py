@@ -492,6 +492,20 @@ def multinomial_path_fista(
     )
 
 
+def _strong_set(g: np.ndarray, coef: np.ndarray, lam: float, lam_prev: float, alpha: float):
+    """Sequential strong rule (Tibshirani et al. 2012): keep j with
+    |grad_j| >= alpha*(2*lam - lam_prev), plus the current support. The
+    rule is a heuristic — callers MUST re-check KKT on the full gradient
+    and re-solve with any violators added (exactness is restored there)."""
+    thr = alpha * (2.0 * lam - lam_prev)
+    S = np.union1d(np.where(np.abs(g) >= thr)[0], np.nonzero(coef)[0]).astype(np.intp)
+    if len(S) == 0:
+        # degenerate guard: keep the steepest coordinate so the restricted
+        # solve is well-formed (it will simply solve to zero)
+        S = np.array([int(np.argmax(np.abs(g)))], dtype=np.intp)
+    return S
+
+
 def binomial_path(
     provider,
     alpha: float,
@@ -504,6 +518,7 @@ def binomial_path(
     maxit: int = 1000,
     outer_maxit: int = 30,
     mom=None,
+    screen: bool | str = "auto",
 ) -> PathResult:
     mom = mom or provider.moments()
     n = mom.n
@@ -560,6 +575,12 @@ def binomial_path(
     # nothing is exactly zeroed, so the first point is a real fit
     # (reference R/sgdnet.R 'Relationship with glmnet').
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    # sequential strong-rule screening: pays once p is large enough that
+    # the O(n·p²) quadratic dominates the extra O(n·p) gradient pass; the
+    # KKT re-check below restores exactness, so the rule being heuristic
+    # costs nothing but an occasional re-solve. Off for ridge (alpha=0:
+    # nothing is ever discarded) and for small p (goldens stay at p<=64).
+    do_screen = ((screen is True) or (screen == "auto" and p > 100)) and alpha > 0
     prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
@@ -575,31 +596,62 @@ def binomial_path(
                 r = (lam - l2) / (l2 - l1)
                 coef = c2 + r * (c2 - c1)
                 b0 = i2 + r * (i2 - i1)
-        # prox-Newton warm start: re-solve the NEW lambda on the stale
-        # quadratic from the previous one (driver-side only, no data
-        # pass) — the refresh pass below then usually confirms in one go
-        if prev_stats is not None:
-            coef, b0, _ = wls_enet_cd(
-                *prev_stats, n, lam, alpha, coef, b0, intercept,
-                tol=thresh, maxit=maxit,
-            )
         ll = ll_null
         lam_losses: list = []
-        for _ in range(outer_maxit):
-            sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
-            prev_stats = (sw, swx, swxx, swxz, swz)
-            lam_losses.append(
-                -ll / n + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
-            )
-            new_coef, new_b0, _ = wls_enet_cd(
-                sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
-                tol=thresh, maxit=maxit,
-            )
-            delta = max(float(np.max(np.abs(new_coef - coef)), ), abs(new_b0 - b0))
-            scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
-            coef, b0 = new_coef, new_b0
-            if delta <= max(thresh, 1e-6) * scale:
-                break
+        if do_screen:
+            g, _, _ = provider.grad_binomial(coef, b0)
+            lam_prev = lam_path[i - 1] if i > 0 else lambda_max
+            S = _strong_set(g, coef, lam, lam_prev, alpha)
+            for _kkt in range(8):
+                cs = coef[S]
+                for _ in range(outer_maxit):
+                    sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(cs, b0, cols=S)
+                    lam_losses.append(
+                        -ll / n
+                        + lam * (alpha * float(np.abs(cs).sum()) + (1 - alpha) / 2 * float(cs @ cs))
+                    )
+                    new_cs, new_b0, _ = wls_enet_cd(
+                        sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
+                        tol=thresh, maxit=maxit,
+                    )
+                    delta = max(float(np.max(np.abs(new_cs - cs))), abs(new_b0 - b0))
+                    scale = max(float(np.max(np.abs(new_cs))), abs(new_b0), 1e-12)
+                    cs, b0 = new_cs, new_b0
+                    if delta <= max(thresh, 1e-6) * scale:
+                        break
+                coef = np.zeros(p)
+                coef[S] = cs
+                # exactness: KKT over the FULL gradient; violators join S
+                g, _, _ = provider.grad_binomial(coef, b0)
+                viol = np.setdiff1d(np.where(np.abs(g) > alpha * lam + 1e-7)[0], S)
+                if len(viol) == 0:
+                    break
+                S = np.union1d(S, viol).astype(np.intp)
+            prev_stats = None  # restricted stats don't replay across lambdas
+        else:
+            # prox-Newton warm start: re-solve the NEW lambda on the stale
+            # quadratic from the previous one (driver-side only, no data
+            # pass) — the refresh pass below then usually confirms in one go
+            if prev_stats is not None:
+                coef, b0, _ = wls_enet_cd(
+                    *prev_stats, n, lam, alpha, coef, b0, intercept,
+                    tol=thresh, maxit=maxit,
+                )
+            for _ in range(outer_maxit):
+                sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
+                prev_stats = (sw, swx, swxx, swxz, swz)
+                lam_losses.append(
+                    -ll / n + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
+                )
+                new_coef, new_b0, _ = wls_enet_cd(
+                    sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
+                    tol=thresh, maxit=maxit,
+                )
+                delta = max(float(np.max(np.abs(new_coef - coef)), ), abs(new_b0 - b0))
+                scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
+                coef, b0 = new_coef, new_b0
+                if delta <= max(thresh, 1e-6) * scale:
+                    break
         prev_sol.append((float(lam), coef.copy(), float(b0)))
         if len(prev_sol) > 2:
             prev_sol.pop(0)
@@ -627,6 +679,7 @@ def poisson_path(
     maxit: int = 1000,
     outer_maxit: int = 30,
     mom=None,
+    screen: bool | str = "auto",
 ) -> PathResult:
     """Poisson (log link) elastic-net path — an EXTENSION of the
     reference surface (R/sgdnet.R supports gaussian/binomial/
@@ -669,6 +722,7 @@ def poisson_path(
     out_dr = np.zeros(nl)
     losses: list = []
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    do_screen = ((screen is True) or (screen == "auto" and p > 100)) and alpha > 0
     prev_sol: list[tuple[float, np.ndarray, float]] = []
     prev_stats = (sw, swx, swxx, swxz, swz)
     for i, lam in enumerate(lam_path):
@@ -682,29 +736,59 @@ def poisson_path(
                 r = (lam - l2) / (l2 - l1)
                 coef = c2 + r * (c2 - c1)
                 b0 = i2 + r * (i2 - i1)
-        if prev_stats is not None:
-            coef, b0, _ = wls_enet_cd(
-                *prev_stats, n, lam, alpha, coef, b0, intercept,
-                tol=thresh, maxit=maxit,
-            )
         dev = nulldev
         lam_losses: list = []
-        for _ in range(outer_maxit):
-            sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(coef, b0)
-            prev_stats = (sw, swx, swxx, swxz, swz)
-            lam_losses.append(
-                dev / (2.0 * n)
-                + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
-            )
-            new_coef, new_b0, _ = wls_enet_cd(
-                sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
-                tol=thresh, maxit=maxit,
-            )
-            delta = max(float(np.max(np.abs(new_coef - coef))) if p else 0.0, abs(new_b0 - b0))
-            scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
-            coef, b0 = new_coef, new_b0
-            if delta <= max(thresh, 1e-6) * scale:
-                break
+        if do_screen:
+            g, _, _ = provider.grad_poisson(coef, b0)
+            lam_prev = lam_path[i - 1] if i > 0 else lambda_max
+            S = _strong_set(g, coef, lam, lam_prev, alpha)
+            for _kkt in range(8):
+                cs = coef[S]
+                for _ in range(outer_maxit):
+                    sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(cs, b0, cols=S)
+                    lam_losses.append(
+                        dev / (2.0 * n)
+                        + lam * (alpha * float(np.abs(cs).sum()) + (1 - alpha) / 2 * float(cs @ cs))
+                    )
+                    new_cs, new_b0, _ = wls_enet_cd(
+                        sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
+                        tol=thresh, maxit=maxit,
+                    )
+                    delta = max(float(np.max(np.abs(new_cs - cs))), abs(new_b0 - b0))
+                    scale = max(float(np.max(np.abs(new_cs))), abs(new_b0), 1e-12)
+                    cs, b0 = new_cs, new_b0
+                    if delta <= max(thresh, 1e-6) * scale:
+                        break
+                coef = np.zeros(p)
+                coef[S] = cs
+                g, _, _ = provider.grad_poisson(coef, b0)
+                viol = np.setdiff1d(np.where(np.abs(g) > alpha * lam + 1e-7)[0], S)
+                if len(viol) == 0:
+                    break
+                S = np.union1d(S, viol).astype(np.intp)
+            prev_stats = None
+        else:
+            if prev_stats is not None:
+                coef, b0, _ = wls_enet_cd(
+                    *prev_stats, n, lam, alpha, coef, b0, intercept,
+                    tol=thresh, maxit=maxit,
+                )
+            for _ in range(outer_maxit):
+                sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(coef, b0)
+                prev_stats = (sw, swx, swxx, swxz, swz)
+                lam_losses.append(
+                    dev / (2.0 * n)
+                    + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
+                )
+                new_coef, new_b0, _ = wls_enet_cd(
+                    sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
+                    tol=thresh, maxit=maxit,
+                )
+                delta = max(float(np.max(np.abs(new_coef - coef))) if p else 0.0, abs(new_b0 - b0))
+                scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
+                coef, b0 = new_coef, new_b0
+                if delta <= max(thresh, 1e-6) * scale:
+                    break
         prev_sol.append((float(lam), coef.copy(), float(b0)))
         if len(prev_sol) > 2:
             prev_sol.pop(0)

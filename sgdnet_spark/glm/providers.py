@@ -116,6 +116,24 @@ class LocalXY:
         ll = float(ll_terms.sum())
         return xs.T @ r / self.n, float(r.sum() / self.n), ll
 
+    def grad_poisson(self, coef: np.ndarray, b0: float):
+        """Poisson (log link) gradient: (x̃ᵀ w̃(mu-y)/n, mean resid, dev)."""
+        self.passes += 1
+        xs = self._xs()
+        yb = self.y[:, 0]
+        eta = xs @ coef + b0
+        if self.o is not None:
+            eta = eta + self.o
+        mu = np.exp(eta)
+        r = mu - yb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ylogy = np.where(yb > 0, yb * np.log(yb / np.maximum(mu, 1e-300)), 0.0)
+        dev_terms = 2.0 * (ylogy - (yb - mu))
+        if self.w is not None:
+            r = r * self.w
+            dev_terms = dev_terms * self.w
+        return xs.T @ r / self.n, float(r.sum() / self.n), float(dev_terms.sum())
+
     def grad_multinomial(self, coefs: np.ndarray, b0s: np.ndarray):
         """Softmax gradient for all classes; self.y is one-hot (n, k)."""
         self.passes += 1
@@ -131,11 +149,14 @@ class LocalXY:
         ll = float(ll_terms.sum())
         return G, R.sum(axis=0) / self.n, ll
 
-    def irls_binomial(self, coef: np.ndarray, intercept: float):
+    def irls_binomial(self, coef: np.ndarray, intercept: float, cols=None):
         # hot loop: ~3 calls per lambda over the full n — reuse buffers to
-        # stay allocation-light (n-sized temporaries dominate otherwise)
+        # stay allocation-light (n-sized temporaries dominate otherwise).
+        # cols (strong-rule screening): quadratic stats restricted to the
+        # given feature subset — coef is then |cols|-sized and O(n·|S|²)
+        # replaces O(n·p²)
         self.passes += 1
-        xs = self._xs()
+        xs = self._xs() if cols is None else self._xs()[:, cols]
         yb = self.y[:, 0]
         if not hasattr(self, "_buf") or self._buf[0].shape[0] != self.n:
             self._buf = tuple(np.empty(self.n) for _ in range(4))
@@ -174,12 +195,13 @@ class LocalXY:
             ll,
         )
 
-    def irls_poisson(self, coef: np.ndarray, intercept: float):
+    def irls_poisson(self, coef: np.ndarray, intercept: float, cols=None):
         """One IRLS pass for poisson (log link): mu = exp(eta), wirls =
         mu, z = (eta - o) + (y - mu)/mu; the fit statistic is the
-        (positive) deviance 2 Σ w̃ [y log(y/mu) - (y - mu)]."""
+        (positive) deviance 2 Σ w̃ [y log(y/mu) - (y - mu)]. ``cols``
+        restricts the quadratic to a screened feature subset."""
         self.passes += 1
-        xs = self._xs()
+        xs = self._xs() if cols is None else self._xs()[:, cols]
         yb = self.y[:, 0]
         eta = xs @ coef + intercept
         if self.o is not None:
@@ -271,17 +293,18 @@ class SparkXY:
     def has_offset(self) -> bool:
         return "o" in self.xy.columns
 
-    def irls_binomial(self, coef: np.ndarray, intercept: float):
-        self.passes += 1
-        return suffstats.weighted_quadratic(
-            self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std
-        )
-
-    def irls_poisson(self, coef: np.ndarray, intercept: float):
+    def irls_binomial(self, coef: np.ndarray, intercept: float, cols=None):
         self.passes += 1
         return suffstats.weighted_quadratic(
             self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std,
-            kind="poisson",
+            cols=cols,
+        )
+
+    def irls_poisson(self, coef: np.ndarray, intercept: float, cols=None):
+        self.passes += 1
+        return suffstats.weighted_quadratic(
+            self.xy, self.p, coef, intercept, self.x_mean, self.x_inv_std,
+            kind="poisson", cols=cols,
         )
 
     def poisson_null_intercept(self) -> float:
@@ -316,6 +339,12 @@ class SparkXY:
     def grad_binomial(self, coef: np.ndarray, b0: float):
         self.passes += 1
         return suffstats.gradient_binomial(
+            self.xy, self.p, coef, b0, self.x_mean, self.x_inv_std
+        )
+
+    def grad_poisson(self, coef: np.ndarray, b0: float):
+        self.passes += 1
+        return suffstats.gradient_poisson(
             self.xy, self.p, coef, b0, self.x_mean, self.x_inv_std
         )
 

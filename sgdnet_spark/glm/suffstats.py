@@ -323,6 +323,42 @@ def gradient_binomial(
     return out[:p] / n, out[p] / n, out[p + 1]
 
 
+def gradient_poisson(
+    xy: DataFrame,
+    p: int,
+    coef: np.ndarray,
+    b0: float,
+    x_mean: np.ndarray,
+    x_inv_std: np.ndarray,
+) -> tuple[np.ndarray, float, float]:
+    """One pass -> (X~'w̃(mu-y)/n, mean resid, deviance) for the poisson
+    log link — the O(p) gradient used by strong-rule screening."""
+    scaled = coef * x_inv_std
+    off = b0 - float(x_mean @ scaled)
+
+    def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
+        yb = y[:, 0]
+        eta = x @ scaled + off
+        if o is not None:
+            eta = eta + o
+        mu = np.exp(eta)
+        r = mu - yb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ylogy = np.where(yb > 0, yb * np.log(yb / np.maximum(mu, 1e-300)), 0.0)
+        dev_terms = 2.0 * (ylogy - (yb - mu))
+        if w is not None:
+            r = r * w
+            dev_terms = dev_terms * w
+        return np.concatenate(
+            [(x.T @ r - x_mean * r.sum()) * x_inv_std, [r.sum()], [dev_terms.sum()],
+             [float(len(yb))]]
+        )
+
+    out = _sum_partials(xy, fn, p, 1)
+    n = out[-1]
+    return out[:p] / n, out[p] / n, out[p + 1]
+
+
 def gradient_multinomial(
     xy: DataFrame,
     p: int,
@@ -364,6 +400,7 @@ def weighted_quadratic(
     x_mean: np.ndarray,
     x_inv_std: np.ndarray,
     kind: str = "binomial",
+    cols=None,
 ) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, float, float]:
     """One IRLS pass for binomial or poisson: stats of the local
     quadratic model.
@@ -383,11 +420,24 @@ def weighted_quadratic(
     ``w`` column) multiply both the IRLS weights and the fit statistic.
     All shaping is done with raw x batches; standardization folds in
     algebraically so no second materialized copy of the data is needed.
+
+    ``cols`` (strong-rule screening) restricts the quadratic to a
+    feature subset: coef is then |cols|-sized, the partial carries
+    O(|S|²) floats instead of O(p²), and each batch slices its x block
+    to the screened columns before any matmul.
     """
+    p_full = p  # batch extraction always reads x0..x{p_full-1}
+    if cols is not None:
+        cols = np.asarray(cols, dtype=np.intp)
+        x_mean = x_mean[cols]
+        x_inv_std = x_inv_std[cols]
+        p = len(cols)
     scaled = coef * x_inv_std  # apply to raw x
     off = intercept - float(x_mean @ scaled)
 
     def fn(x: np.ndarray, y: np.ndarray | None, sw, o) -> np.ndarray:
+        if cols is not None:
+            x = x[:, cols]
         yb = y[:, 0]
         eta_lin = x @ scaled + off
         eta = eta_lin if o is None else eta_lin + o
@@ -418,7 +468,7 @@ def weighted_quadratic(
             ]
         )
 
-    out = _sum_partials(xy, fn, p, 1)
+    out = _sum_partials(xy, fn, p_full, 1)
     i = 0
     sum_w = out[0]; i += 1
     sum_wx = out[i : i + p]; i += p
