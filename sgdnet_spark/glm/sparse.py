@@ -23,15 +23,21 @@ from sgdnet_spark.glm.suffstats import Moments
 IDX_COL = "__sp_idx"
 VAL_COL = "__sp_val"
 LBL_COL = "__sp_y"
+W_COL = "__sp_w"
 
 
-def assemble_sparse(df: DataFrame, idx_col: str, val_col: str, label_col) -> DataFrame:
+def assemble_sparse(df: DataFrame, idx_col: str, val_col: str, label_col,
+                    weight_expr=None) -> DataFrame:
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
-    return df.select(
+    cols = [
         F.col(idx_col).cast("array<int>").alias(IDX_COL),
         F.col(val_col).cast("array<double>").alias(VAL_COL),
         lbl.cast("double").alias(LBL_COL),
-    )
+    ]
+    if weight_expr is not None:
+        w = F.col(weight_expr) if isinstance(weight_expr, str) else weight_expr
+        cols.append(w.cast("double").alias(W_COL))
+    return df.select(*cols)
 
 
 def _batch_csr(pdf: pd.DataFrame):
@@ -42,8 +48,9 @@ def _batch_csr(pdf: pd.DataFrame):
     idx = np.concatenate(idx_lists.tolist()) if len(idx_lists) else np.zeros(0, dtype=np.int64)
     val = np.concatenate(val_lists.tolist()) if len(val_lists) else np.zeros(0)
     y = pdf[LBL_COL].to_numpy(dtype=np.float64)
+    w = pdf[W_COL].to_numpy(dtype=np.float64) if W_COL in pdf.columns else None
     rows = np.repeat(np.arange(len(lens)), lens)
-    return idx.astype(np.int64), val, rows, indptr, y
+    return idx.astype(np.int64), val, rows, indptr, y, w
 
 
 def _sum_partials(df: DataFrame, fn) -> np.ndarray:
@@ -66,12 +73,14 @@ def _sum_partials(df: DataFrame, fn) -> np.ndarray:
 def moments_diag_sparse(xy: DataFrame, p: int) -> Moments:
     """n, Σx, Σx² (diag), Σy, Σxy, Σy² — all via nnz-cost scatter adds."""
 
-    def fn(idx, val, rows, indptr, y):
-        sum_x = np.bincount(idx, weights=val, minlength=p)
-        sum_xsq = np.bincount(idx, weights=val * val, minlength=p)
-        sum_xy = np.bincount(idx, weights=val * y[rows], minlength=p)
+    def fn(idx, val, rows, indptr, y, w):
+        vw = val if w is None else val * w[rows]
+        yw = y if w is None else y * w
+        sum_x = np.bincount(idx, weights=vw, minlength=p)
+        sum_xsq = np.bincount(idx, weights=vw * val, minlength=p)
+        sum_xy = np.bincount(idx, weights=vw * y[rows], minlength=p)
         return np.concatenate(
-            [[float(len(y))], sum_x, sum_xsq, [y.sum()], sum_xy, [(y * y).sum()]]
+            [[float(len(y))], sum_x, sum_xsq, [yw.sum()], sum_xy, [(yw * y).sum()]]
         )
 
     out = _sum_partials(xy, fn)
@@ -98,7 +107,8 @@ def _densify(prov: "SparseSparkXY", p: int, k_onehot: int | None = None):
         oh = np.zeros((len(y), k_onehot))
         oh[np.arange(len(y)), y.astype(int)] = 1.0
         y = oh
-    local = LocalXY(x, y)
+    w = pdf[W_COL].to_numpy(dtype=float) if W_COL in pdf.columns else None
+    local = LocalXY(x, y, w=w)
     local.passes = prov.passes
     return local
 
@@ -119,6 +129,7 @@ def sgdnet_sparse(
     thresh: float = 1e-6,
     maxit: int = 500,
     collect_max_cells: float = 3e8,
+    weights_col: str | None = None,
 ):
     """Elastic-net GLM path on sparse (indices, values) rows — the
     Spark-shaped counterpart of reference src/saga-sparse.h, which
@@ -128,9 +139,10 @@ def sgdnet_sparse(
     text features, n-gram spaces): every pass costs O(nnz), driver
     state is O(p·k), and the data is never densified on the cluster.
 
-    Sample weights / offsets (round-5 extensions on the dense API) are
-    not yet threaded through the sparse kernels — pre-weight rows by
-    replication or use the dense path when p permits.
+    ``weights_col`` (round-5 extension, glmnet weights-sum-to-n
+    semantics like the dense API): per-row non-negative sample weights,
+    folded into the moments and every gradient pass at nnz cost.
+    Offsets are not supported on the sparse path.
     """
     from pyspark.sql import functions as F
 
@@ -139,6 +151,20 @@ def sgdnet_sparse(
 
     if family not in ("gaussian", "binomial", "multinomial"):
         raise ValueError("sgdnet_sparse supports gaussian, binomial, multinomial")
+
+    weight_expr = None
+    if weights_col is not None:
+        wc = F.col(weights_col).cast("double")
+        wrow = df.agg(
+            F.count("*").alias("n"), F.sum(wc).alias("W"), F.min(wc).alias("wmin")
+        ).first()
+        if wrow["n"] == 0:
+            raise ValueError("empty input")
+        if wrow["wmin"] is None or float(wrow["wmin"]) < 0:
+            raise ValueError("sample weights must be non-negative")
+        if float(wrow["W"] or 0.0) <= 0:
+            raise ValueError("sample weights must not all be zero")
+        weight_expr = wc * F.lit(float(wrow["n"]) / float(wrow["W"]))
 
     classnames = None
     k = 1
@@ -165,7 +191,7 @@ def sgdnet_sparse(
             k = len(classes)
         classnames = classes
 
-    xy = assemble_sparse(df, idx_col, val_col, label_expr)
+    xy = assemble_sparse(df, idx_col, val_col, label_expr, weight_expr=weight_expr)
     spark_prov = prov = SparseSparkXY(xy, p)
     prov.cache()
     try:
@@ -245,14 +271,15 @@ class SparseSparkXY:
         m = self.x_mean
         inv = self.x_inv_std
 
-        def fn(idx, val, rows, indptr, y):
+        def fn(idx, val, rows, indptr, y, w):
             eta = np.full(len(y), off)
             np.add.at(eta, rows, val * scaled[idx])
             r = eta - y
-            xr = np.bincount(idx, weights=val * r[rows], minlength=p)
-            sum_r = r.sum()
+            rw = r if w is None else r * w
+            xr = np.bincount(idx, weights=val * rw[rows], minlength=p)
+            sum_r = rw.sum()
             g = (xr - m * sum_r) * inv
-            return np.concatenate([g, [sum_r], [r @ r], [float(len(y))]])
+            return np.concatenate([g, [sum_r], [rw @ r], [float(len(y))]])
 
         out = _sum_partials(self.xy, fn)
         n = out[-1]
@@ -268,11 +295,12 @@ class SparseSparkXY:
         m = self.x_mean
         inv = self.x_inv_std
 
-        def fn(idx, val, rows, indptr, y):
+        def fn(idx, val, rows, indptr, y, w):
             u = np.full(len(y), off)
             np.add.at(u, rows, val * scaled[idx])
-            xu = np.bincount(idx, weights=val * u[rows], minlength=p)
-            return np.concatenate([(xu - m * u.sum()) * inv, [float(len(y))]])
+            uw = u if w is None else u * w
+            xu = np.bincount(idx, weights=val * uw[rows], minlength=p)
+            return np.concatenate([(xu - m * uw.sum()) * inv, [float(len(y))]])
 
         out = _sum_partials(self.xy, fn)
         return out[:p] / out[-1]
@@ -288,14 +316,18 @@ class SparseSparkXY:
         m = self.x_mean
         inv = self.x_inv_std
 
-        def fn(idx, val, rows, indptr, y):
+        def fn(idx, val, rows, indptr, y, w):
             eta = np.full(len(y), off)
             np.add.at(eta, rows, val * scaled[idx])
             mu = 1.0 / (1.0 + np.exp(-eta))
             r = mu - y
+            ll_terms = y * eta - np.logaddexp(0.0, eta)
+            if w is not None:
+                r = r * w
+                ll_terms = ll_terms * w
             xr = np.bincount(idx, weights=val * r[rows], minlength=p)
             sum_r = r.sum()
-            ll = np.sum(y * eta - np.logaddexp(0.0, eta))
+            ll = ll_terms.sum()
             return np.concatenate([(xr - m * sum_r) * inv, [sum_r], [ll], [float(len(y))]])
 
         out = _sum_partials(self.xy, fn)
@@ -314,7 +346,7 @@ class SparseSparkXY:
         m = self.x_mean
         inv = self.x_inv_std
 
-        def fn(idx, val, rows, indptr, y):
+        def fn(idx, val, rows, indptr, y, w):
             nb = len(y)
             eta = np.tile(offs, (nb, 1))
             np.add.at(eta, rows, val[:, None] * scaled[:, idx].T)
@@ -324,11 +356,15 @@ class SparseSparkXY:
             yi = y.astype(np.int64)
             R = P.copy()
             R[np.arange(nb), yi] -= 1.0  # P - onehot
+            ll_terms = np.log(np.maximum(P[np.arange(nb), yi], 1e-300))
+            if w is not None:
+                R = R * w[:, None]
+                ll_terms = ll_terms * w
             XR = np.zeros((p, k))
             for c in range(k):
                 XR[:, c] = np.bincount(idx, weights=val * R[rows, c], minlength=p)
             G = (XR - np.outer(m, R.sum(axis=0))) * inv[:, None]
-            ll = float(np.sum(np.log(np.maximum(P[np.arange(nb), yi], 1e-300))))
+            ll = float(ll_terms.sum())
             return np.concatenate([G.T.ravel(), R.sum(axis=0), [ll], [float(nb)]])
 
         out = _sum_partials(self.xy, fn)
@@ -344,18 +380,20 @@ class SparseSparkXY:
         self.passes += 1
         p = self.p
 
-        def fn(idx, val, rows, indptr, y):
+        def fn(idx, val, rows, indptr, y, w):
             nb = len(y)
             yi = y.astype(np.int64)
             Y = np.zeros((nb, k))
             Y[np.arange(nb), yi] = 1.0
-            sum_x = np.bincount(idx, weights=val, minlength=p)
-            sum_xsq = np.bincount(idx, weights=val * val, minlength=p)
+            vw = val if w is None else val * w[rows]
+            Yw = Y if w is None else Y * w[:, None]
+            sum_x = np.bincount(idx, weights=vw, minlength=p)
+            sum_xsq = np.bincount(idx, weights=vw * val, minlength=p)
             XY = np.zeros((p, k))
             for c in range(k):
-                XY[:, c] = np.bincount(idx, weights=val * Y[rows, c], minlength=p)
+                XY[:, c] = np.bincount(idx, weights=vw * Y[rows, c], minlength=p)
             return np.concatenate(
-                [[float(nb)], sum_x, sum_xsq, Y.sum(axis=0), XY.ravel(), (Y * Y).sum(axis=0)]
+                [[float(nb)], sum_x, sum_xsq, Yw.sum(axis=0), XY.ravel(), (Yw * Y).sum(axis=0)]
             )
 
         out = _sum_partials(self.xy, fn)

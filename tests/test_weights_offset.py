@@ -258,6 +258,44 @@ def test_weighted_score_and_cv(data):
                   alpha=1.0, type_measure="auc", weights_col="w")
 
 
+def test_sparse_weighted_matches_dense_weighted(data):
+    """sgdnet_sparse(weights_col=) == dense sgdnet(weights_col=) on the
+    same (densified) data — weights fold into the nnz-cost kernels."""
+    from sgdnet_spark.glm.sparse import sgdnet_sparse
+
+    df, pdf = data
+    spark = df.sparkSession
+    rng = np.random.default_rng(23)
+    n, p = 400, 12
+    X = np.where(rng.random((n, p)) < 0.3, rng.normal(size=(n, p)), 0.0)
+    beta = np.zeros(p)
+    beta[:3] = [1.0, -0.6, 0.4]
+    y = 0.5 + X @ beta + rng.normal(scale=0.4, size=n)
+    w = rng.uniform(0.5, 2.0, size=n)
+    rows = [
+        (
+            [int(j) for j in np.nonzero(X[i])[0]],
+            [float(v) for v in X[i, np.nonzero(X[i])[0]]],
+            float(y[i]),
+            float(w[i]),
+        )
+        for i in range(n)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "indices array<int>, vals array<double>, y double, w double"
+    )
+    sp = sgdnet_sparse(sdf, "indices", "vals", "y", p=p, family="gaussian",
+                       nlambda=6, alpha=0.5, weights_col="w")
+    cols = [f"c{i}" for i in range(p)]
+    ddf = spark.createDataFrame(
+        pd.DataFrame(X, columns=cols).assign(y=y, w=w)
+    )
+    dn = sgdnet(ddf, cols, "y", family="gaussian", nlambda=6, alpha=0.5,
+                weights_col="w", solver="fista", lambda_min_ratio=1e-2)
+    assert np.allclose(sp.lambdas, dn.lambdas, rtol=1e-9)
+    assert np.abs(sp.coef() - dn.coef()).max() < 1e-5
+
+
 def test_negative_weights_rejected(data):
     df, _ = data
     bad = df.withColumn("wneg", df.w - 10.0)
