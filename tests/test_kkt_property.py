@@ -78,3 +78,35 @@ def test_binomial_kkt(seed, alpha):
             assert abs(grad[j]) <= l1 + 1e-4
     # intercept is unpenalized: its gradient vanishes
     assert abs(float(np.mean(mu - y))) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000), alpha=st.floats(0.1, 1.0))
+def test_poisson_kkt(seed, alpha):
+    """Round-5 family: poisson (log link) path points satisfy the
+    elastic-net KKT conditions on the exact poisson gradient."""
+    rng = np.random.default_rng(seed)
+    n, p = 300, 4
+    x = rng.normal(size=(n, p))
+    eta = 0.3 + x @ (rng.normal(size=p) * 0.4)
+    y = rng.poisson(np.exp(eta)).astype(float)
+    if y.sum() == 0:
+        return
+    prov = LocalXY(x, y.reshape(-1, 1))
+    mom = prov.moments()
+    x_mean, x_std = P._standardization(mom, True, True)
+    B = P._gram(mom, x_mean, x_std, True)[1]
+    lam = 0.3 * float(np.max(np.abs(B[:, 0]))) / alpha
+    res = P.poisson_path(prov, alpha=alpha, lambdas=[lam], thresh=1e-10, outer_maxit=60)
+    beta_std = res.beta[:, 0] * x_std
+    b0 = res.a0[0] + float(x_mean @ res.beta[:, 0])
+    xs = (x - x_mean) / x_std
+    mu = np.exp(xs @ beta_std + b0)
+    grad = xs.T @ (mu - y) / n + lam * (1 - alpha) * beta_std
+    l1 = lam * alpha
+    for j in range(p):
+        if beta_std[j] != 0.0:
+            assert abs(grad[j] + l1 * np.sign(beta_std[j])) < 1e-4
+        else:
+            assert abs(grad[j]) <= l1 + 1e-4
+    assert abs(float(np.mean(mu - y))) < 1e-6
