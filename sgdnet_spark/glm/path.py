@@ -347,13 +347,33 @@ def binomial_path_fista(
     provider.set_standardization(x_mean, 1.0 / x_std)
     inv = 1.0 / x_std
     pbar = float(mom.y_mean[0])
-    ll_null = n * (pbar * np.log(max(pbar, 1e-300)) + (1 - pbar) * np.log(max(1 - pbar, 1e-300)))
-    nulldev = -2.0 * ll_null
-    if intercept:
-        b = (mom.sum_xy[:, 0] / n - mom.x_mean * pbar) * inv
+    p = len(x_mean)
+    has_off = getattr(provider, "has_offset", False)
+    if not has_off:
+        ll_null = n * (pbar * np.log(max(pbar, 1e-300)) + (1 - pbar) * np.log(max(1 - pbar, 1e-300)))
+        if intercept:
+            b = (mom.sum_xy[:, 0] / n - mom.x_mean * pbar) * inv
+        else:
+            b = (mom.sum_xy[:, 0] / n) * inv
+        b0 = float(np.log(pbar / (1 - pbar))) if intercept else 0.0
     else:
-        b = (mom.sum_xy[:, 0] / n) * inv
-    p = len(b)
+        # offset: intercept-only Newton via empty-column IRLS passes
+        # (O(n) each), then lambda_max off the null gradient
+        b0 = 0.0
+        ecols = np.zeros(0, dtype=np.intp)
+        for _ in range(10):
+            sw, _, _, _, swz, ll = provider.irls_binomial(np.zeros(0), b0, cols=ecols)
+            if not intercept:
+                break
+            b0_new = swz / sw
+            if abs(b0_new - b0) <= 1e-10 * max(1.0, abs(b0_new)):
+                b0 = b0_new
+                break
+            b0 = b0_new
+        ll_null = ll
+        g0, _, _ = provider.grad_binomial(np.zeros(p), b0)
+        b = -g0
+    nulldev = -2.0 * ll_null
     L = max(1.0, _power_iter_L(provider, p)) / 4.0
 
     # binomial lambda_max: gradient of the NULL model (families.h:198)
@@ -362,7 +382,6 @@ def binomial_path_fista(
     nl = len(lam_path)
 
     coef = np.zeros(p)
-    b0 = float(np.log(pbar / (1 - pbar))) if intercept else 0.0
     out_beta = np.zeros((p, nl))
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)

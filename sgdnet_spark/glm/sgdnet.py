@@ -580,11 +580,6 @@ def sgdnet(
     use_fista = family in ("gaussian", "binomial", "multinomial") and (
         solver == "fista" or (solver in ("auto", "spark") and p > 2000)
     )
-    if use_fista and offset_col is not None and not gaussian_offset:
-        raise NotImplementedError(
-            "offset_col is not supported on the wide-p FISTA path for "
-            "family='binomial'; use the default quadratic solver (p <= 2000)"
-        )
     if use_fista:
         provider.cache()
         mom = provider.moments_diag()

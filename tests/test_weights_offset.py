@@ -141,6 +141,19 @@ def test_poisson_local_equals_distributed(data):
     assert np.allclose(loc.dev_ratio, spk.dev_ratio, atol=1e-9)
 
 
+def test_binomial_offset_fista_matches_quadratic(data):
+    """The wide-p FISTA solver handles offsets too (empty-column IRLS
+    Newton for the null intercept + offset-aware gradients): same
+    optimum as the quadratic IRLS path."""
+    df, _ = data
+    quad = sgdnet(df, ["x1", "x2"], "yb", family="binomial", nlambda=5, alpha=0.5,
+                  weights_col="w", offset_col="o", thresh=1e-9)
+    fista = sgdnet(df, ["x1", "x2"], "yb", family="binomial", nlambda=5, alpha=0.5,
+                   weights_col="w", offset_col="o", solver="fista", thresh=1e-9)
+    assert np.allclose(quad.lambdas, fista.lambdas, rtol=1e-6)
+    assert np.abs(quad.coef() - fista.coef()).max() < 1e-4
+
+
 def test_binomial_weights_offset_local_equals_distributed(data):
     df, _ = data
     loc = sgdnet(df, ["x1", "x2"], "yb", family="binomial", nlambda=5, alpha=0.5,
