@@ -376,25 +376,20 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical"))
 
 
-def simhash_pairs(
+def simhash_blocked(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit SimHash near-dup pairs within a hamming radius — with a
-    recall GUARANTEE: the 64 bits split into ``max_hamming + 1`` blocks,
-    so by pigeonhole any pair within the radius shares at least one
-    block unchanged (Manku et al., WWW'07 blocking).
+    """(id, simhash, blk, ck) long-format block keys — the stateless
+    per-row stage shared by the batch self-join (simhash_pairs) and the
+    streaming stateful operator (streaming/dedup_stream.py).
 
-    Bitwise majority over token hashes, built from JVM expressions.
-    Cost/recall operating point: block width = 64/(max_hamming+1) bits;
-    wider blocks (small radius) → exponentially more buckets → smaller
-    bucket self-joins. The default radius 3 (4 blocks × 16 bits, 65k
-    buckets per block) is the documented scale point; radius 7 (8×8
-    bits, 256 buckets) trades bucket size for radius and suits smaller
-    corpora.
-    """
+    64-bit SimHash (bitwise majority over token hashes, pure JVM
+    expressions) split into ``max_hamming + 1`` pigeonhole blocks
+    (Manku et al., WWW'07): any pair within the radius shares at least
+    one block unchanged."""
     n_blocks = max_hamming + 1
     if not 1 <= n_blocks <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
@@ -439,9 +434,28 @@ def simhash_pairs(
     bb = F.array(*[
         F.struct(F.lit(c).alias("blk"), F.col(f"c{c}").alias("ck")) for c in range(n_blocks)
     ])
-    x = blocked.select("id", "simhash", F.explode(bb).alias("b")).select(
+    return blocked.select("id", "simhash", F.explode(bb).alias("b")).select(
         "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.ck").alias("ck")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs within a hamming radius — with a
+    recall GUARANTEE from the pigeonhole blocking (simhash_blocked).
+
+    Cost/recall operating point: block width = 64/(max_hamming+1) bits;
+    wider blocks (small radius) → exponentially more buckets → smaller
+    bucket self-joins. The default radius 3 (4 blocks × 16 bits, 65k
+    buckets per block) is the documented scale point; radius 7 (8×8
+    bits, 256 buckets) trades bucket size for radius and suits smaller
+    corpora.
+    """
+    x = simhash_blocked(df, max_hamming, text_col, id_col)
     cand = (
         x.alias("a")
         .join(

@@ -49,6 +49,67 @@ def _bucket_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
 
+SIMHASH_OUTPUT_SCHEMA = "id_a long, id_b long, hamming int"
+SIMHASH_STATE_SCHEMA = "ids array<long>, sims array<long>"
+
+
+def _make_simhash_bucket_update(max_hamming: int):
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, sims = list(state.get[0]), list(state.get[1])
+        else:
+            ids, sims = [], []
+        known = set(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for pdf in pdfs:
+            for doc, sim in zip(pdf["id"], pdf["simhash"]):
+                d, sm = int(doc), int(sim)
+                if d in known:
+                    continue
+                for od, osm in zip(ids, sims):
+                    h = bin((sm ^ osm) & ((1 << 64) - 1)).count("1")
+                    if h <= max_hamming:
+                        out_a.append(min(od, d))
+                        out_b.append(max(od, d))
+                        out_h.append(h)
+                ids.append(d)
+                sims.append(sm)
+                known.add(d)
+        state.update((ids, sims))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    return update
+
+
+def simhash_near_dup_candidates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming SimHash near-dup pairs: the stateless per-row block
+    stage (dedup.simhash_blocked — same expressions as the batch
+    operator) feeds ONE stateful operator keyed by (block, chunk-key).
+    State carries each bucket's (id, simhash) members, so the hamming
+    check runs inside the bucket at arrival time and verified pairs are
+    emitted the moment the second member lands — no downstream join.
+    The distinct union of emitted pairs over the stream equals the
+    batch simhash_pairs output (asserted in tests/test_streaming.py);
+    the same pair may surface from several blocks, exactly like the
+    batch path before its distinct()."""
+    x = dedup.simhash_blocked(docs, max_hamming, text_col, id_col)
+    return x.groupBy("blk", "ck").applyInPandasWithState(
+        _make_simhash_bucket_update(max_hamming),
+        outputStructType=SIMHASH_OUTPUT_SCHEMA,
+        stateStructType=SIMHASH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def near_dup_candidates(
     docs: DataFrame,
     num_hashes: int = 32,

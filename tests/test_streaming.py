@@ -66,3 +66,36 @@ def test_streaming_near_dup_candidates_match_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_simhash_candidates_match_batch(spark, sf_dir):
+    """Stateful SimHash over a document stream: distinct emitted pairs
+    == the batch simhash_pairs output (hamming verified IN the bucket
+    state at arrival time — no downstream join)."""
+    import shutil
+    import tempfile
+
+    from sgdnet_spark.operators import dedup
+    from sgdnet_spark.streaming.dedup_stream import simhash_near_dup_candidates
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_sh_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    docs_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_static.schema).format("parquet").load(stage)
+
+    out = simhash_near_dup_candidates(stream, max_hamming=8)
+    q = out.writeStream.outputMode("update").format("memory").queryName("sh_cand").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.sql("SELECT DISTINCT id_a, id_b, hamming FROM sh_cand").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs_static, max_hamming=8).collect()
+    }
+    assert got == want
+    assert len(got) > 0
