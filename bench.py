@@ -139,6 +139,20 @@ def main() -> None:
     warm = spark.range(64).repartition(32)
     warm.mapInPandas(lambda it: it, schema="id long").count()
     spark.createDataFrame([{"a": 1}], schema="a long").count()
+    # warm whole-stage-codegen/Janino for every headliner against the
+    # smallest scale factor: the generated source depends on the plan
+    # shape, not the input path, so the compiled classes are cache hits
+    # when the timed iterations run — first-call compiles of the big
+    # expression trees (32-hash minhash signatures, winnow windows)
+    # otherwise stall all 32 tasks for seconds and leak into min-of-N
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for item in HEADLINERS:
+            name, fn = item if isinstance(item, tuple) else (item, QUERIES[item])
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as exc:  # warmup must never kill the bench
+                print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
     # three iterations, report the min (steady-state engine cost; the
     # first iteration carries one-time plan compilation / page-cache
