@@ -11,6 +11,12 @@ import os
 import sys
 import time
 
+# cap driver-side BLAS before numpy loads (see sgdnet_spark/__init__.py:
+# 32-thread BLAS burns ~10x the CPU of 4 threads on the small-matrix GLM
+# kernels for identical wall time)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "4")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sgdnet_spark.session import get_spark  # noqa: E402
