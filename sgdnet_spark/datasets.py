@@ -59,3 +59,29 @@ def student(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
     df = _features(spark, sf_dir)
     feats = ["discount", "tax", "ship_month", "qty_disc"]
     return df, feats, ["price", "quantity"]
+
+
+def user_events(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
+    """Poisson analog (no reference twin — family='poisson' is a
+    round-5 extension): per-user event counts with a log-exposure
+    offset, the canonical rate-model shape. Returns
+    ``(df, feature_cols, label)`` plus ``offset_col='log_hours'`` ready
+    for ``sgdnet(..., family='poisson', offset_col='log_hours')``."""
+    from sgdnet_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")  # ts normalized across encodings
+    df = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+        # observation window per user as exposure: hours between first
+        # and last event (floored at 1h so the log offset is finite)
+        F.log(
+            F.greatest(
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+                / F.lit(3600.0),
+                F.lit(1.0),
+            )
+        ).alias("log_hours"),
+    )
+    return df, ["avg_value", "n_types"], "n_events"

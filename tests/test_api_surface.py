@@ -93,3 +93,12 @@ def test_dataset_analogs_fit_every_family(spark):
     df, feats, ys = datasets.student(spark)
     fit = sgdnet(df, feats, ys, family="mgaussian", nlambda=4)
     assert fit.beta.shape[0] == 2
+
+    df, feats, y = datasets.user_events(spark)
+    fit = sgdnet(df, feats, y, family="poisson", offset_col="log_hours",
+                 nlambda=4, lambda_min_ratio=0.1)
+    assert fit.family == "poisson" and fit.offset
+    # response predictions need the exposure back (glmnet newoffset rule)
+    assert "pred" in fit.predict(
+        df, type="response", newoffset="log_hours", s=float(fit.lambdas[-1])
+    ).columns
