@@ -92,14 +92,14 @@ def _executor_run_time_ms(spark) -> float:
         return -1.0
 
 
-def _tree_cpu_sec() -> float:
-    """Total CPU seconds (utime+stime) of this process and every live
+def _tree_cpu_sample() -> dict[int, float] | None:
+    """Per-PID CPU seconds (utime+stime) of this process and every live
     descendant — the python driver, the single local-mode JVM, and any
-    pyspark.daemon workers. Per-query deltas of this counter are the
+    pyspark.daemon workers. Per-query deltas of these samples are the
     contention-robust twin of wall time: hypervisor steal and noisy
     neighbors inflate wall clock but not CPU actually consumed. Costs
     one /proc walk (no Spark UI listener, whose event bus measurably
-    slows CPU-heavy stages). Returns -1 on non-/proc platforms."""
+    slows CPU-heavy stages). Returns None on non-/proc platforms."""
     try:
         me = os.getpid()
         children: dict[int, list[int]] = {}
@@ -118,14 +118,30 @@ def _tree_cpu_sec() -> float:
             pid = int(pid_s)
             children.setdefault(ppid, []).append(pid)
             stats[pid] = (utime + stime) / tick
-        total, frontier = 0.0, [me]
+        out: dict[int, float] = {}
+        frontier = [me]
         while frontier:
             pid = frontier.pop()
-            total += stats.get(pid, 0.0)
+            out[pid] = stats.get(pid, 0.0)
             frontier.extend(children.get(pid, []))
-        return total
+        return out
     except Exception:
-        return -1.0
+        return None
+
+
+def _cpu_delta(c0: dict[int, float], c1: dict[int, float]) -> float:
+    """CPU seconds consumed between two _tree_cpu_sample() snapshots,
+    summed per-PID and clamped at zero. A whole-tree total can go
+    NEGATIVE when Spark reaps idle Python UDF workers between samples
+    (their accumulated CPU vanishes from the second sum); per-PID
+    max(0, delta) over the union of PIDs retains every surviving
+    process's consumption and only undercounts by what a reaped worker
+    burned after the first sample — it can never report less work than
+    a surviving process actually did."""
+    total = 0.0
+    for pid, v1 in c1.items():
+        total += max(0.0, v1 - c0.get(pid, 0.0))
+    return total
 
 
 def main() -> None:
@@ -171,16 +187,22 @@ def main() -> None:
     for item in HEADLINERS:
         name, fn = item if isinstance(item, tuple) else (item, QUERIES[item])
         best, best_cpu, n = float("inf"), -1.0, 0
-        for _ in range(3):
-            c0 = _tree_cpu_sec()
+        it = 0
+        while it < 3 or (it < 6 and best < 1.5):
+            # sub-1.5s queries get up to 6 samples: they are the ones a
+            # single multi-second hypervisor-steal spike can inflate past
+            # the 2x-of-baseline watch threshold, and extra samples cost
+            # little — the recorded artifact then stands on its own
+            it += 1
+            c0 = _tree_cpu_sample()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             wall = time.perf_counter() - t0
-            c1 = _tree_cpu_sec()
+            c1 = _tree_cpu_sample()
             if wall < best:
                 best = wall
-                if c0 >= 0 and c1 >= 0:
-                    best_cpu = c1 - c0
+                if c0 is not None and c1 is not None:
+                    best_cpu = _cpu_delta(c0, c1)
         times[name] = round(best, 3)
         cpu_times[name] = round(best_cpu, 3)
         print(

@@ -289,7 +289,11 @@ def cv_sgdnet(
     else:
         # weighted CV (glmnet cv.glmnet(weights=)): weights_col in
         # fit_kwargs reaches every fold fit via sgdnet(**fit_kwargs); the
-        # held-out measure is weighted too where score() supports it
+        # held-out measure is weighted too where score() supports it.
+        # offset_col likewise reaches both the fold fits and the held-out
+        # scoring pass — an offset fit scored without its offset would be
+        # silently wrong, and score() raises on that.
+        oc = fit_kwargs.get("offset_col")
         wc = fit_kwargs.get("weights_col")
         score_wc = wc
         if wc is not None and (
@@ -329,7 +333,7 @@ def cv_sgdnet(
                     )
                     raw[j, :] = score(
                         fit_j, test, feature_cols, label_col, type_measure, s=lams,
-                        weights_col=score_wc,
+                        weights_col=score_wc, offset_col=oc,
                     )
                 cv_raw.append(raw)
         finally:

@@ -621,7 +621,8 @@ def binomial_path(
             g, _, _ = provider.grad_binomial(coef, b0)
             lam_prev = lam_path[i - 1] if i > 0 else lambda_max
             S = _strong_set(g, coef, lam, lam_prev, alpha)
-            for _kkt in range(8):
+            _kkt = 0
+            while True:
                 cs = coef[S]
                 for _ in range(outer_maxit):
                     sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(cs, b0, cols=S)
@@ -645,7 +646,16 @@ def binomial_path(
                 viol = np.setdiff1d(np.where(np.abs(g) > alpha * lam + 1e-7)[0], S)
                 if len(viol) == 0:
                     break
-                S = np.union1d(S, viol).astype(np.intp)
+                _kkt += 1
+                if _kkt >= 8:
+                    # repair didn't converge by growing S incrementally:
+                    # drop screening for this path point — one solve on
+                    # the full feature set restores exactness by
+                    # construction (viol ⊆ S is then empty), so a
+                    # screened point can never ship with a wrong support
+                    S = np.arange(p, dtype=np.intp)
+                else:
+                    S = np.union1d(S, viol).astype(np.intp)
             prev_stats = None  # restricted stats don't replay across lambdas
         else:
             # prox-Newton warm start: re-solve the NEW lambda on the stale
@@ -761,7 +771,8 @@ def poisson_path(
             g, _, _ = provider.grad_poisson(coef, b0)
             lam_prev = lam_path[i - 1] if i > 0 else lambda_max
             S = _strong_set(g, coef, lam, lam_prev, alpha)
-            for _kkt in range(8):
+            _kkt = 0
+            while True:
                 cs = coef[S]
                 for _ in range(outer_maxit):
                     sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(cs, b0, cols=S)
@@ -784,7 +795,13 @@ def poisson_path(
                 viol = np.setdiff1d(np.where(np.abs(g) > alpha * lam + 1e-7)[0], S)
                 if len(viol) == 0:
                     break
-                S = np.union1d(S, viol).astype(np.intp)
+                _kkt += 1
+                if _kkt >= 8:
+                    # as in binomial_path: unscreened final solve rather
+                    # than a silent inexact exit
+                    S = np.arange(p, dtype=np.intp)
+                else:
+                    S = np.union1d(S, viol).astype(np.intp)
             prev_stats = None
         else:
             if prev_stats is not None:

@@ -39,6 +39,11 @@ class LocalXY:
         self.n, self.p = self.x.shape
         if w is not None:
             w = np.asarray(w, dtype=np.float64)
+            # NaN fails every comparison, so np.any(w < 0) and tot <= 0
+            # are both False for NaN weights — check finiteness first or
+            # a single NULL/NaN row silently yields all-NaN coefficients
+            if not np.all(np.isfinite(w)):
+                raise ValueError("sample weights contain NULL/NaN/inf values")
             if np.any(w < 0):
                 raise ValueError("sample weights must be non-negative")
             tot = float(w.sum())
@@ -46,7 +51,11 @@ class LocalXY:
                 raise ValueError("sample weights must not all be zero")
             w = w * (self.n / tot)
         self.w = w
-        self.o = np.asarray(o, dtype=np.float64) if o is not None else None
+        if o is not None:
+            o = np.asarray(o, dtype=np.float64)
+            if not np.all(np.isfinite(o)):
+                raise ValueError("offset contains NULL/NaN/inf values")
+        self.o = o
         self.passes = 0
 
     @property

@@ -95,6 +95,7 @@ def auc_path_distributed(
     label_col: str,
     s=None,
     bins: int = 1 << 13,
+    offset_col: str | None = None,
 ) -> np.ndarray:
     """AUC at EVERY lambda in one data pass (reference score.R
     type.measure='auc' along the path).
@@ -122,6 +123,8 @@ def auc_path_distributed(
         for w, c in zip(cf[1:, i], cols):
             if w != 0.0:
                 e = e + F.lit(float(w)) * colref(c).cast("double")
+        if offset_col is not None:
+            e = e + colref(offset_col).cast("double")
         return e
 
     # AUC is rank-based, so any strictly increasing transform of the
@@ -158,15 +161,20 @@ def auc_path_distributed(
     return out
 
 
-def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", s=None) -> np.ndarray:
-    """Numpy scoring, mirrors score.R per family."""
+def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", s=None,
+             offset: np.ndarray | None = None) -> np.ndarray:
+    """Numpy scoring, mirrors score.R per family. ``offset`` is required
+    when the fit was trained with offset_col (a fit's deviance/mse is
+    meaningless without the training offset in the linear predictor)."""
     fam = fit.family
+    if fit.offset and offset is None:
+        raise ValueError("need 'offset' since offset was used in fit")
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
     nl = len(s_arr)
 
     if fam in ("gaussian",):
         yv = np.asarray(y, dtype=float).reshape(-1)
-        eta = fit.predict_np(x, s=s_arr)  # (n, nl)
+        eta = fit.predict_np(x, s=s_arr, offset=offset)  # (n, nl)
         diff = eta - yv[:, None]
         if type_measure in ("deviance", "mse"):
             return (diff**2).mean(axis=0)
@@ -174,7 +182,7 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
             return np.abs(diff).mean(axis=0)
     elif fam == "poisson":
         yv = np.asarray(y, dtype=float).reshape(-1)
-        mu = fit.predict_np(x, s=s_arr, type="response")  # (n, nl)
+        mu = fit.predict_np(x, s=s_arr, type="response", offset=offset)  # (n, nl)
         if type_measure == "deviance":
             with np.errstate(divide="ignore", invalid="ignore"):
                 ylogy = np.where(
@@ -198,7 +206,7 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
     elif fam == "binomial":
         cls = np.asarray(fit.classnames)
         yb = (np.asarray(y).reshape(-1) == cls[1]).astype(float) if y.dtype.kind in "OUS" else np.asarray(y, float).reshape(-1)
-        prob = fit.predict_np(x, s=s_arr, type="response")  # (n, nl)
+        prob = fit.predict_np(x, s=s_arr, type="response", offset=offset)  # (n, nl)
         if type_measure == "auc":
             return np.array([_auc(yb, prob[:, i]) for i in range(nl)])
         if type_measure == "mse":
@@ -318,6 +326,7 @@ def score(
     type_measure: str = "deviance",
     s=None,
     weights_col: str | None = None,
+    offset_col: str | None = None,
 ) -> np.ndarray:
     """Score on a Spark DataFrame — every supported (family, measure)
     runs as distributed aggregation; nothing is collected to the driver
@@ -326,17 +335,28 @@ def score(
     ``weights_col`` (round-5 extension, glmnet semantics) turns every
     mean into the weighted mean Σw·term/Σw — supported for the
     gaussian/binomial/poisson single-aggregation measures; the
-    multinomial/mgaussian distributed scorers and path AUC reject it."""
+    multinomial/mgaussian distributed scorers and path AUC reject it.
+
+    ``offset_col`` mirrors predict()'s ``newoffset``: REQUIRED when the
+    fit was trained with offset_col (scoring an offset fit without the
+    offset would silently return wrong deviance/mse/mae), added to
+    every linear predictor before the link inversion."""
     cols = list(feature_cols) if feature_cols else fit.feature_names
     fam = fit.family
     from sgdnet_spark.glm.sgdnet import colref
 
+    if getattr(fit, "offset", False) and offset_col is None:
+        raise ValueError("need 'offset_col' since offset was used in fit")
     if weights_col is not None and (
         fam in ("multinomial", "mgaussian") or (fam == "binomial" and type_measure == "auc")
     ):
         raise ValueError(
             f"weighted scoring is not supported for (family={fam}, "
             f"type.measure={type_measure})"
+        )
+    if offset_col is not None and fam in ("multinomial", "mgaussian"):
+        raise NotImplementedError(
+            f"offset scoring is not supported for family='{fam}'"
         )
     if fam == "multinomial":
         if type_measure not in ("deviance", "class", "mse", "mae"):
@@ -348,7 +368,7 @@ def score(
         labels = fit.response_names if label_col is None else list(label_col)
         return _score_mgaussian_distributed(fit, df, cols, labels, type_measure, s)
     if fam == "binomial" and type_measure == "auc":
-        return auc_path_distributed(fit, df, cols, label_col, s=s)
+        return auc_path_distributed(fit, df, cols, label_col, s=s, offset_col=offset_col)
     if type_measure not in ("deviance", "mse", "mae", "class") or (
         fam in ("gaussian", "poisson") and type_measure == "class"
     ):
@@ -377,6 +397,8 @@ def score(
         for w, c in zip(cf[1:, i], cols):
             if w != 0.0:
                 eta = eta + F.lit(float(w)) * colref(c).cast("double")
+        if offset_col is not None:
+            eta = eta + colref(offset_col).cast("double")
         if fam == "gaussian":
             d = eta - ycol
             expr = _mean(d * d) if type_measure in ("deviance", "mse") else _mean(F.abs(d))

@@ -212,12 +212,19 @@ class SgdnetFit:
             return out.withColumn(prefix, best["cls"])
         raise ValueError(f"unknown predict type: {type}")
 
-    def predict_np(self, x: np.ndarray, s=None, type: str = "link") -> np.ndarray:
-        """Driver-side numpy predict (used by score/CV internals)."""
+    def predict_np(self, x: np.ndarray, s=None, type: str = "link",
+                   offset: np.ndarray | None = None) -> np.ndarray:
+        """Driver-side numpy predict (used by score/CV internals).
+        ``offset`` mirrors predict()'s ``newoffset``: required when the
+        fit used offset_col, added to every linear predictor."""
+        if self.offset and offset is None:
+            raise ValueError("need 'offset' since offset was used in fit")
         x = np.asarray(x, dtype=np.float64)
         cf = self.coef(s)
         if self.family in ("gaussian", "binomial", "poisson"):
             eta = cf[0][None, :] + x @ cf[1:]  # (n, nl)
+            if offset is not None:
+                eta = eta + np.asarray(offset, dtype=np.float64).reshape(-1)[:, None]
             if type == "response" and self.family == "binomial":
                 return 1.0 / (1.0 + np.exp(-eta))
             if type == "response" and self.family == "poisson":
@@ -514,20 +521,40 @@ def sgdnet(
 
     # sample weights: ONE tiny aggregation gives the n/Σw rescale factor
     # (glmnet's weights-sum-to-n convention) so every downstream /n is
-    # the correct weighted mean with no kernel-side renormalization
+    # the correct weighted mean with no kernel-side renormalization.
+    # The same pass validates weights AND offset for NULL/NaN rows:
+    # F.sum/F.min silently skip nulls, so an unchecked null would reach
+    # the Arrow batches as NaN and poison every moment/IRLS aggregate
+    # into all-NaN coefficients with no error.
     weight_expr = None
-    if weights_col is not None:
-        wc = F.col(weights_col).cast("double")
-        wrow = df.agg(
-            F.count("*").alias("n"), F.sum(wc).alias("W"), F.min(wc).alias("wmin")
-        ).first()
-        if wrow["n"] == 0:
+    if weights_col is not None or offset_col is not None:
+        wc = F.col(weights_col).cast("double") if weights_col is not None else None
+        oc = F.col(offset_col).cast("double") if offset_col is not None else None
+        aggs = [F.count("*").alias("n")]
+        if wc is not None:
+            aggs += [F.count(wc).alias("wn"), F.sum(wc).alias("W"),
+                     F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan")]
+        if oc is not None:
+            aggs += [F.count(oc).alias("on"), F.max(F.isnan(oc).cast("int")).alias("onan")]
+        vrow = df.agg(*aggs).first()
+        if vrow["n"] == 0:
             raise ValueError("the predictor matrix (x) is empty.")
-        if wrow["wmin"] is None or float(wrow["wmin"]) < 0:
-            raise ValueError("sample weights must be non-negative")
-        if float(wrow["W"] or 0.0) <= 0:
-            raise ValueError("sample weights must not all be zero")
-        weight_expr = wc * F.lit(float(wrow["n"]) / float(wrow["W"]))
+        if wc is not None:
+            if vrow["wn"] != vrow["n"] or vrow["wnan"]:
+                raise ValueError(
+                    f"weights_col '{weights_col}' contains NULL/NaN values; "
+                    "filter or impute them before fitting"
+                )
+            if float(vrow["wmin"]) < 0:
+                raise ValueError("sample weights must be non-negative")
+            if float(vrow["W"]) <= 0:
+                raise ValueError("sample weights must not all be zero")
+            weight_expr = wc * F.lit(float(vrow["n"]) / float(vrow["W"]))
+        if oc is not None and (vrow["on"] != vrow["n"] or vrow["onan"]):
+            raise ValueError(
+                f"offset_col '{offset_col}' contains NULL/NaN values; "
+                "filter or impute them before fitting"
+            )
 
     offset_expr = F.col(offset_col).cast("double") if offset_col is not None else None
     gaussian_offset = offset_expr is not None and family == "gaussian"

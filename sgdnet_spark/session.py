@@ -12,7 +12,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cap_blas_threads(n: int = 4) -> None:
+    """Cap the driver-side BLAS pool: the GLM solvers' numpy kernels are
+    small-matrix ops (p ~ 5-2000 columns) where a 32-thread BLAS burns
+    ~10x the CPU of a 4-thread one for identical wall time (measured:
+    36-61s vs 5-6s CPU per binomial path fit at sf0.1). Executor-side
+    python workers are unaffected — pyspark pins their OMP_NUM_THREADS
+    to the task's cores.
+
+    Called from the entry points that own the process (get_spark,
+    bench.py) rather than at package import, so merely importing
+    sgdnet_spark never mutates a host application's threading. Env vars
+    are setdefault-only (an explicit user setting wins) and cover the
+    numpy-not-yet-imported case; if numpy's OpenBLAS is already loaded
+    we additionally set its pool size through the runtime API, which is
+    what still works after the env has been read."""
+    import sys
+
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, str(n))
+    if "numpy" not in sys.modules:
+        return  # env alone is enough: OpenBLAS reads it at load time
+    try:
+        import ctypes
+
+        seen: set[str] = set()
+        with open("/proc/self/maps") as fh:
+            for line in fh:
+                path = line.rstrip("\n").split(" ", 5)[-1].strip()
+                if "openblas" in path.lower() and path not in seen:
+                    seen.add(path)
+                    lib = ctypes.CDLL(path)
+                    for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                        fn = getattr(lib, sym, None)
+                        if fn is not None:
+                            fn(int(n))
+                            break
+    except Exception:
+        pass  # non-linux / static BLAS: the env setdefault is all we can do
+
+
 def get_spark(app_name: str = "sgdnet_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cap_blas_threads(4)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus

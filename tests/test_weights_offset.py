@@ -315,3 +315,118 @@ def test_negative_weights_rejected(data):
     with pytest.raises(ValueError, match="non-negative"):
         sgdnet(bad, ["x1", "x2"], "y", family="gaussian", lambdas=[0.0],
                weights_col="wneg")
+
+
+def test_null_or_nan_weights_and_offset_rejected(data):
+    """F.sum/F.min skip nulls, so without an explicit count check a NULL
+    weight/offset row would silently become NaN in the Arrow batches and
+    poison every aggregate into all-NaN coefficients."""
+    import pyspark.sql.functions as F
+
+    df, _ = data
+    wnull = df.withColumn("wbad", F.when(df.x1 > 1.0, None).otherwise(df.w))
+    with pytest.raises(ValueError, match="NULL"):
+        sgdnet(wnull, ["x1", "x2"], "y", family="gaussian", lambdas=[0.0],
+               weights_col="wbad")
+    wnan = df.withColumn("wbad", F.when(df.x1 > 1.0, float("nan")).otherwise(df.w))
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        sgdnet(wnan, ["x1", "x2"], "y", family="gaussian", lambdas=[0.0],
+               weights_col="wbad")
+    onull = df.withColumn("obad", F.when(df.x1 > 1.0, None).otherwise(df.o))
+    with pytest.raises(ValueError, match="NULL"):
+        sgdnet(onull, ["x1", "x2"], "ypois", family="poisson", lambdas=[0.0],
+               offset_col="obad")
+    # sparse path has the same guard
+    from sgdnet_spark.glm.sparse import sgdnet_sparse
+
+    sdf = df.sparkSession.createDataFrame(
+        [([0], [1.0], 1.0, None), ([1], [2.0], 2.0, 1.0), ([0], [0.5], 0.0, 1.0)],
+        "indices array<int>, vals array<double>, y double, w double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        sgdnet_sparse(sdf, "indices", "vals", "y", p=2, family="gaussian",
+                      lambdas=[0.0], weights_col="w")
+    # and the numpy provider catches raw NaN arrays directly
+    from sgdnet_spark.glm.providers import LocalXY
+
+    with pytest.raises(ValueError, match="NaN"):
+        LocalXY(np.ones((3, 1)), np.ones(3), w=np.array([1.0, np.nan, 1.0]))
+    with pytest.raises(ValueError, match="NaN"):
+        LocalXY(np.ones((3, 1)), np.ones(3), o=np.array([0.0, np.nan, 0.0]))
+
+
+def test_score_offset_fit_requires_offset(data):
+    """ADVICE r5 (medium): score() on an offset fit without the offset
+    silently returned wrong deviance/mse/mae. It must now raise, exactly
+    as predict() does, and compute correctly when the offset is given."""
+    from sgdnet_spark.glm.score import score, score_np
+
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nlambda=4,
+                 alpha=0.5, offset_col="o")
+    with pytest.raises(ValueError, match="offset"):
+        score(fit, df, label_col="ypois", type_measure="deviance")
+    with pytest.raises(ValueError, match="offset"):
+        score_np(fit, np.column_stack([pdf.x1, pdf.x2]), pdf.ypois.values)
+    with pytest.raises(ValueError, match="offset"):
+        fit.predict_np(np.column_stack([pdf.x1, pdf.x2]))
+    got = score(fit, df, label_col="ypois", type_measure="deviance", offset_col="o")
+    X = np.column_stack([pdf.x1, pdf.x2])
+    want = score_np(fit, X, pdf.ypois.values, type_measure="deviance",
+                    offset=pdf.o.values)
+    assert np.allclose(got, want, atol=1e-9)
+    # manual cross-check at the densest path point: mu = exp(a0 + Xb + o)
+    cf = fit.coef()
+    mu = np.exp(cf[0, -1] + X @ cf[1:, -1] + pdf.o.values)
+    y = pdf.ypois.values
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ylogy = np.where(y > 0, y * np.log(y / mu), 0.0)
+    assert np.isclose(got[-1], (2.0 * (ylogy - (y - mu))).mean(), atol=1e-9)
+
+
+def test_score_offset_binomial_all_measures(data):
+    from sgdnet_spark.glm.score import score, score_np
+
+    df, pdf = data
+    fit = sgdnet(df, ["x1", "x2"], "yb", family="binomial", nlambda=4,
+                 alpha=0.5, offset_col="o")
+    X = np.column_stack([pdf.x1, pdf.x2])
+    for m in ("deviance", "mse", "mae", "class"):
+        a = score(fit, df, label_col="yb", type_measure=m, offset_col="o")
+        b = score_np(fit, X, pdf.yb.values, type_measure=m, offset=pdf.o.values)
+        assert np.allclose(a, b, atol=1e-9), m
+    # the histogram path-AUC gets the offset too (rank-preserving check
+    # vs the exact numpy Mann-Whitney on offset-adjusted scores)
+    a = score(fit, df, label_col="yb", type_measure="auc", offset_col="o")
+    b = score_np(fit, X, pdf.yb.values, type_measure="auc", offset=pdf.o.values)
+    assert np.abs(a - b).max() < 5e-3
+
+
+def test_cv_offset_threads_through_fold_scoring(data):
+    """cv_sgdnet(offset_col=) must apply the offset to BOTH the fold
+    fits and the held-out measure. Gaussian equivalence makes this
+    exactly checkable: an offset fit is the plain fit on (y - o), so CV
+    with identical explicit folds must produce identical summaries."""
+    import pyspark.sql.functions as F
+
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    df = df.withColumn("foldid", (F.abs(F.xxhash64("x1")) % 3).cast("int"))
+    df = df.withColumn("y_shift", df.y - df.o)
+    cv_off = cv_sgdnet(df, ["x1", "x2"], "y", family="gaussian", nlambda=4,
+                       alpha=0.5, foldid_col="foldid", type_measure="mse",
+                       offset_col="o", use_fold_moments=False)
+    cv_ref = cv_sgdnet(df, ["x1", "x2"], "y_shift", family="gaussian", nlambda=4,
+                       alpha=0.5, foldid_col="foldid", type_measure="mse",
+                       use_fold_moments=False)
+    assert np.allclose(
+        [r["mean"] for r in cv_off.cv_summary],
+        [r["mean"] for r in cv_ref.cv_summary], atol=1e-9,
+    )
+    assert np.isclose(cv_off.lambda_min, cv_ref.lambda_min)
+    # poisson offset CV end-to-end (the rate-model use case)
+    cv = cv_sgdnet(df, ["x1", "x2"], "ypois", family="poisson", nfolds=3,
+                   nlambda=4, alpha=1.0, offset_col="o")
+    assert cv.name == "Poisson Deviance"
+    assert len(cv.cv_summary) == 4
