@@ -434,10 +434,22 @@ def multinomial_path_fista(
     thresh: float = 1e-7,
     maxit: int = 500,
     mom=None,
+    grouped: bool = False,
 ) -> PathResult:
     """Wide-p / sparse softmax elastic-net path — k×p proximal-gradient
     twin of binomial_path_fista (elementwise soft-threshold per class,
-    glmnet's ungrouped multinomial penalty)."""
+    glmnet's ungrouped multinomial penalty).
+
+    ``grouped=True`` swaps the elementwise prox for the row-wise group
+    soft-threshold (glmnet type.multinomial='grouped': the L1 part
+    becomes lam*alpha*sum_j ||beta_j.||_2 over each feature's k-vector
+    of class coefficients, so a feature enters or leaves the model for
+    ALL classes together). This closes the reference's own TODO at
+    R/sgdnet.R:265 ("implement group lasso penalty for multinomial
+    model" — it forces type.multinomial='ungrouped'); the group prox is
+    the same operator the mgaussian family uses (solvers.group_cd_gram),
+    applied here on the isotropic FISTA step where it has a closed form
+    even though per-class IRLS curvatures differ."""
     from sgdnet_spark.glm.solvers import soft_threshold
 
     mom = mom or provider.moments_diag()
@@ -458,7 +470,12 @@ def multinomial_path_fista(
     # 1/2 is the safe multiclass bound)
     L = max(1.0, _power_iter_L(provider, p)) / 2.0
 
-    lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
+    # grouped: all-zero iff every row's null-gradient 2-norm is within
+    # the group threshold, so lambda_max = max_j ||B_j.||_2 / alpha
+    if grouped:
+        lambda_max = float(np.max(np.sqrt((B * B).sum(axis=1)))) / max(alpha, ALPHA_FLOOR)
+    else:
+        lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
@@ -483,7 +500,14 @@ def multinomial_path_fista(
         for _ in range(maxit):
             G, gb, ll = provider.grad_multinomial(z, zb)
             cand = z - step * (G + lam * (1 - alpha) * z)
-            new = soft_threshold(cand, step * lam * alpha)
+            if grouped:
+                # row-wise group soft-threshold over the k classes of
+                # each feature (cand is (k, p); groups are columns)
+                nrm = np.sqrt((cand * cand).sum(axis=0))
+                scl = np.maximum(0.0, 1.0 - step * lam * alpha / np.maximum(nrm, 1e-300))
+                new = cand * scl[None, :]
+            else:
+                new = soft_threshold(cand, step * lam * alpha)
             newb = zb - step * gb if intercept else np.zeros(k)
             t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
             z = new + (t - 1.0) / t_new * (new - prev)

@@ -62,6 +62,7 @@ class SgdnetFit:
     intercept: bool = True
     standardize: bool = True
     offset: bool = False  # True when fit with offset_col (predict then needs newoffset)
+    grouped: bool = False  # True when fit with type_multinomial='grouped' (reference sgdnet.R:155 `grouped`)
     _train: dict | None = None  # inputs retained for exact refits (update())
     diagnostics: dict | None = None  # {'loss': [...]} as reference sgdnet.debug
 
@@ -277,6 +278,7 @@ class SgdnetFit:
             npasses=self.npasses, nobs=self.nobs, feature_names=self.feature_names,
             classnames=self.classnames, response_names=self.response_names,
             intercept=self.intercept, standardize=self.standardize,
+            grouped=self.grouped,
             has_dfmat=self.dfmat is not None,
         )
         with open(os.path.join(path, "meta.json"), "w") as fh:
@@ -460,6 +462,7 @@ def sgdnet(
     collect_max_cells: float = 3e8,
     weights_col: str | None = None,
     offset_col: str | None = None,
+    type_multinomial: str = "ungrouped",
 ) -> SgdnetFit:
     """Fit an elastic-net GLM path on a Spark DataFrame.
 
@@ -481,9 +484,18 @@ def sgdnet(
     linear-predictor term (gaussian, binomial, poisson; glmnet
     semantics: predict() then requires ``newoffset``); and
     ``family='poisson'`` (log link) itself.
+
+    ``type_multinomial='grouped'`` (another reference TODO —
+    R/sgdnet.R:265 forces 'ungrouped') applies the group-lasso penalty
+    over each feature's k class coefficients, so features are selected
+    for all classes jointly (glmnet type.multinomial semantics); the
+    fit's ``grouped`` field records it (reference sgdnet.R:155).
     """
     if family not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}")
+    if type_multinomial not in ("ungrouped", "grouped"):
+        raise ValueError("type_multinomial must be 'ungrouped' or 'grouped'")
+    grouped_multi = family == "multinomial" and type_multinomial == "grouped"
     if offset_col is not None and family in ("multinomial", "mgaussian"):
         raise NotImplementedError(
             f"offset_col is not supported for family='{family}' "
@@ -564,6 +576,7 @@ def sgdnet(
         family in ("binomial", "multinomial")
         and solver == "auto"
         and p <= 2000  # wide p goes to FISTA below
+        and not grouped_multi  # grouped goes straight to the FISTA driver
         and isinstance(label_col, str)
     ):
         fast = _local_classification(df, feature_exprs, label_col, family,
@@ -605,7 +618,7 @@ def sgdnet(
     # iteration proximal gradient with O(p·k) state (explicit
     # solver='fista', or auto beyond ~2000 features)
     use_fista = family in ("gaussian", "binomial", "multinomial") and (
-        solver == "fista" or (solver in ("auto", "spark") and p > 2000)
+        solver == "fista" or (solver in ("auto", "spark") and p > 2000) or grouped_multi
     )
     if use_fista:
         provider.cache()
@@ -624,10 +637,11 @@ def sgdnet(
             "binomial": path_mod.binomial_path_fista,
             "multinomial": path_mod.multinomial_path_fista,
         }[family]
+        fkw = {"grouped": True} if grouped_multi else {}
         res = fista_driver(
             provider, alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
             lambdas=lambdas, standardize=standardize, intercept=intercept,
-            thresh=min(thresh, 1e-6), maxit=max(maxit, 100), mom=mom,
+            thresh=min(thresh, 1e-6), maxit=max(maxit, 100), mom=mom, **fkw,
         )
         if isinstance(provider, SparkXY):
             provider.unpersist()
@@ -636,13 +650,15 @@ def sgdnet(
             alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
             thresh=thresh, standardize_response=standardize_response, solver=solver,
             weights_col=weights_col, offset_col=offset_col,
+            type_multinomial=type_multinomial,
         )
         return SgdnetFit(
             family=family, alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
             df=res.df, dev_ratio=res.dev_ratio, nulldev=res.nulldev, npasses=res.npasses,
             nobs=n, feature_names=feature_cols, classnames=classnames,
             dfmat=res.dfmat, intercept=intercept,
-            standardize=standardize, offset=offset_col is not None, _train=train,
+            standardize=standardize, offset=offset_col is not None,
+            grouped=grouped_multi, _train=train,
         )
     if solver == "fista":
         raise ValueError("solver='fista' supports gaussian, binomial, multinomial")
@@ -696,6 +712,7 @@ def sgdnet(
         alpha=alpha, maxit=maxit, standardize=standardize, intercept=intercept,
         thresh=thresh, standardize_response=standardize_response, solver=solver,
         weights_col=weights_col, offset_col=offset_col,
+        type_multinomial=type_multinomial,
     )
     return SgdnetFit(
         family=family,

@@ -85,3 +85,84 @@ def test_mgaussian_spark_api(spark):
     assert fit.beta.shape == (2, p, 8)
     with pytest.raises(ValueError, match="one-dimensional"):
         sgdnet(df, cols, ["y1"], family="mgaussian")
+
+
+def _std_grad_multinomial(x, Y, fit, s_idx):
+    """Softmax gradient on the STANDARDIZED scale at path point s_idx:
+    G = x_std^T (P - Y) / n, (p, k), reconstructed from the
+    unstandardized fitted coefficients."""
+    mu, sd = x.mean(axis=0), x.std(axis=0)
+    xs = (x - mu) / sd
+    beta = fit.beta[:, :, s_idx]          # (k, p) unstandardized
+    a0 = fit.a0[:, s_idx]                 # (k,)
+    coef_std = beta * sd[None, :]         # (k, p)
+    b0_std = a0 + beta @ mu               # (k,)
+    eta = xs @ coef_std.T + b0_std
+    Pm = np.exp(eta - eta.max(1, keepdims=True))
+    Pm /= Pm.sum(1, keepdims=True)
+    return xs.T @ (Pm - Y) / len(x), coef_std
+
+
+def test_multinomial_grouped_joint_sparsity_and_kkt(spark, multi_xy):
+    """type_multinomial='grouped' (reference R/sgdnet.R:265 TODO —
+    glmnet group-lasso semantics): features enter/leave for ALL classes
+    together, and every path point satisfies the group-KKT conditions
+    ||G_j.||_2 <= lam*alpha for zero rows / stationarity for active rows."""
+    x, yi = multi_xy
+    Y = np.eye(3)[yi]
+    cols = [f"x{i}" for i in range(x.shape[1])]
+    rows = [(*map(float, xi), str(c)) for xi, c in zip(x, yi)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y string")
+    fit = sgdnet(df, cols, "y", family="multinomial", alpha=1.0, nlambda=10,
+                 lambda_min_ratio=1e-2, type_multinomial="grouped", thresh=1e-10)
+    assert fit.grouped is True
+    # joint sparsity: a feature's coefficient row is zero for all classes
+    # or nonzero for at least one — per-class supports are identical
+    for i in range(fit.nlambda):
+        supports = [set(np.nonzero(fit.beta[c, :, i])[0]) for c in range(3)]
+        assert supports[0] == supports[1] == supports[2], f"s={i}"
+    # s=0 is the all-zero point (grouped lambda_max)
+    assert np.all(fit.beta[:, :, 0] == 0.0)
+    assert 0 < fit.df[3] < x.shape[1] or fit.df[-1] == x.shape[1]
+    # group KKT at a mid point and the densest point
+    for s_idx in (fit.nlambda // 2, fit.nlambda - 1):
+        lam = float(fit.lambdas[s_idx])
+        G, coef_std = _std_grad_multinomial(x, Y, fit, s_idx)
+        for j in range(x.shape[1]):
+            bj = coef_std[:, j]
+            if np.all(bj == 0.0):
+                assert np.linalg.norm(G[j]) <= lam * 1.0 + 5e-4, (s_idx, j)
+            else:
+                stat = G[j] + lam * bj / np.linalg.norm(bj)
+                assert np.max(np.abs(stat)) < 5e-4, (s_idx, j)
+
+
+def test_multinomial_grouped_ridge_equals_ungrouped(spark, multi_xy):
+    """At alpha=0 the group-L1 term vanishes, so grouped and ungrouped
+    must solve the identical ridge objective."""
+    x, yi = multi_xy
+    cols = [f"x{i}" for i in range(x.shape[1])]
+    rows = [(*map(float, xi), str(c)) for xi, c in zip(x, yi)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y string")
+    lams = [0.1, 0.01]
+    a = sgdnet(df, cols, "y", family="multinomial", alpha=0.0, lambdas=lams,
+               type_multinomial="grouped", thresh=1e-10)
+    b = sgdnet(df, cols, "y", family="multinomial", alpha=0.0, lambdas=lams,
+               solver="fista", thresh=1e-10)
+    assert np.abs(a.coef() - b.coef()).max() < 1e-4
+    # round-trips through persistence with the grouped flag
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        a.save(td)
+        back = a.load(td)
+        assert back.grouped is True
+
+
+def test_type_multinomial_validation(spark, multi_xy):
+    x, yi = multi_xy
+    cols = [f"x{i}" for i in range(x.shape[1])]
+    rows = [(*map(float, xi), str(c)) for xi, c in zip(x, yi)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols) + ", y string")
+    with pytest.raises(ValueError, match="type_multinomial"):
+        sgdnet(df, cols, "y", family="multinomial", type_multinomial="banana")
