@@ -459,13 +459,21 @@ def multinomial_path_fista(
     provider.set_standardization(x_mean, 1.0 / x_std)
     inv = 1.0 / x_std
     pri = mom.y_mean
-    ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
-    nulldev = -2.0 * ll_null
-    if intercept:
-        B = (mom.sum_xy / n - np.outer(mom.x_mean, pri)) * inv[:, None]
+    p = len(x_mean)
+    has_off = getattr(provider, "has_offset", False)
+    if not has_off:
+        ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
+        if intercept:
+            B = (mom.sum_xy / n - np.outer(mom.x_mean, pri)) * inv[:, None]
+        else:
+            B = (mom.sum_xy / n) * inv[:, None]
+        b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
+        b0s = b0s - b0s.mean() if intercept else b0s
     else:
-        B = (mom.sum_xy / n) * inv[:, None]
-    p = B.shape[0]
+        # n×k offset: null intercepts/gradient have no moment closed form
+        b0s, ll_null, g0 = _multinomial_null_offset(provider, pri, k, p, intercept)
+        B = -g0.T  # (p, k) null gradient flips sign: B = <x~, y - P0>/n
+    nulldev = -2.0 * ll_null
     # softmax hessian <= (1/2) I ⊗ C  (tighter 1/4 holds per class;
     # 1/2 is the safe multiclass bound)
     L = max(1.0, _power_iter_L(provider, p)) / 2.0
@@ -480,8 +488,6 @@ def multinomial_path_fista(
     nl = len(lam_path)
 
     coefs = np.zeros((k, p))
-    b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
-    b0s = b0s - b0s.mean() if intercept else b0s
     out_beta = np.zeros((k, p, nl))
     out_a0 = np.zeros((k, nl))
     out_df = np.zeros(nl, dtype=int)
@@ -864,6 +870,32 @@ def poisson_path(
     )
 
 
+def _multinomial_null_offset(provider, pri, k: int, p: int, intercept: bool):
+    """Intercept-only softmax MLE under a fixed n×k offset, by the
+    balancing fixed point b0_c <- b0_c + log(ȳ_c / P̄_c) (each iteration
+    is one gradient pass; the score of the intercept-only likelihood is
+    exactly P̄_c - ȳ_c, so the update has the MLE as its only fixed
+    point). Returns (b0s, ll_null, null_gradient (k,p))."""
+    zeros = np.zeros((k, p))
+    if not intercept:
+        g, _, ll = provider.grad_multinomial(zeros, np.zeros(k))
+        return np.zeros(k), ll, g
+    b0s = np.log(np.maximum(pri, 1e-300))
+    b0s = b0s - b0s.mean()
+    g = None
+    ll = 0.0
+    for _ in range(50):
+        g, gb, ll = provider.grad_multinomial(zeros, b0s)
+        pbar = gb + pri  # colmeans(P) = colmeans(P-Y) + colmeans(Y)
+        step = np.log(np.maximum(pri, 1e-300) / np.maximum(pbar, 1e-300))
+        b0s = b0s + step
+        b0s = b0s - b0s.mean()
+        if float(np.max(np.abs(step))) <= 1e-12:
+            break
+    g, _, ll = provider.grad_multinomial(zeros, b0s)
+    return b0s, ll, g
+
+
 def multinomial_path(
     provider,
     alpha: float,
@@ -886,17 +918,26 @@ def multinomial_path(
     provider.set_standardization(x_mean, 1.0 / x_std)
 
     pri = mom.y_mean  # class priors
-    ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
+    p = B.shape[0]
+    has_off = getattr(provider, "has_offset", False)
+    if not has_off:
+        ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
+        lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
+        b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
+        b0s = b0s - b0s.mean() if intercept else b0s
+    else:
+        # n×k offset: the null intercepts have no closed form. The
+        # balancing fixed point b0_c += log(ȳ_c / P̄_c) (each step is one
+        # gradient pass; P̄ comes back as colmeans(P-Y)+ȳ) drives the
+        # intercept-only score ΣP_c - Σy_c to zero; lambda_max and
+        # nulldev then read off the SAME final gradient pass.
+        b0s, ll_null, g0 = _multinomial_null_offset(provider, pri, k, p, intercept)
+        lambda_max = float(np.max(np.abs(g0))) / max(alpha, ALPHA_FLOOR)
     nulldev = -2.0 * ll_null
-
-    lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
-    p = B.shape[0]
 
     coefs = np.zeros((k, p))
-    b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
-    b0s = b0s - b0s.mean() if intercept else b0s
     out_beta = np.zeros((k, p, nl))
     out_a0 = np.zeros((k, nl))
     out_df = np.zeros(nl, dtype=int)

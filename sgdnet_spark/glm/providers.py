@@ -144,10 +144,13 @@ class LocalXY:
         return xs.T @ r / self.n, float(r.sum() / self.n), float(dev_terms.sum())
 
     def grad_multinomial(self, coefs: np.ndarray, b0s: np.ndarray):
-        """Softmax gradient for all classes; self.y is one-hot (n, k)."""
+        """Softmax gradient for all classes; self.y is one-hot (n, k).
+        ``self.o`` (when 2-d) is the fixed n×k multinomial offset."""
         self.passes += 1
         xs = self._xs()
         eta = xs @ coefs.T + b0s
+        if self.o is not None:
+            eta = eta + self.o
         P = _softmax(eta)
         R = P - self.y
         ll_terms = np.sum(self.y * np.log(np.maximum(P, 1e-300)), axis=1)
@@ -250,7 +253,8 @@ class LocalXY:
         """IRLS stats for all classes at once; self.y is one-hot (n, k)."""
         self.passes += 1
         out = suffstats.multinomial_class_stats(
-            self.x, self.y, coefs, intercepts, self.x_mean, self.x_inv_std, sw=self.w
+            self.x, self.y, coefs, intercepts, self.x_mean, self.x_inv_std,
+            sw=self.w, o=self.o,
         )
         return suffstats._unpack_class_stats(out, self.p, coefs.shape[0])
 
@@ -300,7 +304,7 @@ class SparkXY:
 
     @property
     def has_offset(self) -> bool:
-        return "o" in self.xy.columns
+        return "o" in self.xy.columns or "o0" in self.xy.columns
 
     def irls_binomial(self, coef: np.ndarray, intercept: float, cols=None):
         self.passes += 1

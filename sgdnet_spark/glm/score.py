@@ -226,7 +226,7 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
         onehot = np.eye(len(cls))[yi]
         out = np.zeros(nl)
         for i, si in enumerate(s_arr):
-            prob = fit.predict_np(x, s=si, type="response")[:, :, 0]  # (n, k)
+            prob = fit.predict_np(x, s=si, type="response", offset=offset)[:, :, 0]  # (n, k)
             if type_measure == "deviance":
                 pc = np.clip(prob, PROB_MIN, PROB_MAX)
                 out[i] = (-2 * (onehot * np.log(pc)).sum(axis=1)).mean()
@@ -240,10 +240,12 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
     raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
 
 
-def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s):
+def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s,
+                                   offset_cols=None):
     """Multinomial deviance/class/mse/mae in ONE aggregation pass:
     per-lambda per-class eta expressions -> softmax -> measure (all
-    JVM-side; mirrors score_np's multinomial branch)."""
+    JVM-side; mirrors score_np's multinomial branch). ``offset_cols``
+    is the n×k offset — one column per class, added to its eta."""
     from sgdnet_spark.glm.sgdnet import colref
 
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
@@ -258,6 +260,8 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s):
             for w, name in zip(cf[c, 1:, i], cols):
                 if w != 0.0:
                     e = e + F.lit(float(w)) * colref(name).cast("double")
+            if offset_cols is not None:
+                e = e + colref(offset_cols[c]).cast("double")
             etas.append(e)
         mx = F.greatest(*etas) if k > 1 else etas[0]
         exps = [F.exp(e - mx) for e in etas]
@@ -354,14 +358,23 @@ def score(
             f"weighted scoring is not supported for (family={fam}, "
             f"type.measure={type_measure})"
         )
-    if offset_col is not None and fam in ("multinomial", "mgaussian"):
+    if offset_col is not None and fam == "mgaussian":
         raise NotImplementedError(
             f"offset scoring is not supported for family='{fam}'"
         )
     if fam == "multinomial":
         if type_measure not in ("deviance", "class", "mse", "mae"):
             raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
-        return _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s)
+        if offset_col is not None and (
+            isinstance(offset_col, str)
+            or len(offset_col) != len(fit.classnames or [])
+        ):
+            raise ValueError(
+                "multinomial offset_col must be a sequence of one column per "
+                f"class {fit.classnames}"
+            )
+        return _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s,
+                                              offset_cols=offset_col)
     if fam == "mgaussian":
         if type_measure not in ("deviance", "mse", "mae"):
             raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")

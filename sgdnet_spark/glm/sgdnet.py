@@ -140,7 +140,9 @@ class SgdnetFit:
         ``exact=True`` refits at off-path s instead of interpolating.
         ``newoffset`` names the offset column in ``newx`` — required when
         the fit used ``offset_col`` (reference predict.sgdnet.R:381) and
-        added to every linear predictor.
+        added to every linear predictor. Multinomial offset fits take a
+        sequence of k columns (one per class, sorted-class order), the
+        n×k form.
         """
         if type == "coefficients":
             return self.coef(s)
@@ -148,6 +150,22 @@ class SgdnetFit:
             return self.nonzero(s)
         if self.offset and newoffset is None:
             raise ValueError("need 'newoffset' since offset was used in fit")
+        if self.offset and self.family == "multinomial" and (
+            isinstance(newoffset, str)
+            or len(newoffset) != (len(self.classnames) if self.classnames else 0)
+        ):
+            raise ValueError(
+                "multinomial newoffset must be a sequence of one column per "
+                f"class {self.classnames}"
+            )
+        if (
+            newoffset is not None
+            and not isinstance(newoffset, str)
+            and self.family not in ("multinomial", "mgaussian")
+        ):
+            raise ValueError(
+                f"newoffset must be a single column name for family='{self.family}'"
+            )
         if exact and s is not None:
             lam_set = set(np.atleast_1d(np.asarray(s, dtype=float)))
             if not lam_set <= set(self.lambdas):
@@ -160,20 +178,20 @@ class SgdnetFit:
         multi = self.family in ("multinomial", "mgaussian")
         nl = cf.shape[-1]
 
-        def linpred(weights: np.ndarray) -> F.Column:
+        def linpred(weights: np.ndarray, off: str | None = None) -> F.Column:
             # weights: (p+1,) with intercept first
             expr = F.lit(float(weights[0]))
             for w, c in zip(weights[1:], cols):
                 if w != 0.0:
                     expr = expr + F.lit(float(w)) * colref(c).cast("double")
-            if newoffset is not None:
-                expr = expr + F.col(newoffset).cast("double")
+            if off is not None:
+                expr = expr + colref(off).cast("double")
             return expr
 
         out = newx
         if not multi:
             for i in range(nl):
-                e = linpred(cf[:, i])
+                e = linpred(cf[:, i], off=newoffset)
                 if type == "response" and self.family == "binomial":
                     e = F.lit(1.0) / (F.lit(1.0) + F.exp(-e))
                 elif type == "response" and self.family == "poisson":
@@ -193,7 +211,16 @@ class SgdnetFit:
             raise ValueError("multivariate predict needs a single s (or a 1-lambda fit)")
         k = cf.shape[0]
         names = self.classnames or self.response_names or [str(i) for i in range(k)]
-        etas = [linpred(cf[c, :, 0] if cf.ndim == 3 else cf[c]) for c in range(k)]
+        # per-class offsets (n×k): one column each; a single shared column
+        # is broadcast to every class (harmless for softmax — it cancels)
+        offs = (
+            list(newoffset) if isinstance(newoffset, (list, tuple))
+            else [newoffset] * k
+        )
+        etas = [
+            linpred(cf[c, :, 0] if cf.ndim == 3 else cf[c], off=offs[c])
+            for c in range(k)
+        ]
         if type in ("link",) or (type == "response" and self.family == "mgaussian"):
             for name, e in zip(names, etas):
                 out = out.withColumn(f"{prefix}_{name}", e)
@@ -236,6 +263,8 @@ class SgdnetFit:
             return eta
         # (k, p+1, nl)
         eta = np.einsum("np,kpl->nkl", np.hstack([np.ones((len(x), 1)), x]), cf)
+        if offset is not None:
+            eta = eta + np.asarray(offset, dtype=np.float64)[:, :, None]  # (n, k)
         if type == "response" and self.family == "multinomial":
             m = eta.max(axis=1, keepdims=True)
             e = np.exp(eta - m)
@@ -481,9 +510,10 @@ def sgdnet(
     offset as a TODO; weights are absent): ``weights_col`` — per-row
     non-negative sample weights, glmnet semantics (internally rescaled
     to sum to n; all families); ``offset_col`` — per-row fixed
-    linear-predictor term (gaussian, binomial, poisson; glmnet
-    semantics: predict() then requires ``newoffset``); and
-    ``family='poisson'`` (log link) itself.
+    linear-predictor term (gaussian, binomial, poisson: one column;
+    multinomial: a sequence of one column per class, the glmnet n×k
+    offset matrix; glmnet semantics: predict() then requires
+    ``newoffset``); and ``family='poisson'`` (log link) itself.
 
     ``type_multinomial='grouped'`` (another reference TODO —
     R/sgdnet.R:265 forces 'ungrouped') applies the group-lasso penalty
@@ -496,10 +526,20 @@ def sgdnet(
     if type_multinomial not in ("ungrouped", "grouped"):
         raise ValueError("type_multinomial must be 'ungrouped' or 'grouped'")
     grouped_multi = family == "multinomial" and type_multinomial == "grouped"
-    if offset_col is not None and family in ("multinomial", "mgaussian"):
+    if offset_col is not None and family == "mgaussian":
         raise NotImplementedError(
-            f"offset_col is not supported for family='{family}' "
-            "(supported: gaussian, binomial, poisson)"
+            "offset_col is not supported for family='mgaussian' "
+            "(supported: gaussian, binomial, poisson, multinomial)"
+        )
+    multi_offset = family == "multinomial" and offset_col is not None
+    if multi_offset and isinstance(offset_col, str):
+        raise ValueError(
+            "multinomial offsets are n×k: pass offset_col as a sequence of "
+            "one column per class (sorted class order), e.g. ['o_a', 'o_b', 'o_c']"
+        )
+    if offset_col is not None and not multi_offset and not isinstance(offset_col, str):
+        raise ValueError(
+            f"offset_col must be a single column name for family='{family}'"
         )
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
@@ -540,14 +580,19 @@ def sgdnet(
     # into all-NaN coefficients with no error.
     weight_expr = None
     if weights_col is not None or offset_col is not None:
+        offset_names = (
+            list(offset_col) if multi_offset
+            else ([offset_col] if offset_col is not None else [])
+        )
         wc = F.col(weights_col).cast("double") if weights_col is not None else None
-        oc = F.col(offset_col).cast("double") if offset_col is not None else None
         aggs = [F.count("*").alias("n")]
         if wc is not None:
             aggs += [F.count(wc).alias("wn"), F.sum(wc).alias("W"),
                      F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan")]
-        if oc is not None:
-            aggs += [F.count(oc).alias("on"), F.max(F.isnan(oc).cast("int")).alias("onan")]
+        for i, name in enumerate(offset_names):
+            oc = F.col(name).cast("double")
+            aggs += [F.count(oc).alias(f"on{i}"),
+                     F.max(F.isnan(oc).cast("int")).alias(f"onan{i}")]
         vrow = df.agg(*aggs).first()
         if vrow["n"] == 0:
             raise ValueError("the predictor matrix (x) is empty.")
@@ -562,13 +607,19 @@ def sgdnet(
             if float(vrow["W"]) <= 0:
                 raise ValueError("sample weights must not all be zero")
             weight_expr = wc * F.lit(float(vrow["n"]) / float(vrow["W"]))
-        if oc is not None and (vrow["on"] != vrow["n"] or vrow["onan"]):
-            raise ValueError(
-                f"offset_col '{offset_col}' contains NULL/NaN values; "
-                "filter or impute them before fitting"
-            )
+        for i, name in enumerate(offset_names):
+            if vrow[f"on{i}"] != vrow["n"] or vrow[f"onan{i}"]:
+                raise ValueError(
+                    f"offset_col '{name}' contains NULL/NaN values; "
+                    "filter or impute them before fitting"
+                )
 
-    offset_expr = F.col(offset_col).cast("double") if offset_col is not None else None
+    if offset_col is None:
+        offset_expr = None
+    elif multi_offset:
+        offset_expr = [F.col(c).cast("double") for c in offset_col]
+    else:
+        offset_expr = F.col(offset_col).cast("double")
     gaussian_offset = offset_expr is not None and family == "gaussian"
 
     fast = None
@@ -577,6 +628,7 @@ def sgdnet(
         and solver == "auto"
         and p <= 2000  # wide p goes to FISTA below
         and not grouped_multi  # grouped goes straight to the FISTA driver
+        and not multi_offset  # n×k offsets take the assemble path
         and isinstance(label_col, str)
     ):
         fast = _local_classification(df, feature_exprs, label_col, family,
@@ -589,6 +641,12 @@ def sgdnet(
         feature_cols = feature_names
     else:
         label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
+        if multi_offset and len(offset_expr) != len(label_exprs):
+            raise ValueError(
+                f"multinomial offset_col needs one column per class: got "
+                f"{len(offset_expr)} columns for {len(label_exprs)} classes "
+                f"{classnames}"
+            )
         if gaussian_offset:
             # exact equivalence: a gaussian fit with offset o is the plain
             # fit on (y - o); predict() adds newoffset back to the link

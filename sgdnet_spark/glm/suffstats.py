@@ -50,7 +50,9 @@ def assemble(
     so the weights average 1 over the data (glmnet's convention: weights
     sum to n) — every downstream /n then yields the correct weighted
     mean with no kernel-side renormalization. ``offset_expr`` is the
-    per-row linear-predictor offset for binomial/poisson fits.
+    per-row linear-predictor offset for binomial/poisson fits; a LIST of
+    k expressions is the n×k multinomial offset (one column per class,
+    sorted-class order), materialized as o0..o{k-1}.
     """
     cols = []
     for i, e in enumerate(feature_exprs):
@@ -64,8 +66,13 @@ def assemble(
         c = F.col(weight_expr) if isinstance(weight_expr, str) else weight_expr
         cols.append(c.cast("double").alias("w"))
     if offset_expr is not None:
-        c = F.col(offset_expr) if isinstance(offset_expr, str) else offset_expr
-        cols.append(c.cast("double").alias("o"))
+        if isinstance(offset_expr, (list, tuple)):
+            for i, e in enumerate(offset_expr):
+                c = F.col(e) if isinstance(e, str) else e
+                cols.append(c.cast("double").alias(f"o{i}"))
+        else:
+            c = F.col(offset_expr) if isinstance(offset_expr, str) else offset_expr
+            cols.append(c.cast("double").alias("o"))
     return df.select(*cols)
 
 
@@ -77,7 +84,16 @@ def _batch_xy(pdf: pd.DataFrame, p: int, k: int) -> tuple[np.ndarray, np.ndarray
 
 def _batch_wo(pdf: pd.DataFrame) -> tuple[np.ndarray | None, np.ndarray | None]:
     w = pdf["w"].to_numpy(dtype=np.float64, copy=False) if "w" in pdf.columns else None
-    o = pdf["o"].to_numpy(dtype=np.float64, copy=False) if "o" in pdf.columns else None
+    if "o" in pdf.columns:
+        o = pdf["o"].to_numpy(dtype=np.float64, copy=False)
+    elif "o0" in pdf.columns:
+        # n×k multinomial offset, materialized as o0..o{k-1}
+        ko = 0
+        while f"o{ko}" in pdf.columns:
+            ko += 1
+        o = pdf[[f"o{i}" for i in range(ko)]].to_numpy(dtype=np.float64, copy=False)
+    else:
+        o = None
     return w, o
 
 
@@ -375,6 +391,8 @@ def gradient_multinomial(
 
     def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
         eta = x @ scaled.T + offs
+        if o is not None:
+            eta = eta + o  # (n, k) fixed multinomial offset
         mx = eta.max(axis=1, keepdims=True)
         e = np.exp(eta - mx)
         P = e / e.sum(axis=1, keepdims=True)
@@ -479,14 +497,19 @@ def weighted_quadratic(
     return sum_w, sum_wx, sum_wxx, sum_wxz, sum_wz, loglik
 
 
-def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=None):
+def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=None, o=None):
     """Per-batch numpy kernel: IRLS quadratic stats for ALL classes at the
     current coefficients (block-diagonal Newton — one data pass serves
     every class update). Returns a packed 1-d partial. ``sw`` (mean-1
-    sample weights) multiplies the IRLS weights and the loglik terms."""
+    sample weights) multiplies the IRLS weights and the loglik terms.
+    ``o`` is the optional n×k fixed offset: it enters every eta, and the
+    working response targets eta MINUS the offset so the WLS solve fits
+    coef/intercept only (same convention as weighted_quadratic)."""
     scaled = coefs * x_inv_std[None, :]
     offs = intercepts - scaled @ x_mean
     eta = x @ scaled.T + offs  # (n, k)
+    if o is not None:
+        eta = eta + o
     m = eta.max(axis=1, keepdims=True)
     e = np.exp(eta - m)
     prob = e / e.sum(axis=1, keepdims=True)
@@ -500,7 +523,7 @@ def multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=None)
         yk = y[:, cls]
         pk = prob[:, cls]
         w = np.maximum(pk * (1.0 - pk), 1e-10)
-        z = eta[:, cls] + (yk - pk) / w
+        z = (eta[:, cls] if o is None else eta[:, cls] - o[:, cls]) + (yk - pk) / w
         if sw is not None:
             w = w * sw
         xw = xs * w[:, None]
@@ -541,7 +564,7 @@ def weighted_quadratic_multinomial_all(
     k = coefs.shape[0]
 
     def fn(x: np.ndarray, y: np.ndarray | None, w, o) -> np.ndarray:
-        return multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=w)
+        return multinomial_class_stats(x, y, coefs, intercepts, x_mean, x_inv_std, sw=w, o=o)
 
     out = _sum_partials(xy, fn, p, k)
     return _unpack_class_stats(out, p, k)
@@ -569,5 +592,13 @@ def collect_xy(
     x = pdf[xcols(p)].to_numpy(dtype=np.float64)
     y = pdf[ycols(k)].to_numpy(dtype=np.float64) if k else None
     w = pdf["w"].to_numpy(dtype=np.float64) if "w" in pdf.columns else None
-    o = pdf["o"].to_numpy(dtype=np.float64) if "o" in pdf.columns else None
+    if "o" in pdf.columns:
+        o = pdf["o"].to_numpy(dtype=np.float64)
+    elif "o0" in pdf.columns:
+        ko = 0
+        while f"o{ko}" in pdf.columns:
+            ko += 1
+        o = pdf[[f"o{i}" for i in range(ko)]].to_numpy(dtype=np.float64)
+    else:
+        o = None
     return x, y, w, o

@@ -211,9 +211,11 @@ def test_poisson_negative_y_rejected(data):
         sgdnet(bad, ["x1", "x2"], "yneg", family="poisson", lambdas=[0.0])
 
 
-def test_offset_rejected_for_multinomial_and_mgaussian(data):
+def test_offset_rejected_for_mgaussian_and_str_multinomial(data):
     df, _ = data
-    with pytest.raises(NotImplementedError):
+    # multinomial offsets are supported as of round 6 but must be the
+    # n×k form (one column per class) — a single column is an error
+    with pytest.raises(ValueError, match="sequence"):
         sgdnet(df, ["x1", "x2"], "yb", family="multinomial", offset_col="o")
     with pytest.raises(NotImplementedError):
         sgdnet(df, ["x1", "x2"], ["y", "ypois"], family="mgaussian", offset_col="o")
@@ -430,3 +432,152 @@ def test_cv_offset_threads_through_fold_scoring(data):
                    nlambda=4, alpha=1.0, offset_col="o")
     assert cv.name == "Poisson Deviance"
     assert len(cv.cv_summary) == 4
+
+
+@pytest.fixture(scope="module")
+def multi_offset_data(spark):
+    rng = np.random.default_rng(29)
+    n, p, k = 600, 4, 3
+    x = rng.normal(size=(n, p))
+    O = rng.normal(scale=0.5, size=(n, k))
+    B = np.array([[1.0, -0.5, 0, 0], [0, 0.8, -1.0, 0], [-1.0, 0, 0.6, 0]])
+    eta = x @ B.T + O
+    pr = np.exp(eta - eta.max(1, keepdims=True))
+    pr /= pr.sum(1, keepdims=True)
+    yi = np.array([rng.choice(k, p=pi) for pi in pr])
+    pdf = pd.DataFrame(x, columns=[f"x{i}" for i in range(p)])
+    for c in range(k):
+        pdf[f"o{c}"] = O[:, c]
+    pdf["y"] = yi.astype(str)
+    return spark.createDataFrame(pdf), pdf, x, O, yi
+
+
+def test_multinomial_offset_zero_equals_plain(multi_offset_data):
+    """n×k offsets (glmnet offset matrix; reference predict.sgdnet.R
+    handles offsets family-generically): all-zero offsets must reproduce
+    the unoffset fit exactly."""
+    df, pdf, x, O, yi = multi_offset_data
+    cols = [f"x{i}" for i in range(4)]
+    ocols = [f"o{c}" for c in range(3)]
+    df0 = df
+    for c in ocols:
+        df0 = df0.withColumn(c, df0[c] * 0.0)
+    a = sgdnet(df0, cols, "y", family="multinomial", alpha=1.0, nlambda=6,
+               lambda_min_ratio=1e-2, offset_col=ocols)
+    b = sgdnet(df, cols, "y", family="multinomial", alpha=1.0, nlambda=6,
+               lambda_min_ratio=1e-2)
+    assert a.offset is True
+    assert np.allclose(a.lambdas, b.lambdas, rtol=1e-12)
+    assert np.abs(a.coef() - b.coef()).max() < 1e-10
+
+
+def test_multinomial_offset_constant_equals_intercept_shift(multi_offset_data):
+    """Constant per-class offsets c_k are absorbed entirely by the
+    intercepts: coefficients identical, centered intercepts shifted by
+    -(c_k - mean(c))."""
+    import pyspark.sql.functions as F
+
+    df, *_ = multi_offset_data
+    cols = [f"x{i}" for i in range(4)]
+    shift = [0.7, -0.2, 0.4]
+    dfc = df
+    for c, v in zip(range(3), shift):
+        dfc = dfc.withColumn(f"oc{c}", F.lit(float(v)))
+    a = sgdnet(dfc, cols, "y", family="multinomial", alpha=0.5, nlambda=5,
+               lambda_min_ratio=1e-2, offset_col=[f"oc{c}" for c in range(3)],
+               thresh=1e-10)
+    b = sgdnet(df, cols, "y", family="multinomial", alpha=0.5, nlambda=5,
+               lambda_min_ratio=1e-2, thresh=1e-10)
+    assert np.allclose(a.lambdas, b.lambdas, rtol=1e-9)
+    assert np.abs(a.beta - b.beta).max() < 2e-6
+    sh = np.asarray(shift) - np.mean(shift)
+    assert np.abs((a.a0 + sh[:, None]) - b.a0).max() < 2e-6
+
+
+def test_multinomial_offset_kkt_and_null(multi_offset_data):
+    """Every path point of an offset fit satisfies softmax elastic-net
+    KKT with the offset in the linear predictor; s=0 is exactly the
+    all-zero point of the offset null model."""
+    df, pdf, x, O, yi = multi_offset_data
+    cols = [f"x{i}" for i in range(4)]
+    ocols = [f"o{c}" for c in range(3)]
+    alpha = 1.0
+    fit = sgdnet(df, cols, "y", family="multinomial", alpha=alpha, nlambda=8,
+                 lambda_min_ratio=1e-2, offset_col=ocols, thresh=1e-10)
+    assert np.all(fit.beta[:, :, 0] == 0.0)
+    Y = np.eye(3)[yi]
+    mu, sd = x.mean(axis=0), x.std(axis=0)
+    xs = (x - mu) / sd
+    for s_idx in (0, 4, 7):
+        lam = float(fit.lambdas[s_idx])
+        beta = fit.beta[:, :, s_idx]
+        a0 = fit.a0[:, s_idx]
+        coef_std = beta * sd[None, :]
+        b0_std = a0 + beta @ mu
+        eta = xs @ coef_std.T + b0_std + O
+        P = np.exp(eta - eta.max(1, keepdims=True))
+        P /= P.sum(1, keepdims=True)
+        G = xs.T @ (P - Y) / len(x)  # (p, k)
+        for j in range(4):
+            for c in range(3):
+                g, bj = G[j, c], coef_std[c, j]
+                if bj == 0.0:
+                    assert abs(g) <= alpha * lam + 5e-4, (s_idx, j, c)
+                else:
+                    assert abs(g + lam * alpha * np.sign(bj)) < 5e-4, (s_idx, j, c)
+
+
+def test_multinomial_offset_score_predict_cv(multi_offset_data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+    from sgdnet_spark.glm.score import score, score_np
+
+    df, pdf, x, O, yi = multi_offset_data
+    cols = [f"x{i}" for i in range(4)]
+    ocols = [f"o{c}" for c in range(3)]
+    fit = sgdnet(df, cols, "y", family="multinomial", alpha=0.5, nlambda=5,
+                 lambda_min_ratio=1e-2, offset_col=ocols)
+    # score requires and uses the offset
+    with pytest.raises(ValueError, match="offset"):
+        score(fit, df, label_col="y", type_measure="deviance")
+    for m in ("deviance", "class", "mse", "mae"):
+        a = score(fit, df, label_col="y", type_measure=m, offset_col=ocols)
+        b = score_np(fit, x, yi.astype(str), type_measure=m, offset=O)
+        assert np.allclose(a, b, atol=1e-9), m
+    # predict guards
+    with pytest.raises(ValueError, match="newoffset"):
+        fit.predict(df, s=float(fit.lambdas[-1]), type="class")
+    with pytest.raises(ValueError, match="one column per"):
+        fit.predict(df, s=float(fit.lambdas[-1]), type="class", newoffset="o0")
+    with pytest.raises(ValueError, match="one column per"):
+        score(fit, df, label_col="y", type_measure="class", offset_col=ocols[:2])
+    # CV threads the offset to fold fits and held-out scoring
+    cv = cv_sgdnet(df, cols, "y", family="multinomial", nfolds=3, nlambda=4,
+                   lambda_min_ratio=1e-2, alpha=0.5, offset_col=ocols)
+    assert len(cv.cv_summary) == 4
+    assert cv.fit.offset is True
+
+
+def test_multinomial_offset_grouped_combination(multi_offset_data):
+    """grouped penalty + n×k offset ride the same FISTA driver."""
+    df, *_ = multi_offset_data
+    cols = [f"x{i}" for i in range(4)]
+    ocols = [f"o{c}" for c in range(3)]
+    fit = sgdnet(df, cols, "y", family="multinomial", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-2, offset_col=ocols,
+                 type_multinomial="grouped")
+    assert fit.grouped is True and fit.offset is True
+    assert np.all(fit.beta[:, :, 0] == 0.0)
+    for i in range(fit.nlambda):
+        sup = [set(np.nonzero(fit.beta[c, :, i])[0]) for c in range(3)]
+        assert sup[0] == sup[1] == sup[2]
+
+
+def test_multinomial_offset_validation(multi_offset_data):
+    df, *_ = multi_offset_data
+    cols = [f"x{i}" for i in range(4)]
+    with pytest.raises(ValueError, match="sequence"):
+        sgdnet(df, cols, "y", family="multinomial", offset_col="o0")
+    with pytest.raises(ValueError, match="one column per class"):
+        sgdnet(df, cols, "y", family="multinomial", offset_col=["o0", "o1"])
+    with pytest.raises(ValueError, match="single column"):
+        sgdnet(df, cols, "x1", family="gaussian", offset_col=["o0", "o1"])
