@@ -20,7 +20,10 @@ import numpy as np
 
 
 def soft_threshold(z: np.ndarray, t: float) -> np.ndarray:
-    return np.sign(z) * np.maximum(np.abs(z) - t, 0.0)
+    # relative slack on the threshold test, for the same reason as the
+    # group prox below: at lambda_max |z| == t up to rounding, and the
+    # plain max(|z|-t, 0) emits 1e-16 dust instead of an exact zero
+    return np.where(np.abs(z) > t * (1.0 + 1e-12), np.sign(z) * (np.abs(z) - t), 0.0)
 
 
 def enet_cd_gram(
@@ -89,7 +92,12 @@ def group_cd_gram(
             bj = beta[j].copy()
             zj = bj * diag[j] - grad[j]
             nrm = float(np.linalg.norm(zj))
-            if nrm <= l1 or diag[j] + l2 <= 0:
+            # the 1e-12 relative slack snaps the exact-boundary case to
+            # a TRUE zero: at lambda_max, nrm equals l1 up to float
+            # rounding, and "nrm a hair above l1" would otherwise emit
+            # 1e-16-magnitude coefficient dust that df counts as a
+            # nonzero group (flaky df[0]==0 at lambda_max)
+            if nrm <= l1 * (1.0 + 1e-12) or diag[j] + l2 <= 0:
                 new = np.zeros(k)
             else:
                 new = zj * (1.0 - l1 / nrm) / (diag[j] + l2)

@@ -42,7 +42,11 @@ DRIVERS = {
 @pytest.mark.parametrize("alpha", [0.0, 0.5, 1.0])
 @pytest.mark.parametrize("standardize", [True, False])
 def test_grid(family, intercept, alpha, standardize):
-    rng = np.random.default_rng(abs(hash((family, intercept, alpha, standardize))) % 2**32)
+    # zlib.crc32, not hash(): str hashing is salted per process, which
+    # made the dataset (and one boundary assertion) vary run to run
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(repr((family, intercept, alpha, standardize)).encode()))
     x, y = _data(family, rng)
     res = DRIVERS[family](
         LocalXY(x, y), alpha=alpha, nlambda=5, lambda_min_ratio=1e-2,
