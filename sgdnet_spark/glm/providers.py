@@ -161,83 +161,105 @@ class LocalXY:
         ll = float(ll_terms.sum())
         return G, R.sum(axis=0) / self.n, ll
 
+    # rows per block in the fused IRLS passes: big enough that the p-sized
+    # BLAS calls amortize, small enough that every per-block temporary
+    # (~10 arrays x 8B x block) stays cache/TLB-resident instead of
+    # cycling hundreds of MB of fresh allocations per pass (at n=6M the
+    # unchunked pass allocated an n x p weighted copy of X every call —
+    # profiled 0.68s/pass; chunked ~0.2s/pass, identical statistics up to
+    # float summation order)
+    _IRLS_BLOCK = 1 << 18
+
     def irls_binomial(self, coef: np.ndarray, intercept: float, cols=None):
-        # hot loop: ~3 calls per lambda over the full n — reuse buffers to
-        # stay allocation-light (n-sized temporaries dominate otherwise).
-        # cols (strong-rule screening): quadratic stats restricted to the
-        # given feature subset — coef is then |cols|-sized and O(n·|S|²)
-        # replaces O(n·p²)
+        # hot loop: ~3 calls per lambda over the full n — one fused,
+        # BLOCKED pass accumulates every WLS statistic. cols (strong-rule
+        # screening): quadratic stats restricted to the given feature
+        # subset — coef is then |cols|-sized and O(n·|S|²) replaces
+        # O(n·p²); the column subset is sliced per block, never as a
+        # full n x |S| copy.
         self.passes += 1
-        xs = self._xs() if cols is None else self._xs()[:, cols]
+        xs_full = self._xs()
         yb = self.y[:, 0]
-        if not hasattr(self, "_buf") or self._buf[0].shape[0] != self.n:
-            self._buf = tuple(np.empty(self.n) for _ in range(4))
-        eta, mu, w, z = self._buf
-        np.dot(xs, coef, out=eta)
-        eta += intercept
-        if self.o is not None:
-            eta += self.o
-        np.multiply(eta, -1.0, out=mu)
-        np.exp(mu, out=mu)
-        mu += 1.0
-        np.divide(1.0, mu, out=mu)  # mu = sigmoid(eta)
-        np.multiply(mu, 1.0 - mu, out=w)
-        np.maximum(w, 1e-10, out=w)
-        np.subtract(yb, mu, out=z)
-        z /= w
-        z += eta
-        if self.o is not None:
-            z -= self.o  # the WLS solve targets eta MINUS the fixed offset
-        # ll = Σ y·η − Σ log(1+e^η); log(1+e^η) = η − log σ(η), and σ(η)
-        # is already in the mu buffer — one np.log instead of the much
-        # slower logaddexp over n elements (σ is clamped away from 0 by
-        # float math only when η > -745; guard with maximum for the tail)
-        ll_terms = (yb - 1.0) * eta + np.log(np.maximum(mu, 1e-300))
-        if self.w is not None:
-            ll_terms = ll_terms * self.w
-            w = w * self.w  # w buffer no longer aliased: new array
-        ll = float(ll_terms.sum())
-        xw = xs * w[:, None]
-        return (
-            float(w.sum()),
-            xw.sum(axis=0),
-            xw.T @ xs,
-            xw.T @ z,
-            float((w * z).sum()),
-            ll,
-        )
+        p = coef.shape[0]
+        W_sum = 0.0
+        ll = 0.0
+        wz_sum = 0.0
+        sx = np.zeros(p)
+        XtWX = np.zeros((p, p))
+        XtWz = np.zeros(p)
+        B = self._IRLS_BLOCK
+        for s in range(0, self.n, B):
+            e = min(s + B, self.n)
+            xb = xs_full[s:e] if cols is None else xs_full[s:e, cols]
+            eta = xb @ coef + intercept
+            if self.o is not None:
+                eta += self.o[s:e]
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = np.maximum(mu * (1.0 - mu), 1e-10)
+            z = eta + (yb[s:e] - mu) / w
+            if self.o is not None:
+                z -= self.o[s:e]  # the WLS solve targets eta MINUS the offset
+            # ll = Σ y·η − Σ log(1+e^η); log(1+e^η) = η − log σ(η) and σ(η)
+            # is already in mu — one np.log instead of logaddexp (σ only
+            # underflows past η < -745; guard the tail with maximum)
+            llt = (yb[s:e] - 1.0) * eta + np.log(np.maximum(mu, 1e-300))
+            if self.w is not None:
+                sw = self.w[s:e]
+                llt = llt * sw
+                w = w * sw
+            ll += float(llt.sum())
+            xw = xb * w[:, None]
+            W_sum += float(w.sum())
+            sx += xw.sum(axis=0)
+            XtWX += xw.T @ xb
+            XtWz += xw.T @ z
+            wz_sum += float((w * z).sum())
+        return W_sum, sx, XtWX, XtWz, wz_sum, ll
 
     def irls_poisson(self, coef: np.ndarray, intercept: float, cols=None):
         """One IRLS pass for poisson (log link): mu = exp(eta), wirls =
         mu, z = (eta - o) + (y - mu)/mu; the fit statistic is the
         (positive) deviance 2 Σ w̃ [y log(y/mu) - (y - mu)]. ``cols``
-        restricts the quadratic to a screened feature subset."""
+        restricts the quadratic to a screened feature subset. Blocked
+        exactly like irls_binomial (same rationale)."""
         self.passes += 1
-        xs = self._xs() if cols is None else self._xs()[:, cols]
+        xs_full = self._xs()
         yb = self.y[:, 0]
-        eta = xs @ coef + intercept
-        if self.o is not None:
-            eta = eta + self.o
-        mu = np.exp(eta)
-        w = np.maximum(mu, 1e-10)
-        z = eta + (yb - mu) / w
-        if self.o is not None:
-            z = z - self.o
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ylogy = np.where(yb > 0, yb * np.log(yb / np.maximum(mu, 1e-300)), 0.0)
-        dev_terms = 2.0 * (ylogy - (yb - mu))
-        if self.w is not None:
-            dev_terms = dev_terms * self.w
-            w = w * self.w
-        xw = xs * w[:, None]
-        return (
-            float(w.sum()),
-            xw.sum(axis=0),
-            xw.T @ xs,
-            xw.T @ z,
-            float((w * z).sum()),
-            float(dev_terms.sum()),
-        )
+        p = coef.shape[0]
+        W_sum = 0.0
+        dev = 0.0
+        wz_sum = 0.0
+        sx = np.zeros(p)
+        XtWX = np.zeros((p, p))
+        XtWz = np.zeros(p)
+        B = self._IRLS_BLOCK
+        for s in range(0, self.n, B):
+            e = min(s + B, self.n)
+            xb = xs_full[s:e] if cols is None else xs_full[s:e, cols]
+            ybl = yb[s:e]
+            eta = xb @ coef + intercept
+            if self.o is not None:
+                eta += self.o[s:e]
+            mu = np.exp(eta)
+            w = np.maximum(mu, 1e-10)
+            z = eta + (ybl - mu) / w
+            if self.o is not None:
+                z -= self.o[s:e]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ylogy = np.where(ybl > 0, ybl * np.log(ybl / np.maximum(mu, 1e-300)), 0.0)
+            dev_terms = 2.0 * (ylogy - (ybl - mu))
+            if self.w is not None:
+                sw = self.w[s:e]
+                dev_terms = dev_terms * sw
+                w = w * sw
+            dev += float(dev_terms.sum())
+            xw = xb * w[:, None]
+            W_sum += float(w.sum())
+            sx += xw.sum(axis=0)
+            XtWX += xw.T @ xb
+            XtWz += xw.T @ z
+            wz_sum += float((w * z).sum())
+        return W_sum, sx, XtWX, XtWz, wz_sum, dev
 
     def poisson_null_intercept(self) -> float:
         """Closed-form weighted intercept-only poisson MLE with offset:
