@@ -16,6 +16,24 @@ from sgdnet_spark.glm import suffstats
 from sgdnet_spark.glm.suffstats import Moments
 
 
+_POOL = None
+
+
+def _irls_pool():
+    """Shared driver thread pool for blocked IRLS passes (one per
+    process, lazily built — a per-fit pool would leak 8 threads per fit
+    across a long session). numpy ufuncs and BLAS release the GIL over
+    contiguous float blocks, so plain threads scale these passes."""
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _POOL = ThreadPoolExecutor(
+            max_workers=LocalXY._IRLS_THREADS, thread_name_prefix="sgdnet-irls"
+        )
+    return _POOL
+
+
 def _softmax(eta: np.ndarray) -> np.ndarray:
     m = eta.max(axis=1, keepdims=True)
     e = np.exp(eta - m)
@@ -169,6 +187,37 @@ class LocalXY:
     # profiled 0.68s/pass; chunked ~0.2s/pass, identical statistics up to
     # float summation order)
     _IRLS_BLOCK = 1 << 18
+    # driver threads for the blocked passes: numpy ufuncs (exp/log/mul)
+    # and BLAS release the GIL over contiguous float blocks, so the
+    # block loop parallelizes on plain threads. Results stay
+    # DETERMINISTIC: each block's partial is stored by block index and
+    # reduced in a fixed left-fold, identical to the sequential loop.
+    _IRLS_THREADS = 8
+
+    def _blocked_pass(self, block_fn, p: int):
+        """Run block_fn(start, end) -> (W, sx, XtWX, XtWz, wz, stat) over
+        all row blocks (threaded when the data is big enough) and reduce
+        the partials in block order."""
+        B = self._IRLS_BLOCK
+        bounds = [(s, min(s + B, self.n)) for s in range(0, self.n, B)]
+        if len(bounds) > 1 and self._IRLS_THREADS > 1:
+            partials = list(_irls_pool().map(lambda se: block_fn(*se), bounds))
+        else:
+            partials = [block_fn(s, e) for s, e in bounds]
+        W_sum = 0.0
+        stat = 0.0
+        wz_sum = 0.0
+        sx = np.zeros(p)
+        XtWX = np.zeros((p, p))
+        XtWz = np.zeros(p)
+        for pw, psx, pxx, pxz, pwz, pst in partials:
+            W_sum += pw
+            sx += psx
+            XtWX += pxx
+            XtWz += pxz
+            wz_sum += pwz
+            stat += pst
+        return W_sum, sx, XtWX, XtWz, wz_sum, stat
 
     def irls_binomial(self, coef: np.ndarray, intercept: float, cols=None):
         # hot loop: ~3 calls per lambda over the full n — one fused,
@@ -180,16 +229,8 @@ class LocalXY:
         self.passes += 1
         xs_full = self._xs()
         yb = self.y[:, 0]
-        p = coef.shape[0]
-        W_sum = 0.0
-        ll = 0.0
-        wz_sum = 0.0
-        sx = np.zeros(p)
-        XtWX = np.zeros((p, p))
-        XtWz = np.zeros(p)
-        B = self._IRLS_BLOCK
-        for s in range(0, self.n, B):
-            e = min(s + B, self.n)
+
+        def block(s, e):
             xb = xs_full[s:e] if cols is None else xs_full[s:e, cols]
             eta = xb @ coef + intercept
             if self.o is not None:
@@ -207,14 +248,13 @@ class LocalXY:
                 sw = self.w[s:e]
                 llt = llt * sw
                 w = w * sw
-            ll += float(llt.sum())
             xw = xb * w[:, None]
-            W_sum += float(w.sum())
-            sx += xw.sum(axis=0)
-            XtWX += xw.T @ xb
-            XtWz += xw.T @ z
-            wz_sum += float((w * z).sum())
-        return W_sum, sx, XtWX, XtWz, wz_sum, ll
+            return (
+                float(w.sum()), xw.sum(axis=0), xw.T @ xb, xw.T @ z,
+                float((w * z).sum()), float(llt.sum()),
+            )
+
+        return self._blocked_pass(block, coef.shape[0])
 
     def irls_poisson(self, coef: np.ndarray, intercept: float, cols=None):
         """One IRLS pass for poisson (log link): mu = exp(eta), wirls =
@@ -225,16 +265,8 @@ class LocalXY:
         self.passes += 1
         xs_full = self._xs()
         yb = self.y[:, 0]
-        p = coef.shape[0]
-        W_sum = 0.0
-        dev = 0.0
-        wz_sum = 0.0
-        sx = np.zeros(p)
-        XtWX = np.zeros((p, p))
-        XtWz = np.zeros(p)
-        B = self._IRLS_BLOCK
-        for s in range(0, self.n, B):
-            e = min(s + B, self.n)
+
+        def block(s, e):
             xb = xs_full[s:e] if cols is None else xs_full[s:e, cols]
             ybl = yb[s:e]
             eta = xb @ coef + intercept
@@ -252,14 +284,13 @@ class LocalXY:
                 sw = self.w[s:e]
                 dev_terms = dev_terms * sw
                 w = w * sw
-            dev += float(dev_terms.sum())
             xw = xb * w[:, None]
-            W_sum += float(w.sum())
-            sx += xw.sum(axis=0)
-            XtWX += xw.T @ xb
-            XtWz += xw.T @ z
-            wz_sum += float((w * z).sum())
-        return W_sum, sx, XtWX, XtWz, wz_sum, dev
+            return (
+                float(w.sum()), xw.sum(axis=0), xw.T @ xb, xw.T @ z,
+                float((w * z).sum()), float(dev_terms.sum()),
+            )
+
+        return self._blocked_pass(block, coef.shape[0])
 
     def poisson_null_intercept(self) -> float:
         """Closed-form weighted intercept-only poisson MLE with offset:
