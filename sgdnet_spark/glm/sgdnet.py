@@ -307,7 +307,7 @@ class SgdnetFit:
             npasses=self.npasses, nobs=self.nobs, feature_names=self.feature_names,
             classnames=self.classnames, response_names=self.response_names,
             intercept=self.intercept, standardize=self.standardize,
-            grouped=self.grouped,
+            offset=self.offset, grouped=self.grouped,
             has_dfmat=self.dfmat is not None,
         )
         with open(os.path.join(path, "meta.json"), "w") as fh:

@@ -40,3 +40,27 @@ def test_multinomial_roundtrip(spark, tmp_path):
     assert back.classnames == fit.classnames
     assert back.dfmat is not None
     assert np.allclose(back.a0, fit.a0)
+
+
+def test_offset_fit_roundtrip_keeps_guard(spark, tmp_path):
+    """The offset flag must survive persistence: a reloaded offset fit
+    that silently predicted without newoffset would produce wrong
+    linear predictors with no error (reference predict.sgdnet.R:381)."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(200, 2))
+    o = 0.5 * rng.normal(size=200)
+    y = 1.0 + x @ np.array([1.0, -0.5]) + o + 0.1 * rng.normal(size=200)
+    rows = [(*map(float, xi), float(oi), float(yi)) for xi, oi, yi in zip(x, o, y)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, o double, y double")
+    fit = sgdnet(df, ["x0", "x1"], "y", family="gaussian", nlambda=5,
+                 lambda_min_ratio=1e-2, offset_col="o")
+    path = str(tmp_path / "ofit")
+    fit.save(path)
+    back = SgdnetFit.load(path)
+    assert back.offset is True
+    with pytest.raises(ValueError, match="newoffset"):
+        back.predict(df, s=float(back.lambdas[-1]))
+    out = back.predict(df, s=float(back.lambdas[-1]), newoffset="o", prefix="p")
+    assert "p" in out.columns
