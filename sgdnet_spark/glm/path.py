@@ -85,6 +85,115 @@ def _unstandardize(beta_std: np.ndarray, x_mean, x_std, y_off: float, intercept:
     return b, a0
 
 
+def _penalty_options(
+    p: int,
+    x_std: np.ndarray,
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
+):
+    """Normalize glmnet-style differential-penalty options to solver vectors.
+
+    Returns ``(pf, lo, hi)``: ``pf`` is the rescaled penalty-factor vector
+    (None if uniform and nothing excluded), ``lo``/``hi`` are box limits on
+    the STANDARDIZED coefficient scale (None if unbounded). Semantics match
+    glmnet (the reference's declared compatibility target, R/sgdnet.R
+    'Relationship with glmnet'): ``penalty.factor`` is rescaled so the
+    finite factors sum to their count, ``exclude`` indices get an infinite
+    factor, and limits are per-feature on the ORIGINAL x scale and must
+    bracket zero (lower <= 0 <= upper).
+    """
+    pf = None
+    if penalty_factor is not None:
+        pf = np.asarray(penalty_factor, dtype=float).copy()
+        if pf.shape != (p,):
+            raise ValueError(f"penalty_factor must have length {p}, got {pf.shape}")
+        if np.any(np.isnan(pf)) or np.any(pf < 0):
+            raise ValueError("penalty_factor entries must be >= 0 (inf allowed = exclude)")
+    if exclude is not None and len(exclude):
+        idx = np.asarray(exclude, dtype=int)
+        if idx.min() < 0 or idx.max() >= p:
+            raise ValueError(f"exclude indices must be in [0, {p})")
+        if pf is None:
+            pf = np.ones(p)
+        pf[idx] = np.inf
+    if pf is not None:
+        finite = np.isfinite(pf)
+        tot = float(pf[finite].sum())
+        if finite.any():
+            if tot <= 0:
+                raise ValueError("at least one finite penalty_factor must be > 0")
+            pf[finite] *= finite.sum() / tot
+
+    def _limits(v, name):
+        if v is None:
+            return None
+        a = np.asarray(v, dtype=float)
+        if a.ndim == 0:
+            a = np.full(p, float(a))
+        if a.shape != (p,):
+            raise ValueError(f"{name} must be a scalar or length-{p}")
+        return a
+
+    lo = _limits(lower_limits, "lower_limits")
+    hi = _limits(upper_limits, "upper_limits")
+    if lo is not None and np.any(lo > 0):
+        raise ValueError("lower_limits must be <= 0 (beta = 0 must stay feasible)")
+    if hi is not None and np.any(hi < 0):
+        raise ValueError("upper_limits must be >= 0 (beta = 0 must stay feasible)")
+    if lo is not None and hi is not None and np.any(lo > hi):
+        raise ValueError("lower_limits must be <= upper_limits")
+    # bounds act on the standardized coefficients: b_std = b_orig * x_std
+    if lo is not None:
+        lo = lo * x_std
+    if hi is not None:
+        hi = hi * x_std
+    return pf, lo, hi
+
+
+def _lambda_max_scaled(score: np.ndarray, alpha: float, pf) -> float:
+    """lambda_max under differential penalties: the smallest lam zeroing
+    every PENALIZED coordinate — max_j score_j/pf_j over finite pf_j > 0
+    (families.h:121 LambdaMax generalized per glmnet's vp scaling)."""
+    a = max(alpha, ALPHA_FLOOR)
+    if pf is None:
+        return float(np.max(score)) / a
+    mask = np.isfinite(pf) & (pf > 0)
+    if not mask.any():
+        return float(np.max(score)) / a
+    return float(np.max(score[mask] / pf[mask])) / a
+
+
+def _fista_terms(lam: float, alpha: float, pf):
+    """Per-coordinate FISTA penalty terms: (l1_vec, l2_vec, l2_max).
+
+    l1_j = lam*alpha*pf_j rides through the soft-threshold (an infinite
+    factor pins the coordinate at exactly 0); the ridge term masks
+    infinities to 0 so the smooth gradient stays finite. Scalars when
+    the penalty is uniform (pf None)."""
+    if pf is None:
+        return lam * alpha, lam * (1.0 - alpha), lam * (1.0 - alpha)
+    fin = np.isfinite(pf)
+    pfm = np.where(fin, pf, 0.0)
+    l1 = np.where(fin, lam * alpha * pfm, np.inf)
+    l2 = lam * (1.0 - alpha) * pfm
+    return l1, l2, float(np.max(l2)) if l2.size else 0.0
+
+
+def _penalty_value(beta: np.ndarray, lam: float, alpha: float, pf) -> float:
+    """Objective penalty term with per-coordinate factors (excluded
+    coordinates contribute 0: their coefficient is identically 0)."""
+    w = np.ones(beta.shape[0]) if pf is None else np.where(np.isfinite(pf), pf, 0.0)
+    if beta.ndim == 1:
+        l1 = float(w @ np.abs(beta))
+        l2 = float(w @ (beta * beta))
+    else:
+        l1 = float(w @ np.linalg.norm(beta, axis=1))
+        l2 = float(w @ (beta * beta).sum(axis=1))
+    return lam * (alpha * l1 + (1.0 - alpha) / 2.0 * l2)
+
+
 def gaussian_path(
     provider,
     alpha: float,
@@ -96,6 +205,10 @@ def gaussian_path(
     thresh: float = 1e-7,
     maxit: int = 1000,
     mom=None,
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ) -> PathResult:
     mom = mom or provider.moments()
     n = mom.n
@@ -109,12 +222,16 @@ def gaussian_path(
     else:
         y_var = float(mom.sum_yy[0] / n)
     nulldev = y_var * n
+    p = len(b)
+    pf, lo, hi = _penalty_options(p, x_std, penalty_factor, exclude, lower_limits, upper_limits)
 
-    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lambda_max = _lambda_max_scaled(np.abs(b), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
-    p = len(b)
 
+    # the ridge closed form only covers the unconstrained uniform-or-finite-
+    # factor case; excluded features or box limits go through CD instead
+    ridge_closed = alpha == 0.0 and lo is None and hi is None and (pf is None or bool(np.isfinite(pf).all()))
     beta = np.zeros(p)
     out_beta = np.zeros((p, nl))
     out_a0 = np.zeros(nl)
@@ -123,18 +240,20 @@ def gaussian_path(
     losses: list = []
     npasses = 0
     for i, lam in enumerate(lam_path):
-        if alpha == 0.0:
-            # ridge: (C + lam I) beta = b has a closed form — solve it
-            # directly (exact, and the basis of the DuckDB-checkable
+        if ridge_closed:
+            # ridge: (C + lam diag(pf)) beta = b has a closed form — solve
+            # it directly (exact, and the basis of the DuckDB-checkable
             # oracle queries; reference tests/testthat/test-gaussian.R:33
             # does the same cross-check against glmnet's ridge).
-            beta = np.linalg.solve(C + lam * np.eye(p), b)
+            d = lam * (np.eye(p) if pf is None else np.diag(pf))
+            beta = np.linalg.solve(C + d, b)
             its = 1
         else:
-            beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit)
+            beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit,
+                                     pf=pf, lo=lo, hi=hi)
         npasses += its
         rss_n = y_var - 2.0 * float(b @ beta) + float(beta @ C @ beta)
-        pen = lam * (alpha * float(np.abs(beta).sum()) + (1 - alpha) / 2 * float(beta @ beta))
+        pen = _penalty_value(beta, lam, alpha, pf)
         losses.append([0.5 * rss_n + pen])
         out_dr[i] = 1.0 - rss_n * n / nulldev if nulldev > 0 else 0.0
         ob, oa0 = _unstandardize(beta, x_mean, x_std, y_mean, intercept)
@@ -159,6 +278,8 @@ def mgaussian_path(
     thresh: float = 1e-7,
     maxit: int = 1000,
     mom=None,
+    penalty_factor=None,
+    exclude=None,
 ) -> PathResult:
     mom = mom or provider.moments()
     n = mom.n
@@ -173,12 +294,13 @@ def mgaussian_path(
     if standardize_response:
         y_scale = np.where(mom.y_std() > 0, mom.y_std(), 1.0)
     Bs = B / y_scale[None, :]
+    p = Bs.shape[0]
+    pf, _, _ = _penalty_options(p, x_std, penalty_factor, exclude)
 
-    # group lambda_max: smallest lam with all row-groups zero
-    lambda_max = float(np.max(np.linalg.norm(Bs, axis=1))) / max(alpha, ALPHA_FLOOR)
+    # group lambda_max: smallest lam with all PENALIZED row-groups zero
+    lambda_max = _lambda_max_scaled(np.linalg.norm(Bs, axis=1), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
-    p = Bs.shape[0]
 
     beta = np.zeros((p, k))
     out_beta = np.zeros((k, p, nl))
@@ -189,7 +311,7 @@ def mgaussian_path(
     npasses = 0
     yv_scaled = y_var / (y_scale**2)
     for i, lam in enumerate(lam_path):
-        beta, its = group_cd_gram(C, Bs, lam, alpha, beta, tol=thresh, maxit=maxit)
+        beta, its = group_cd_gram(C, Bs, lam, alpha, beta, tol=thresh, maxit=maxit, pf=pf)
         npasses += its
         # per-response RSS/n on the scaled problem, unscaled back to y units
         rss_c = yv_scaled - 2.0 * np.einsum("pc,pc->c", Bs, beta) + np.einsum("pc,pq,qc->c", beta, C, beta)
@@ -218,6 +340,10 @@ def gaussian_path_fista(
     thresh: float = 1e-6,
     maxit: int = 200,
     mom=None,
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ) -> PathResult:
     """Wide-p gaussian path: accelerated proximal gradient (FISTA) with
     one distributed gradient pass per iteration — O(p) memory, never a
@@ -258,8 +384,10 @@ def gaussian_path_fista(
         L = nrm
         v = cv / nrm
     L *= 1.05  # safety margin over the power-iteration estimate
+    pf, lo, hi = _penalty_options(p, x_std, penalty_factor, exclude, lower_limits, upper_limits)
+    boxed = lo is not None or hi is not None
 
-    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lambda_max = _lambda_max_scaled(np.abs(b), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
@@ -268,22 +396,27 @@ def gaussian_path_fista(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
-    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    pf_zero = pf is not None and bool(np.any(pf == 0))
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     rssn_last = y_var
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = y_mean
             continue
-        step = 1.0 / (L + lam * (1 - alpha))
+        l1v, l2v, l2max = _fista_terms(lam, alpha, pf)
+        step = 1.0 / (L + l2max)
         z = beta.copy()
         t = 1.0
         prev = beta.copy()
         for _ in range(maxit):
             g, rssn_last = grad_at(z)
-            cand = z - step * (g + lam * (1 - alpha) * z)
+            cand = z - step * (g + l2v * z)
             from sgdnet_spark.glm.solvers import soft_threshold
 
-            new = soft_threshold(cand, step * lam * alpha)
+            new = soft_threshold(cand, step * l1v)
+            if boxed:
+                new = np.clip(new, lo if lo is not None else -np.inf,
+                              hi if hi is not None else np.inf)
             t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
             z = new + (t - 1.0) / t_new * (new - prev)
             delta = float(np.max(np.abs(new - prev)))
@@ -333,6 +466,10 @@ def binomial_path_fista(
     thresh: float = 1e-7,
     maxit: int = 500,
     mom=None,
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ) -> PathResult:
     """Wide-p / sparse logistic elastic-net path: accelerated proximal
     gradient with one distributed gradient pass per iteration — O(p)
@@ -375,9 +512,11 @@ def binomial_path_fista(
         b = -g0
     nulldev = -2.0 * ll_null
     L = max(1.0, _power_iter_L(provider, p)) / 4.0
+    pf, lo, hi = _penalty_options(p, x_std, penalty_factor, exclude, lower_limits, upper_limits)
+    boxed = lo is not None or hi is not None
 
     # binomial lambda_max: gradient of the NULL model (families.h:198)
-    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lambda_max = _lambda_max_scaled(np.abs(b), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
@@ -386,20 +525,25 @@ def binomial_path_fista(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
-    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    pf_zero = pf is not None and bool(np.any(pf == 0))
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     ll = ll_null
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0 if intercept else 0.0
             continue
-        step = 1.0 / (L + lam * (1 - alpha))
+        l1v, l2v, l2max = _fista_terms(lam, alpha, pf)
+        step = 1.0 / (L + l2max)
         z, zb = coef.copy(), b0
         t = 1.0
         prev, prevb = coef.copy(), b0
         for _ in range(maxit):
             g, gb, ll = provider.grad_binomial(z, zb)
-            cand = z - step * (g + lam * (1 - alpha) * z)
-            new = soft_threshold(cand, step * lam * alpha)
+            cand = z - step * (g + l2v * z)
+            new = soft_threshold(cand, step * l1v)
+            if boxed:
+                new = np.clip(new, lo if lo is not None else -np.inf,
+                              hi if hi is not None else np.inf)
             newb = zb - step * gb if intercept else 0.0
             t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
             z = new + (t - 1.0) / t_new * (new - prev)
@@ -435,6 +579,8 @@ def multinomial_path_fista(
     maxit: int = 500,
     mom=None,
     grouped: bool = False,
+    penalty_factor=None,
+    exclude=None,
 ) -> PathResult:
     """Wide-p / sparse softmax elastic-net path — k×p proximal-gradient
     twin of binomial_path_fista (elementwise soft-threshold per class,
@@ -478,12 +624,13 @@ def multinomial_path_fista(
     # 1/2 is the safe multiclass bound)
     L = max(1.0, _power_iter_L(provider, p)) / 2.0
 
+    pf, _, _ = _penalty_options(p, x_std, penalty_factor, exclude)
     # grouped: all-zero iff every row's null-gradient 2-norm is within
-    # the group threshold, so lambda_max = max_j ||B_j.||_2 / alpha
+    # the group threshold, so lambda_max = max_j ||B_j.||_2 / (alpha pf_j)
     if grouped:
-        lambda_max = float(np.max(np.sqrt((B * B).sum(axis=1)))) / max(alpha, ALPHA_FLOOR)
+        lambda_max = _lambda_max_scaled(np.sqrt((B * B).sum(axis=1)), alpha, pf)
     else:
-        lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
+        lambda_max = _lambda_max_scaled(np.max(np.abs(B), axis=1), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
@@ -493,27 +640,32 @@ def multinomial_path_fista(
     out_df = np.zeros(nl, dtype=int)
     out_dfmat = np.zeros((k, nl), dtype=int)
     out_dr = np.zeros(nl)
-    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    pf_zero = pf is not None and bool(np.any(pf == 0))
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[:, i] = b0s - b0s.mean() if intercept else 0.0
             continue
-        step = 1.0 / (L + lam * (1 - alpha))
+        l1v, l2v, l2max = _fista_terms(lam, alpha, pf)
+        step = 1.0 / (L + l2max)
         z, zb = coefs.copy(), b0s.copy()
         t = 1.0
         prev, prevb = coefs.copy(), b0s.copy()
         ll = ll_null
         for _ in range(maxit):
             G, gb, ll = provider.grad_multinomial(z, zb)
-            cand = z - step * (G + lam * (1 - alpha) * z)
+            # z is (k, p); per-feature penalty vectors broadcast over rows
+            l2row = l2v if np.isscalar(l2v) else l2v[None, :]
+            cand = z - step * (G + l2row * z)
             if grouped:
                 # row-wise group soft-threshold over the k classes of
-                # each feature (cand is (k, p); groups are columns)
+                # each feature (cand is (k, p); groups are columns);
+                # an infinite factor drives scl to 0 = excluded
                 nrm = np.sqrt((cand * cand).sum(axis=0))
-                scl = np.maximum(0.0, 1.0 - step * lam * alpha / np.maximum(nrm, 1e-300))
-                new = cand * scl[None, :]
+                scl = np.maximum(0.0, 1.0 - step * l1v / np.maximum(nrm, 1e-300))
+                new = cand * scl
             else:
-                new = soft_threshold(cand, step * lam * alpha)
+                new = soft_threshold(cand, step * (l1v if np.isscalar(l1v) else l1v[None, :]))
             newb = zb - step * gb if intercept else np.zeros(k)
             t_new = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
             z = new + (t - 1.0) / t_new * (new - prev)
@@ -541,12 +693,19 @@ def multinomial_path_fista(
     )
 
 
-def _strong_set(g: np.ndarray, coef: np.ndarray, lam: float, lam_prev: float, alpha: float):
+def _strong_set(g: np.ndarray, coef: np.ndarray, lam: float, lam_prev: float, alpha: float,
+                pf=None):
     """Sequential strong rule (Tibshirani et al. 2012): keep j with
-    |grad_j| >= alpha*(2*lam - lam_prev), plus the current support. The
-    rule is a heuristic — callers MUST re-check KKT on the full gradient
-    and re-solve with any violators added (exactness is restored there)."""
+    |grad_j| >= pf_j*alpha*(2*lam - lam_prev), plus the current support
+    (pf_j = 1 uniform; 0 = always kept, inf = excluded). The rule is a
+    heuristic — callers MUST re-check KKT on the full gradient and
+    re-solve with any violators added (exactness is restored there)."""
     thr = alpha * (2.0 * lam - lam_prev)
+    if pf is not None:
+        fin = np.isfinite(pf)
+        # inf factor -> inf threshold -> never enters (masked multiply so
+        # a non-positive thr can't produce nan/-inf against an inf factor)
+        thr = np.where(fin, thr * np.where(fin, pf, 0.0), np.inf)
     S = np.union1d(np.where(np.abs(g) >= thr)[0], np.nonzero(coef)[0]).astype(np.intp)
     if len(S) == 0:
         # degenerate guard: keep the steepest coordinate so the restricted
@@ -568,6 +727,10 @@ def binomial_path(
     outer_maxit: int = 30,
     mom=None,
     screen: bool | str = "auto",
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ) -> PathResult:
     mom = mom or provider.moments()
     n = mom.n
@@ -576,6 +739,7 @@ def binomial_path(
     b = B[:, 0]
     provider.set_standardization(x_mean, 1.0 / x_std)
     p = len(b)
+    pf, lo, hi = _penalty_options(p, x_std, penalty_factor, exclude, lower_limits, upper_limits)
 
     has_off = getattr(provider, "has_offset", False)
     prev_stats = None  # last IRLS quadratic, anchored at the previous solution
@@ -608,7 +772,7 @@ def binomial_path(
 
     nulldev = -2.0 * ll_null
 
-    lambda_max = float(np.max(np.abs(b))) / max(alpha, ALPHA_FLOOR)
+    lambda_max = _lambda_max_scaled(np.abs(b), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
@@ -622,14 +786,23 @@ def binomial_path(
     # equality) — fit the null model directly rather than letting FP noise
     # in the recomputed gradient fake a nonzero coef. For ridge (alpha=0)
     # nothing is exactly zeroed, so the first point is a real fit
-    # (reference R/sgdnet.R 'Relationship with glmnet').
-    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    # (reference R/sgdnet.R 'Relationship with glmnet'). Unpenalized
+    # features (penalty_factor 0) are live at EVERY lambda, so the
+    # shortcut is off for them too.
+    pf_zero = pf is not None and bool(np.any(pf == 0))
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     # sequential strong-rule screening: pays once p is large enough that
     # the O(n·p²) quadratic dominates the extra O(n·p) gradient pass; the
     # KKT re-check below restores exactness, so the rule being heuristic
     # costs nothing but an occasional re-solve. Off for ridge (alpha=0:
-    # nothing is ever discarded) and for small p (goldens stay at p<=64).
-    do_screen = ((screen is True) or (screen == "auto" and p > 100)) and alpha > 0
+    # nothing is ever discarded), for small p (goldens stay at p<=64),
+    # and under box limits (a bound-active coordinate fails the plain
+    # |grad| KKT test by design — the rule would loop on it).
+    do_screen = (
+        ((screen is True) or (screen == "auto" and p > 100))
+        and alpha > 0
+        and lo is None and hi is None
+    )
     prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
@@ -650,19 +823,19 @@ def binomial_path(
         if do_screen:
             g, _, _ = provider.grad_binomial(coef, b0)
             lam_prev = lam_path[i - 1] if i > 0 else lambda_max
-            S = _strong_set(g, coef, lam, lam_prev, alpha)
+            S = _strong_set(g, coef, lam, lam_prev, alpha, pf=pf)
             _kkt = 0
             while True:
+                pf_S = pf[S] if pf is not None else None
                 cs = coef[S]
                 for _ in range(outer_maxit):
                     sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(cs, b0, cols=S)
                     lam_losses.append(
-                        -ll / n
-                        + lam * (alpha * float(np.abs(cs).sum()) + (1 - alpha) / 2 * float(cs @ cs))
+                        -ll / n + _penalty_value(cs, lam, alpha, pf_S)
                     )
                     new_cs, new_b0, _ = wls_enet_cd(
                         sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
-                        tol=thresh, maxit=maxit,
+                        tol=thresh, maxit=maxit, pf=pf_S,
                     )
                     delta = max(float(np.max(np.abs(new_cs - cs))), abs(new_b0 - b0))
                     scale = max(float(np.max(np.abs(new_cs))), abs(new_b0), 1e-12)
@@ -672,8 +845,11 @@ def binomial_path(
                 coef = np.zeros(p)
                 coef[S] = cs
                 # exactness: KKT over the FULL gradient; violators join S
+                # (per-coordinate threshold alpha*lam*pf_j; an infinite
+                # factor means the coordinate can never violate)
                 g, _, _ = provider.grad_binomial(coef, b0)
-                viol = np.setdiff1d(np.where(np.abs(g) > alpha * lam + 1e-7)[0], S)
+                kkt_thr = alpha * lam * (pf if pf is not None else 1.0) + 1e-7
+                viol = np.setdiff1d(np.where(np.abs(g) > kkt_thr)[0], S)
                 if len(viol) == 0:
                     break
                 _kkt += 1
@@ -694,17 +870,17 @@ def binomial_path(
             if prev_stats is not None:
                 coef, b0, _ = wls_enet_cd(
                     *prev_stats, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit,
+                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
                 )
             for _ in range(outer_maxit):
                 sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
                 prev_stats = (sw, swx, swxx, swxz, swz)
                 lam_losses.append(
-                    -ll / n + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
+                    -ll / n + _penalty_value(coef, lam, alpha, pf)
                 )
                 new_coef, new_b0, _ = wls_enet_cd(
                     sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit,
+                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
                 )
                 delta = max(float(np.max(np.abs(new_coef - coef)), ), abs(new_b0 - b0))
                 scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
@@ -739,6 +915,10 @@ def poisson_path(
     outer_maxit: int = 30,
     mom=None,
     screen: bool | str = "auto",
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ) -> PathResult:
     """Poisson (log link) elastic-net path — an EXTENSION of the
     reference surface (R/sgdnet.R supports gaussian/binomial/
@@ -769,7 +949,8 @@ def poisson_path(
     sw, swx, swxx, swxz, swz, dev0 = provider.irls_poisson(np.zeros(p), b0_null)
     nulldev = float(dev0)
     grad_null = (swxz - b0_null * swx) / n
-    lambda_max = float(np.max(np.abs(grad_null))) / max(alpha, ALPHA_FLOOR)
+    pf, lo, hi = _penalty_options(p, x_std, penalty_factor, exclude, lower_limits, upper_limits)
+    lambda_max = _lambda_max_scaled(np.abs(grad_null), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
@@ -780,8 +961,13 @@ def poisson_path(
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
     losses: list = []
-    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
-    do_screen = ((screen is True) or (screen == "auto" and p > 100)) and alpha > 0
+    pf_zero = pf is not None and bool(np.any(pf == 0))
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
+    do_screen = (
+        ((screen is True) or (screen == "auto" and p > 100))
+        and alpha > 0
+        and lo is None and hi is None
+    )
     prev_sol: list[tuple[float, np.ndarray, float]] = []
     prev_stats = (sw, swx, swxx, swxz, swz)
     for i, lam in enumerate(lam_path):
@@ -800,19 +986,19 @@ def poisson_path(
         if do_screen:
             g, _, _ = provider.grad_poisson(coef, b0)
             lam_prev = lam_path[i - 1] if i > 0 else lambda_max
-            S = _strong_set(g, coef, lam, lam_prev, alpha)
+            S = _strong_set(g, coef, lam, lam_prev, alpha, pf=pf)
             _kkt = 0
             while True:
+                pf_S = pf[S] if pf is not None else None
                 cs = coef[S]
                 for _ in range(outer_maxit):
                     sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(cs, b0, cols=S)
                     lam_losses.append(
-                        dev / (2.0 * n)
-                        + lam * (alpha * float(np.abs(cs).sum()) + (1 - alpha) / 2 * float(cs @ cs))
+                        dev / (2.0 * n) + _penalty_value(cs, lam, alpha, pf_S)
                     )
                     new_cs, new_b0, _ = wls_enet_cd(
                         sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
-                        tol=thresh, maxit=maxit,
+                        tol=thresh, maxit=maxit, pf=pf_S,
                     )
                     delta = max(float(np.max(np.abs(new_cs - cs))), abs(new_b0 - b0))
                     scale = max(float(np.max(np.abs(new_cs))), abs(new_b0), 1e-12)
@@ -822,7 +1008,8 @@ def poisson_path(
                 coef = np.zeros(p)
                 coef[S] = cs
                 g, _, _ = provider.grad_poisson(coef, b0)
-                viol = np.setdiff1d(np.where(np.abs(g) > alpha * lam + 1e-7)[0], S)
+                kkt_thr = alpha * lam * (pf if pf is not None else 1.0) + 1e-7
+                viol = np.setdiff1d(np.where(np.abs(g) > kkt_thr)[0], S)
                 if len(viol) == 0:
                     break
                 _kkt += 1
@@ -837,18 +1024,17 @@ def poisson_path(
             if prev_stats is not None:
                 coef, b0, _ = wls_enet_cd(
                     *prev_stats, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit,
+                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
                 )
             for _ in range(outer_maxit):
                 sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(coef, b0)
                 prev_stats = (sw, swx, swxx, swxz, swz)
                 lam_losses.append(
-                    dev / (2.0 * n)
-                    + lam * (alpha * float(np.abs(coef).sum()) + (1 - alpha) / 2 * float(coef @ coef))
+                    dev / (2.0 * n) + _penalty_value(coef, lam, alpha, pf)
                 )
                 new_coef, new_b0, _ = wls_enet_cd(
                     sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit,
+                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
                 )
                 delta = max(float(np.max(np.abs(new_coef - coef))) if p else 0.0, abs(new_b0 - b0))
                 scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
@@ -908,6 +1094,8 @@ def multinomial_path(
     maxit: int = 1000,
     outer_maxit: int = 20,
     mom=None,
+    penalty_factor=None,
+    exclude=None,
 ) -> PathResult:
     """Softmax regression path; y arrives one-hot (n, k)."""
     mom = mom or provider.moments()
@@ -919,10 +1107,11 @@ def multinomial_path(
 
     pri = mom.y_mean  # class priors
     p = B.shape[0]
+    pf, _, _ = _penalty_options(p, x_std, penalty_factor, exclude)
     has_off = getattr(provider, "has_offset", False)
     if not has_off:
         ll_null = float(n * np.sum(pri * np.log(np.maximum(pri, 1e-300))))
-        lambda_max = float(np.max(np.abs(B))) / max(alpha, ALPHA_FLOOR)
+        lambda_max = _lambda_max_scaled(np.max(np.abs(B), axis=1), alpha, pf)
         b0s = np.log(np.maximum(pri, 1e-300)) if intercept else np.zeros(k)
         b0s = b0s - b0s.mean() if intercept else b0s
     else:
@@ -932,7 +1121,7 @@ def multinomial_path(
         # intercept-only score ΣP_c - Σy_c to zero; lambda_max and
         # nulldev then read off the SAME final gradient pass.
         b0s, ll_null, g0 = _multinomial_null_offset(provider, pri, k, p, intercept)
-        lambda_max = float(np.max(np.abs(g0))) / max(alpha, ALPHA_FLOOR)
+        lambda_max = _lambda_max_scaled(np.max(np.abs(g0), axis=0), alpha, pf)
     nulldev = -2.0 * ll_null
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
@@ -943,7 +1132,8 @@ def multinomial_path(
     out_df = np.zeros(nl, dtype=int)
     out_dfmat = np.zeros((k, nl), dtype=int)
     out_dr = np.zeros(nl)
-    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0
+    pf_zero = pf is not None and bool(np.any(pf == 0))
+    auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     prev_sol: list[tuple[float, np.ndarray, np.ndarray]] = []
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
@@ -972,7 +1162,7 @@ def multinomial_path(
                 sw, swx, swxx, swxz, swz = stats[c]
                 new_coef, new_b0, _ = wls_enet_cd(
                     sw, swx, swxx, swxz, swz, n, lam, alpha, coefs[c], float(b0s[c]),
-                    intercept, tol=thresh, maxit=maxit,
+                    intercept, tol=thresh, maxit=maxit, pf=pf,
                 )
                 max_delta = max(max_delta, float(np.max(np.abs(new_coef - coefs[c]))), abs(new_b0 - b0s[c]))
                 max_scale = max(max_scale, float(np.max(np.abs(new_coef))), abs(new_b0))

@@ -492,6 +492,10 @@ def sgdnet(
     weights_col: str | None = None,
     offset_col: str | None = None,
     type_multinomial: str = "ungrouped",
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ) -> SgdnetFit:
     """Fit an elastic-net GLM path on a Spark DataFrame.
 
@@ -520,6 +524,16 @@ def sgdnet(
     over each feature's k class coefficients, so features are selected
     for all classes jointly (glmnet type.multinomial semantics); the
     fit's ``grouped`` field records it (reference sgdnet.R:155).
+
+    Differential-penalty options (glmnet semantics, the reference's
+    declared compatibility target): ``penalty_factor`` — length-p
+    non-negative per-feature penalty multipliers, internally rescaled so
+    the finite factors sum to their count (0 = never penalized, always
+    in the model; inf = excluded); ``exclude`` — feature indices forced
+    out of the model (== an infinite penalty factor); ``lower_limits`` /
+    ``upper_limits`` — scalar or length-p box constraints on the
+    coefficients (original x scale; must bracket 0), supported for
+    gaussian / binomial / poisson.
     """
     if family not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}")
@@ -540,6 +554,13 @@ def sgdnet(
     if offset_col is not None and not multi_offset and not isinstance(offset_col, str):
         raise ValueError(
             f"offset_col must be a single column name for family='{family}'"
+        )
+    has_limits = lower_limits is not None or upper_limits is not None
+    if has_limits and family in ("multinomial", "mgaussian"):
+        raise NotImplementedError(
+            "lower_limits/upper_limits are supported for gaussian, binomial "
+            "and poisson only (per-class box constraints on multivariate "
+            "families are not implemented)"
         )
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
@@ -696,6 +717,10 @@ def sgdnet(
             "multinomial": path_mod.multinomial_path_fista,
         }[family]
         fkw = {"grouped": True} if grouped_multi else {}
+        if penalty_factor is not None or exclude is not None:
+            fkw.update(penalty_factor=penalty_factor, exclude=exclude)
+        if has_limits:
+            fkw.update(lower_limits=lower_limits, upper_limits=upper_limits)
         res = fista_driver(
             provider, alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
             lambdas=lambdas, standardize=standardize, intercept=intercept,
@@ -709,6 +734,8 @@ def sgdnet(
             thresh=thresh, standardize_response=standardize_response, solver=solver,
             weights_col=weights_col, offset_col=offset_col,
             type_multinomial=type_multinomial,
+            penalty_factor=penalty_factor, exclude=exclude,
+            lower_limits=lower_limits, upper_limits=upper_limits,
         )
         return SgdnetFit(
             family=family, alpha=alpha, lambdas=res.lambdas, a0=res.a0, beta=res.beta,
@@ -750,7 +777,10 @@ def sgdnet(
         lambdas=lambdas, standardize=standardize, intercept=intercept,
         thresh=min(thresh, 1e-6) if family in ("gaussian", "mgaussian") else max(thresh * 0.1, 1e-10),
         maxit=maxit, mom=mom,
+        penalty_factor=penalty_factor, exclude=exclude,
     )
+    if family in ("gaussian", "binomial", "poisson"):
+        kwargs.update(lower_limits=lower_limits, upper_limits=upper_limits)
     if family == "gaussian":
         res = path_mod.gaussian_path(provider, **kwargs)
     elif family == "mgaussian":
@@ -771,6 +801,8 @@ def sgdnet(
         thresh=thresh, standardize_response=standardize_response, solver=solver,
         weights_col=weights_col, offset_col=offset_col,
         type_multinomial=type_multinomial,
+        penalty_factor=penalty_factor, exclude=exclude,
+        lower_limits=lower_limits, upper_limits=upper_limits,
     )
     return SgdnetFit(
         family=family,

@@ -26,6 +26,33 @@ def soft_threshold(z: np.ndarray, t: float) -> np.ndarray:
     return np.where(np.abs(z) > t * (1.0 + 1e-12), np.sign(z) * (np.abs(z) - t), 0.0)
 
 
+def _per_coord_penalty(p: int, lam: float, alpha: float, pf):
+    """Per-coordinate (l1_j, l2_j) vectors; ``pf`` is the rescaled
+    penalty-factor vector (glmnet `penalty.factor`), or None for the
+    uniform penalty. Infinite factors mark excluded coordinates."""
+    if pf is None:
+        l1 = np.full(p, lam * alpha)
+        l2 = np.full(p, lam * (1.0 - alpha))
+        skip = None
+    else:
+        skip = ~np.isfinite(pf)
+        pfm = np.where(skip, 0.0, pf)  # skipped coords never touch l1/l2
+        l1 = lam * alpha * pfm
+        l2 = lam * (1.0 - alpha) * pfm
+    return l1, l2, skip
+
+
+def _clamp(v: float, j: int, lo, hi) -> float:
+    """Box-constrain one coordinate (glmnet `lower.limits`/`upper.limits`
+    semantics: the coordinate update is the exact prox of the separable
+    box, so clamping inside CD preserves convergence)."""
+    if lo is not None and v < lo[j]:
+        v = lo[j]
+    if hi is not None and v > hi[j]:
+        v = hi[j]
+    return v
+
+
 def enet_cd_gram(
     C: np.ndarray,
     b: np.ndarray,
@@ -34,25 +61,35 @@ def enet_cd_gram(
     beta: np.ndarray,
     tol: float = 1e-7,
     maxit: int = 1000,
+    pf: np.ndarray | None = None,
+    lo: np.ndarray | None = None,
+    hi: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Minimize 1/2 b'Cb - g'b + penalty via coordinate descent.
 
     C = X'X/n (standardized), b = X'y/n. Uses residual-gradient updates
     (glmnet's "covariance updates"): each sweep is O(p^2), no data access.
+    ``pf`` scales the penalty per coordinate (inf = excluded), ``lo``/
+    ``hi`` box-constrain coordinates on the solver's (standardized) scale.
     """
     p = C.shape[0]
     beta = beta.copy()
-    l1 = lam * alpha
-    l2 = lam * (1.0 - alpha)
+    l1, l2, skip = _per_coord_penalty(p, lam, alpha, pf)
     grad = C @ beta - b  # gradient of smooth part
     diag = C.diagonal()
+    boxed = lo is not None or hi is not None
     for it in range(maxit):
         max_delta = 0.0
         max_beta = 0.0
         for j in range(p):
+            if skip is not None and skip[j]:
+                continue
             bj = beta[j]
             zj = bj * diag[j] - grad[j]  # partial residual correlation
-            new = soft_threshold(zj, l1) / (diag[j] + l2) if diag[j] + l2 > 0 else 0.0
+            den = diag[j] + l2[j]
+            new = float(soft_threshold(zj, l1[j]) / den) if den > 0 else 0.0
+            if boxed:
+                new = _clamp(new, j, lo, hi)
             d = new - bj
             if d != 0.0:
                 beta[j] = new
@@ -72,23 +109,28 @@ def group_cd_gram(
     beta: np.ndarray,
     tol: float = 1e-7,
     maxit: int = 1000,
+    pf: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Block coordinate descent for the multi-response gaussian.
 
     beta is (p, k); the penalty is the mixed L1/2 norm over rows
     (reference R/sgdnet.R mgaussian objective): group soft-threshold
         row_j <- z_j * max(0, 1 - lam*alpha/||z_j||) / (C_jj + lam(1-alpha))
+    ``pf`` scales both penalty terms of row-group j (inf = excluded).
     """
     p, k = beta.shape
     beta = beta.copy()
-    l1 = lam * alpha
-    l2 = lam * (1.0 - alpha)
+    l1v, l2v, skip = _per_coord_penalty(p, lam, alpha, pf)
     grad = C @ beta - B  # (p, k)
     diag = C.diagonal()
     for it in range(maxit):
         max_delta = 0.0
         max_beta = 0.0
         for j in range(p):
+            if skip is not None and skip[j]:
+                continue
+            l1 = l1v[j]
+            l2 = l2v[j]
             bj = beta[j].copy()
             zj = bj * diag[j] - grad[j]
             nrm = float(np.linalg.norm(zj))
@@ -127,19 +169,23 @@ def wls_enet_cd(
     fit_intercept: bool,
     tol: float = 1e-7,
     maxit: int = 200,
+    pf: np.ndarray | None = None,
+    lo: np.ndarray | None = None,
+    hi: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float, int]:
     """Solve the IRLS quadratic: min 1/(2n) Σ w (z - b0 - x'b)^2 + penalty.
 
     All inputs are weighted sums over the data (one distributed pass);
-    the solve itself is O(p^2) per sweep on the driver.
+    the solve itself is O(p^2) per sweep on the driver. ``pf``/``lo``/
+    ``hi`` as in :func:`enet_cd_gram`.
     """
     p = len(beta)
     beta = beta.copy()
-    l1 = lam * alpha
-    l2 = lam * (1.0 - alpha)
+    l1, l2, skip = _per_coord_penalty(p, lam, alpha, pf)
     Cw = sum_wxx / n
     diag = Cw.diagonal()
     bw = sum_wxz / n
+    boxed = lo is not None or hi is not None
     # gradient of smooth part wrt beta at current (beta, b0):
     grad = Cw @ beta + intercept * (sum_wx / n) - bw
     for it in range(maxit):
@@ -152,9 +198,14 @@ def wls_enet_cd(
         max_delta = 0.0
         max_beta = 0.0
         for j in range(p):
+            if skip is not None and skip[j]:
+                continue
             bj = beta[j]
             zj = bj * diag[j] - grad[j]
-            new = soft_threshold(zj, l1) / (diag[j] + l2) if diag[j] + l2 > 0 else 0.0
+            den = diag[j] + l2[j]
+            new = float(soft_threshold(zj, l1[j]) / den) if den > 0 else 0.0
+            if boxed:
+                new = _clamp(new, j, lo, hi)
             d = new - bj
             if d != 0.0:
                 beta[j] = new

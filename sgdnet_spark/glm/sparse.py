@@ -130,6 +130,10 @@ def sgdnet_sparse(
     maxit: int = 500,
     collect_max_cells: float = 3e8,
     weights_col: str | None = None,
+    penalty_factor=None,
+    exclude=None,
+    lower_limits=None,
+    upper_limits=None,
 ):
     """Elastic-net GLM path on sparse (indices, values) rows — the
     Spark-shaped counterpart of reference src/saga-sparse.h, which
@@ -217,13 +221,21 @@ def sgdnet_sparse(
             alpha=alpha, nlambda=nlambda, lambda_min_ratio=lambda_min_ratio,
             lambdas=lambdas, standardize=standardize, intercept=intercept,
             thresh=thresh, maxit=maxit, mom=mom,
+            penalty_factor=penalty_factor, exclude=exclude,
         )
-        if family == "gaussian":
-            res = path_mod.gaussian_path_fista(prov, **common)
-        elif family == "binomial":
-            res = path_mod.binomial_path_fista(prov, **common)
-        else:
+        if family == "multinomial":
+            if lower_limits is not None or upper_limits is not None:
+                raise NotImplementedError(
+                    "lower_limits/upper_limits are not supported for the "
+                    "sparse multinomial path"
+                )
             res = path_mod.multinomial_path_fista(prov, **common)
+        else:
+            common.update(lower_limits=lower_limits, upper_limits=upper_limits)
+            if family == "gaussian":
+                res = path_mod.gaussian_path_fista(prov, **common)
+            else:
+                res = path_mod.binomial_path_fista(prov, **common)
     finally:
         spark_prov.unpersist()
     return SgdnetFit(
