@@ -229,9 +229,10 @@ def gaussian_path(
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
     nl = len(lam_path)
 
-    # the ridge closed form only covers the unconstrained uniform-or-finite-
-    # factor case; excluded features or box limits go through CD instead
-    ridge_closed = alpha == 0.0 and lo is None and hi is None and (pf is None or bool(np.isfinite(pf).all()))
+    # the ridge closed form covers every unconstrained case: finite
+    # factors scale the diagonal, infinite (excluded) coordinates drop
+    # out of the system exactly; only box limits go through CD
+    ridge_closed = alpha == 0.0 and lo is None and hi is None
     beta = np.zeros(p)
     out_beta = np.zeros((p, nl))
     out_a0 = np.zeros(nl)
@@ -245,8 +246,14 @@ def gaussian_path(
             # it directly (exact, and the basis of the DuckDB-checkable
             # oracle queries; reference tests/testthat/test-gaussian.R:33
             # does the same cross-check against glmnet's ridge).
-            d = lam * (np.eye(p) if pf is None else np.diag(pf))
-            beta = np.linalg.solve(C + d, b)
+            if pf is None:
+                beta = np.linalg.solve(C + lam * np.eye(p), b)
+            else:
+                fin = np.isfinite(pf)
+                beta = np.zeros(p)
+                beta[fin] = np.linalg.solve(
+                    C[np.ix_(fin, fin)] + lam * np.diag(pf[fin]), b[fin]
+                )
             its = 1
         else:
             beta, its = enet_cd_gram(C, b, lam, alpha, beta, tol=thresh, maxit=maxit,
