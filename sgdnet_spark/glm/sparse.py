@@ -147,6 +147,10 @@ def sgdnet_sparse(
     semantics like the dense API): per-row non-negative sample weights,
     folded into the moments and every gradient pass at nnz cost.
     Offsets are not supported on the sparse path.
+
+    ``penalty_factor``/``exclude`` (round-6, glmnet semantics; see
+    sgdnet()) ride the FISTA prox per-coordinate; ``lower_limits``/
+    ``upper_limits`` box constraints apply to gaussian and binomial.
     """
     from pyspark.sql import functions as F
 

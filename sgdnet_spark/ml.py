@@ -73,6 +73,20 @@ class _SgdnetParams(HasFeaturesCol, HasLabelCol, HasPredictionCol, HasWeightCol)
     standardization = Param(Params._dummy(), "standardization",
                             "standardize features internally",
                             typeConverter=TypeConverters.toBoolean)
+    # differential penalties (glmnet penalty.factor / exclude / limits);
+    # left unset by default so nothing non-finite lands in param metadata
+    penaltyFactor = Param(Params._dummy(), "penaltyFactor",
+                          "per-feature penalty multipliers (0 = unpenalized)",
+                          typeConverter=TypeConverters.toListFloat)
+    excludeIndices = Param(Params._dummy(), "excludeIndices",
+                           "feature indices forced out of the model",
+                           typeConverter=TypeConverters.toListInt)
+    lowerLimit = Param(Params._dummy(), "lowerLimit",
+                       "scalar lower bound on every coefficient (<= 0)",
+                       typeConverter=TypeConverters.toFloat)
+    upperLimit = Param(Params._dummy(), "upperLimit",
+                       "scalar upper bound on every coefficient (>= 0)",
+                       typeConverter=TypeConverters.toFloat)
 
     def __init__(self):
         super().__init__()
@@ -88,6 +102,10 @@ class _SgdnetParams(HasFeaturesCol, HasLabelCol, HasPredictionCol, HasWeightCol)
             intercept=self.getOrDefault(self.fitIntercept),
             standardize=self.getOrDefault(self.standardization),
             weights_col=self.getWeightCol() if self.isDefined(self.weightCol) else None,
+            penalty_factor=self.getOrDefault(self.penaltyFactor) if self.isSet(self.penaltyFactor) else None,
+            exclude=self.getOrDefault(self.excludeIndices) if self.isSet(self.excludeIndices) else None,
+            lower_limits=self.getOrDefault(self.lowerLimit) if self.isSet(self.lowerLimit) else None,
+            upper_limits=self.getOrDefault(self.upperLimit) if self.isSet(self.upperLimit) else None,
         )
 
 

@@ -160,3 +160,19 @@ def test_weight_col_threads_through(spark, reg_df):
     direct = sgdnet(wdf, ["x0", "x1", "x2"], "label", family="gaussian",
                     nlambda=5, lambda_min_ratio=1e-2, weights_col="w")
     assert np.allclose(model.fit.beta, direct.beta, atol=1e-10)
+
+
+def test_penalty_options_thread_through(spark, reg_df):
+    est = SgdnetRegressor(nlambda=5, lambdaMinRatio=1e-2,
+                          featuresCol="features",
+                          excludeIndices=[2], lowerLimit=0.0)
+    dv = VectorAssembler(inputCols=["x0", "x1", "x2"], outputCol="features").transform(reg_df)
+    model = est.fit(dv)
+    assert np.all(model.fit.beta[2, :] == 0.0)   # excluded
+    assert np.all(model.fit.beta >= 0.0)         # nonneg bound
+    assert np.all(model.fit.beta[1, :] == 0.0)   # true coef -0.5 -> pinned
+    est2 = SgdnetRegressor(nlambda=5, lambdaMinRatio=1e-2,
+                           featuresCol="features",
+                           penaltyFactor=[0.0, 1.0, 1.0])
+    m2 = est2.fit(dv)
+    assert abs(m2.fit.beta[0, 0]) > 0.1          # unpenalized at lambda_max
