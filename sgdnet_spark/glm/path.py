@@ -43,6 +43,11 @@ class PathResult:
     # one list of objective values per lambda (iterative families record one
     # entry per outer IRLS step; gram families record the final objective)
     loss: list | None = None
+    # relaxed (debiased) fit: unpenalized refit on each lambda's active
+    # set (glmnet relax=TRUE); None unless requested
+    a0_relaxed: np.ndarray | None = None
+    beta_relaxed: np.ndarray | None = None
+    dev_ratio_relaxed: np.ndarray | None = None
 
 
 def _standardization(mom, standardize: bool, center: bool):
@@ -209,6 +214,7 @@ def gaussian_path(
     exclude=None,
     lower_limits=None,
     upper_limits=None,
+    relax: bool = False,
 ) -> PathResult:
     mom = mom or provider.moments()
     n = mom.n
@@ -238,6 +244,10 @@ def gaussian_path(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
+    out_beta_r = np.zeros((p, nl)) if relax else None
+    out_a0_r = np.zeros(nl) if relax else None
+    out_dr_r = np.zeros(nl) if relax else None
+    relax_cache: dict = {}
     losses: list = []
     npasses = 0
     for i, lam in enumerate(lam_path):
@@ -267,9 +277,29 @@ def gaussian_path(
         out_beta[:, i] = ob
         out_a0[i] = oa0
         out_df[i] = int(np.count_nonzero(beta))
+        if relax:
+            # relaxed (debiased) fit, glmnet relax=TRUE: unpenalized OLS on
+            # this lambda's active set — closed form from the SAME Gram, no
+            # extra data pass; supports repeat along the path, so cache
+            A = tuple(np.nonzero(beta)[0])
+            rb = relax_cache.get(A)
+            if rb is None:
+                rb = np.zeros(p)
+                if A:
+                    idx = np.asarray(A, dtype=np.intp)
+                    rb[idx] = np.linalg.lstsq(
+                        C[np.ix_(idx, idx)], b[idx], rcond=None
+                    )[0]
+                relax_cache[A] = rb
+            rssr = y_var - 2.0 * float(b @ rb) + float(rb @ C @ rb)
+            out_dr_r[i] = 1.0 - rssr * n / nulldev if nulldev > 0 else 0.0
+            orb, ora0 = _unstandardize(rb, x_mean, x_std, y_mean, intercept)
+            out_beta_r[:, i] = orb
+            out_a0_r[i] = ora0
     return PathResult(
         "gaussian", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
         getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
+        a0_relaxed=out_a0_r, beta_relaxed=out_beta_r, dev_ratio_relaxed=out_dr_r,
     )
 
 
@@ -738,6 +768,7 @@ def binomial_path(
     exclude=None,
     lower_limits=None,
     upper_limits=None,
+    relax: bool = False,
 ) -> PathResult:
     mom = mom or provider.moments()
     n = mom.n
@@ -788,6 +819,41 @@ def binomial_path(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
+    out_beta_r = np.zeros((p, nl)) if relax else None
+    out_a0_r = np.zeros(nl) if relax else None
+    out_dr_r = np.zeros(nl) if relax else None
+    relax_cache: dict = {}
+
+    def _relax_refit(coef_pen: np.ndarray, b0_pen: float):
+        """Unpenalized IRLS restricted to the active set (glmnet
+        relax=TRUE), warm-started from the penalized solution; supports
+        repeat along the path, so refits are cached by support."""
+        A = tuple(np.nonzero(coef_pen)[0])
+        hit = relax_cache.get(A)
+        if hit is None:
+            idx = np.asarray(A, dtype=np.intp)
+            cs = coef_pen[idx]
+            rb0 = b0_pen
+            llr = ll_null
+            for _ in range(outer_maxit):
+                sw_, swx_, swxx_, swxz_, swz_, llr = provider.irls_binomial(cs, rb0, cols=idx)
+                new_cs, new_b0, _ = wls_enet_cd(
+                    sw_, swx_, swxx_, swxz_, swz_, n, 0.0, 0.0, cs, rb0, intercept,
+                    tol=thresh, maxit=maxit,
+                )
+                delta = max(float(np.max(np.abs(new_cs - cs))) if len(idx) else 0.0,
+                            abs(new_b0 - rb0))
+                scale = max(float(np.max(np.abs(new_cs))) if len(idx) else 0.0,
+                            abs(new_b0), 1e-12)
+                cs, rb0 = new_cs, new_b0
+                if delta <= max(thresh, 1e-6) * scale:
+                    break
+            full = np.zeros(p)
+            full[idx] = cs
+            hit = (full, float(rb0), float(llr))
+            relax_cache[A] = hit
+        return hit
+
     losses: list = []
     # at lambda_max every coefficient is zero by construction (KKT with
     # equality) — fit the null model directly rather than letting FP noise
@@ -814,6 +880,8 @@ def binomial_path(
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0
+            if relax:
+                out_a0_r[i] = b0  # empty support: relaxed fit IS the null model
             losses.append([-ll_null / n])
             continue
         # secant warm-start: extrapolate the solution curve from the two
@@ -903,9 +971,16 @@ def binomial_path(
         out_beta[:, i] = ob
         out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
         out_df[i] = int(np.count_nonzero(coef))
+        if relax:
+            rfull, rb0, llr = _relax_refit(coef, b0)
+            out_dr_r[i] = 1.0 - (-2.0 * llr) / nulldev if nulldev > 0 else 0.0
+            orb, _ = _unstandardize(rfull, x_mean, x_std, 0.0, intercept)
+            out_beta_r[:, i] = orb
+            out_a0_r[i] = rb0 - float(x_mean @ orb) if intercept else 0.0
     return PathResult(
         "binomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
         getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
+        a0_relaxed=out_a0_r, beta_relaxed=out_beta_r, dev_ratio_relaxed=out_dr_r,
     )
 
 
@@ -926,6 +1001,7 @@ def poisson_path(
     exclude=None,
     lower_limits=None,
     upper_limits=None,
+    relax: bool = False,
 ) -> PathResult:
     """Poisson (log link) elastic-net path — an EXTENSION of the
     reference surface (R/sgdnet.R supports gaussian/binomial/
@@ -967,6 +1043,39 @@ def poisson_path(
     out_a0 = np.zeros(nl)
     out_df = np.zeros(nl, dtype=int)
     out_dr = np.zeros(nl)
+    out_beta_r = np.zeros((p, nl)) if relax else None
+    out_a0_r = np.zeros(nl) if relax else None
+    out_dr_r = np.zeros(nl) if relax else None
+    relax_cache: dict = {}
+
+    def _relax_refit(coef_pen: np.ndarray, b0_pen: float):
+        """As in binomial_path: cached unpenalized restricted IRLS."""
+        A = tuple(np.nonzero(coef_pen)[0])
+        hit = relax_cache.get(A)
+        if hit is None:
+            idx = np.asarray(A, dtype=np.intp)
+            cs = coef_pen[idx]
+            rb0 = b0_pen
+            devr_ = nulldev
+            for _ in range(outer_maxit):
+                sw_, swx_, swxx_, swxz_, swz_, devr_ = provider.irls_poisson(cs, rb0, cols=idx)
+                new_cs, new_b0, _ = wls_enet_cd(
+                    sw_, swx_, swxx_, swxz_, swz_, n, 0.0, 0.0, cs, rb0, intercept,
+                    tol=thresh, maxit=maxit,
+                )
+                delta = max(float(np.max(np.abs(new_cs - cs))) if len(idx) else 0.0,
+                            abs(new_b0 - rb0))
+                scale = max(float(np.max(np.abs(new_cs))) if len(idx) else 0.0,
+                            abs(new_b0), 1e-12)
+                cs, rb0 = new_cs, new_b0
+                if delta <= max(thresh, 1e-6) * scale:
+                    break
+            full = np.zeros(p)
+            full[idx] = cs
+            hit = (full, float(rb0), float(devr_))
+            relax_cache[A] = hit
+        return hit
+
     losses: list = []
     pf_zero = pf is not None and bool(np.any(pf == 0))
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
@@ -980,6 +1089,8 @@ def poisson_path(
     for i, lam in enumerate(lam_path):
         if auto_path and i == 0:
             out_a0[i] = b0_null
+            if relax:
+                out_a0_r[i] = b0_null  # empty support: relaxed == null model
             losses.append([nulldev / (2.0 * n)])
             continue
         if len(prev_sol) >= 2:
@@ -1057,9 +1168,16 @@ def poisson_path(
         out_beta[:, i] = ob
         out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
         out_df[i] = int(np.count_nonzero(coef))
+        if relax:
+            rfull, rb0, devr_ = _relax_refit(coef, b0)
+            out_dr_r[i] = 1.0 - devr_ / nulldev if nulldev > 0 else 0.0
+            orb, _ = _unstandardize(rfull, x_mean, x_std, 0.0, intercept)
+            out_beta_r[:, i] = orb
+            out_a0_r[i] = rb0 - float(x_mean @ orb) if intercept else 0.0
     return PathResult(
         "poisson", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
         getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
+        a0_relaxed=out_a0_r, beta_relaxed=out_beta_r, dev_ratio_relaxed=out_dr_r,
     )
 
 

@@ -63,6 +63,11 @@ class SgdnetFit:
     standardize: bool = True
     offset: bool = False  # True when fit with offset_col (predict then needs newoffset)
     grouped: bool = False  # True when fit with type_multinomial='grouped' (reference sgdnet.R:155 `grouped`)
+    # relaxed (debiased) companion path, glmnet relax=TRUE: unpenalized
+    # refit on each lambda's active set; coef()/predict() blend with gamma
+    a0_relaxed: np.ndarray | None = None
+    beta_relaxed: np.ndarray | None = None
+    dev_ratio_relaxed: np.ndarray | None = None
     _train: dict | None = None  # inputs retained for exact refits (update())
     diagnostics: dict | None = None  # {'loss': [...]} as reference sgdnet.debug
 
@@ -92,12 +97,29 @@ class SgdnetFit:
         frac = np.where(denom > 0, (s - lam[right]) / np.where(denom > 0, denom, 1.0), 1.0)
         return np.stack([left, right]), frac
 
-    def coef(self, s=None) -> np.ndarray:
-        """Coefficient matrix with intercept row(s) first; interpolated at s."""
+    def _full_coef(self, relaxed: bool = False) -> np.ndarray:
+        a0 = self.a0_relaxed if relaxed else self.a0
+        beta = self.beta_relaxed if relaxed else self.beta
         if self.family in ("gaussian", "binomial", "poisson"):
-            full = np.vstack([self.a0[None, :], self.beta])  # (p+1, nl)
-        else:
-            full = np.concatenate([self.a0[:, None, :], self.beta], axis=1)  # (k, p+1, nl)
+            return np.vstack([a0[None, :], beta])  # (p+1, nl)
+        return np.concatenate([a0[:, None, :], beta], axis=1)  # (k, p+1, nl)
+
+    def coef(self, s=None, gamma: float | None = None) -> np.ndarray:
+        """Coefficient matrix with intercept row(s) first; interpolated at s.
+
+        ``gamma`` blends the penalized path with its relaxed (debiased)
+        companion — glmnet relax=TRUE semantics: gamma=1 is the original
+        penalized fit, gamma=0 the unpenalized refit on each lambda's
+        active set. Requires a fit made with relax=True.
+        """
+        full = self._full_coef()
+        if gamma is not None:
+            if self.beta_relaxed is None:
+                raise ValueError("gamma requires a fit made with relax=True")
+            g = float(gamma)
+            if not 0.0 <= g <= 1.0:
+                raise ValueError("gamma must be in [0, 1]")
+            full = g * full + (1.0 - g) * self._full_coef(relaxed=True)
         if s is None:
             return full
         (left, right), frac = self._interp(s)
@@ -128,6 +150,7 @@ class SgdnetFit:
         prefix: str = "pred",
         exact: bool = False,
         newoffset: str | None = None,
+        gamma: float | None = None,
     ) -> DataFrame:
         """Append prediction columns to ``newx`` (one per lambda requested).
 
@@ -145,7 +168,7 @@ class SgdnetFit:
         n×k form.
         """
         if type == "coefficients":
-            return self.coef(s)
+            return self.coef(s, gamma=gamma)
         if type == "nonzero":
             return self.nonzero(s)
         if self.offset and newoffset is None:
@@ -171,10 +194,10 @@ class SgdnetFit:
             if not lam_set <= set(self.lambdas):
                 return self.update(sorted(lam_set | set(self.lambdas), reverse=True)).predict(
                     newx, s=s, type=type, feature_cols=feature_cols, prefix=prefix,
-                    newoffset=newoffset,
+                    newoffset=newoffset, gamma=gamma,
                 )
         cols = self._check_cols(feature_cols)
-        cf = self.coef(s) if s is not None else self.coef()
+        cf = self.coef(s, gamma=gamma) if s is not None else self.coef(gamma=gamma)
         multi = self.family in ("multinomial", "mgaussian")
         nl = cf.shape[-1]
 
@@ -496,6 +519,7 @@ def sgdnet(
     exclude=None,
     lower_limits=None,
     upper_limits=None,
+    relax: bool = False,
 ) -> SgdnetFit:
     """Fit an elastic-net GLM path on a Spark DataFrame.
 
@@ -534,6 +558,14 @@ def sgdnet(
     ``upper_limits`` — scalar or length-p box constraints on the
     coefficients (original x scale; must bracket 0), supported for
     gaussian / binomial / poisson.
+
+    ``relax=True`` (glmnet relax semantics) additionally computes the
+    relaxed (debiased) companion path — an UNPENALIZED refit on each
+    lambda's active set (closed-form OLS on the Gram for gaussian;
+    cached restricted IRLS for binomial/poisson) — exposed as
+    ``a0_relaxed``/``beta_relaxed``/``dev_ratio_relaxed`` and blended by
+    ``coef(s, gamma=)`` / ``predict(gamma=)`` (gamma=1 penalized,
+    gamma=0 fully relaxed).
     """
     if family not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}")
@@ -561,6 +593,10 @@ def sgdnet(
             "lower_limits/upper_limits are supported for gaussian, binomial "
             "and poisson only (per-class box constraints on multivariate "
             "families are not implemented)"
+        )
+    if relax and family in ("multinomial", "mgaussian"):
+        raise NotImplementedError(
+            "relax=True is supported for gaussian, binomial and poisson"
         )
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
@@ -700,6 +736,12 @@ def sgdnet(
         solver == "fista" or (solver in ("auto", "spark") and p > 2000) or grouped_multi
     )
     if use_fista:
+        if relax:
+            raise NotImplementedError(
+                "relax=True is not supported on the wide-p FISTA path "
+                "(the active-set refit needs the Gram-based drivers); "
+                "use solver='auto' with p <= 2000"
+            )
         provider.cache()
         mom = provider.moments_diag()
         n = mom.n
@@ -780,7 +822,7 @@ def sgdnet(
         penalty_factor=penalty_factor, exclude=exclude,
     )
     if family in ("gaussian", "binomial", "poisson"):
-        kwargs.update(lower_limits=lower_limits, upper_limits=upper_limits)
+        kwargs.update(lower_limits=lower_limits, upper_limits=upper_limits, relax=relax)
     if family == "gaussian":
         res = path_mod.gaussian_path(provider, **kwargs)
     elif family == "mgaussian":
@@ -803,6 +845,7 @@ def sgdnet(
         type_multinomial=type_multinomial,
         penalty_factor=penalty_factor, exclude=exclude,
         lower_limits=lower_limits, upper_limits=upper_limits,
+        relax=relax,
     )
     return SgdnetFit(
         family=family,
@@ -822,6 +865,9 @@ def sgdnet(
         intercept=intercept,
         standardize=standardize,
         offset=offset_col is not None,
+        a0_relaxed=res.a0_relaxed,
+        beta_relaxed=res.beta_relaxed,
+        dev_ratio_relaxed=res.dev_ratio_relaxed,
         _train=train,
         diagnostics={"loss": res.loss} if res.loss is not None else None,
     )

@@ -1,0 +1,129 @@
+"""Relaxed (debiased) fits — glmnet `relax=TRUE` semantics, an extension
+beyond the reference surface: each lambda's active set gets an
+UNPENALIZED refit (closed-form OLS on the Gram for gaussian, cached
+restricted IRLS for binomial/poisson), and coef()/predict() blend the
+two paths with gamma (1 = penalized, 0 = fully relaxed).
+
+Oracles: direct OLS / restricted-MLE refits computed independently on
+the same data.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sgdnet_spark.glm import sgdnet
+
+FEATS = ["x0", "x1", "x2", "x3", "x4"]
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(3)
+    n = 1200
+    X = rng.normal(size=(n, 5))
+    y = 2.0 * X[:, 0] - 1.0 * X[:, 1] + 0.3 * X[:, 2] + rng.normal(scale=0.6, size=n)
+    eta = 1.2 * X[:, 0] - 0.8 * X[:, 1]
+    yb = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    yp = rng.poisson(np.exp(0.2 + 0.5 * X[:, 0] - 0.4 * X[:, 1])).astype(float)
+    pdf = pd.DataFrame(X, columns=FEATS)
+    pdf["y"] = y
+    pdf["yb"] = yb.astype(str)
+    pdf["yp"] = yp
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_gaussian_relaxed_is_ols_on_support(data):
+    df, pdf = data
+    fit = sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nlambda=8,
+                 lambda_min_ratio=1e-3, relax=True)
+    n = len(pdf)
+    for i in range(1, fit.nlambda):
+        A = np.nonzero(fit.beta[:, i])[0]
+        XA = np.column_stack([np.ones(n), pdf[FEATS].values[:, A]])
+        ols = np.linalg.lstsq(XA, pdf.y.values, rcond=None)[0]
+        assert np.allclose(fit.beta_relaxed[A, i], ols[1:], atol=1e-8), i
+        assert abs(fit.a0_relaxed[i] - ols[0]) < 1e-8
+        # off-support coordinates stay exactly zero in the relaxed path
+        mask = np.ones(5, bool)
+        mask[A] = False
+        assert np.all(fit.beta_relaxed[mask, i] == 0.0)
+
+
+def test_binomial_relaxed_is_restricted_mle(data):
+    df, pdf = data
+    fit = sgdnet(df, FEATS, "yb", family="binomial", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-2, relax=True, thresh=1e-8)
+    i = fit.nlambda - 1
+    A = np.nonzero(fit.beta[:, i])[0]
+    sub = [FEATS[j] for j in A]
+    mle = sgdnet(df, sub, "yb", family="binomial", alpha=0.0, lambdas=[0.0],
+                 thresh=1e-10)
+    assert np.allclose(fit.beta_relaxed[A, i], mle.beta[:, 0], atol=1e-4)
+    assert abs(fit.a0_relaxed[i] - mle.a0[0]) < 1e-4
+    # the unpenalized refit can only improve deviance on the same support
+    assert np.all(fit.dev_ratio_relaxed[1:] >= fit.dev_ratio[1:] - 1e-8)
+
+
+def test_poisson_relaxed_is_restricted_mle(data):
+    df, _ = data
+    fit = sgdnet(df, FEATS, "yp", family="poisson", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-2, relax=True, thresh=1e-8)
+    i = fit.nlambda - 1
+    A = np.nonzero(fit.beta[:, i])[0]
+    sub = [FEATS[j] for j in A]
+    mle = sgdnet(df, sub, "yp", family="poisson", alpha=0.0, lambdas=[0.0],
+                 thresh=1e-10)
+    assert np.allclose(fit.beta_relaxed[A, i], mle.beta[:, 0], atol=1e-4)
+    assert np.all(fit.dev_ratio_relaxed[1:] >= fit.dev_ratio[1:] - 1e-8)
+
+
+def test_gamma_blending(data):
+    df, _ = data
+    fit = sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nlambda=6,
+                 relax=True)
+    full = fit.coef()
+    relaxed = fit.coef(gamma=0.0)
+    mid = fit.coef(gamma=0.25)
+    assert np.allclose(fit.coef(gamma=1.0), full)
+    assert np.allclose(mid, 0.25 * full + 0.75 * relaxed)
+    with pytest.raises(ValueError, match="gamma"):
+        fit.coef(gamma=1.5)
+
+
+def test_gamma_requires_relax(data):
+    df, _ = data
+    fit = sgdnet(df, FEATS, "y", family="gaussian", nlambda=4)
+    with pytest.raises(ValueError, match="relax=True"):
+        fit.coef(gamma=0.5)
+
+
+def test_relax_respects_exclude(data):
+    df, pdf = data
+    fit = sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-3, exclude=[2], relax=True)
+    # excluded features can never enter the support, hence never the refit
+    assert np.all(fit.beta[2, :] == 0.0)
+    assert np.all(fit.beta_relaxed[2, :] == 0.0)
+
+
+def test_relax_predict_gamma(data):
+    df, _ = data
+    fit = sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nlambda=6,
+                 relax=True)
+    s = float(fit.lambdas[-1])
+    p1 = fit.predict(df, s=s).select("pred").first()[0]
+    p0 = fit.predict(df, s=s, gamma=0.0).select("pred").first()[0]
+    cf = fit.coef(s=s, gamma=0.0)[:, 0]
+    row = df.first()
+    want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
+    assert abs(p0 - want) < 1e-8
+    assert p0 != p1  # the relaxed path differs from the penalized one here
+
+
+def test_relax_unsupported_families(data):
+    df, _ = data
+    with pytest.raises(NotImplementedError):
+        sgdnet(df, FEATS, ["y", "yp"], family="mgaussian", relax=True)
+    with pytest.raises(NotImplementedError):
+        sgdnet(df, FEATS, "y", family="gaussian", solver="fista", relax=True)
