@@ -49,6 +49,10 @@ class CvSgdnetFit:
     alpha_min: float
     lambda_min: float
     lambda_1se: float
+    # relax=True extras (glmnet cv.glmnet(relax=TRUE)): the winning blend
+    # and the per-(alpha, gamma) curve minima that chose it
+    gamma_min: float | None = None
+    cv_gamma: list | None = None
 
     def summary_frame(self, spark) -> DataFrame:
         return spark.createDataFrame(
@@ -64,7 +68,10 @@ class CvSgdnetFit:
         return s
 
     def predict(self, newx: DataFrame, s="lambda_min", **kw) -> DataFrame:
-        """reference predict.cv_sgdnet.R: s may be 'lambda_min'/'lambda_1se'."""
+        """reference predict.cv_sgdnet.R: s may be 'lambda_min'/'lambda_1se'.
+        A relax CV applies its selected gamma blend unless overridden."""
+        if self.gamma_min is not None and self.fit.beta_relaxed is not None:
+            kw.setdefault("gamma", self.gamma_min)
         return self.fit.predict(newx, s=self._resolve_s(s), **kw)
 
     def coef(self, s="lambda_min"):
@@ -240,6 +247,59 @@ def _cv_gram_fast(
     return full_fits, lam_lists, cv_raw
 
 
+def _blend_fit(fit: SgdnetFit, gamma: float) -> SgdnetFit:
+    """View of a relax fit with coefficients blended at gamma (glmnet:
+    gamma=1 penalized, gamma=0 fully relaxed) — score()/predict() then
+    evaluate the blend through the unchanged code path."""
+    from dataclasses import replace
+
+    if gamma >= 1.0 or fit.beta_relaxed is None:
+        return fit
+    return replace(
+        fit,
+        a0=gamma * fit.a0 + (1.0 - gamma) * fit.a0_relaxed,
+        beta=gamma * fit.beta + (1.0 - gamma) * fit.beta_relaxed,
+        a0_relaxed=None, beta_relaxed=None, dev_ratio_relaxed=None,
+    )
+
+
+def _summarize_cv_gamma(
+    alphas: list[float],
+    lam_lists: list[np.ndarray],
+    cv_raw_gamma: list[dict],
+    gammas: list[float],
+    full_fits: list,
+    type_measure: str,
+    family: str,
+) -> "CvSgdnetFit":
+    """Joint (alpha, gamma, lambda) selection for relax CV: the standard
+    summary/optima come from the winning gamma's curves; cv_gamma records
+    each (alpha, gamma) curve's minimum so the selection is auditable."""
+    cv_gamma: list[dict] = []
+    best: tuple[float, float] | None = None  # (error, gamma)
+    for g in gammas:
+        for a, lams, d in zip(alphas, lam_lists, cv_raw_gamma):
+            raw = d[g]
+            mean = np.nanmean(raw, axis=0)
+            sd = np.nanstd(raw, axis=0, ddof=1)
+            crit = -mean if type_measure == "auc" else mean
+            imin = int(np.argmin(crit))
+            cv_gamma.append(
+                dict(alpha=a, gamma=g, **{"lambda": float(lams[imin])},
+                     mean=float(mean[imin]), sd=float(sd[imin]))
+            )
+            if best is None or float(crit[imin]) < best[0]:
+                best = (float(crit[imin]), g)
+    g_best = best[1]
+    out = summarize_cv(
+        alphas, lam_lists, [d[g_best] for d in cv_raw_gamma], full_fits,
+        type_measure, family,
+    )
+    out.gamma_min = g_best
+    out.cv_gamma = cv_gamma
+    return out
+
+
 def cv_sgdnet(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -252,11 +312,23 @@ def cv_sgdnet(
     type_measure: str = "deviance",
     seed: int = 42,
     use_fold_moments: bool = True,
+    relax: bool = False,
+    gammas: Sequence[float] = (0.0, 0.25, 0.5, 0.75, 1.0),
     **fit_kwargs,
 ) -> CvSgdnetFit:
     if nfolds <= 2:
         raise ValueError("nfolds must be greater than 2")
     alphas = [float(a) for a in (alpha if isinstance(alpha, (list, tuple, np.ndarray)) else [alpha])]
+    if relax:
+        # glmnet cv.glmnet(relax=TRUE): every fold fit carries the relaxed
+        # companion path, and the held-out measure is evaluated at each
+        # gamma blend so (alpha, gamma, lambda) are selected jointly
+        fit_kwargs = dict(fit_kwargs, relax=True)
+        gammas = [float(g) for g in gammas]
+        if any(not 0.0 <= g <= 1.0 for g in gammas):
+            raise ValueError("gammas must lie in [0, 1]")
+    else:
+        gammas = [1.0]
 
     if foldid_col is None:
         fold_expr = F.pmod(
@@ -322,8 +394,9 @@ def cv_sgdnet(
             lam_lists = [f.lambdas for f in full_fits]
 
             cv_raw = []
+            cv_raw_gamma: list[dict] = []  # per alpha: gamma -> (nfolds, nlam)
             for a, lams in zip(alphas, lam_lists):
-                raw = np.full((nfolds, len(lams)), np.nan)
+                raws = {g: np.full((nfolds, len(lams)), np.nan) for g in gammas}
                 for j, fold in enumerate(sorted(folds)):
                     train = df.filter(F.col(foldid_col) != fold)
                     test = df.filter(F.col(foldid_col) == fold)
@@ -331,11 +404,18 @@ def cv_sgdnet(
                         train, feature_cols, label_col, family=family, alpha=a,
                         lambdas=lams, **fit_kwargs,
                     )
-                    raw[j, :] = score(
-                        fit_j, test, feature_cols, label_col, type_measure, s=lams,
-                        weights_col=score_wc, offset_col=oc,
-                    )
-                cv_raw.append(raw)
+                    for g in gammas:
+                        raws[g][j, :] = score(
+                            _blend_fit(fit_j, g), test, feature_cols, label_col,
+                            type_measure, s=lams, weights_col=score_wc, offset_col=oc,
+                        )
+                cv_raw.append(raws[gammas[-1]] if len(gammas) == 1 else None)
+                cv_raw_gamma.append(raws)
+            if len(gammas) > 1:
+                return _summarize_cv_gamma(
+                    alphas, lam_lists, cv_raw_gamma, gammas, full_fits,
+                    type_measure, family,
+                )
         finally:
             df.unpersist()
 

@@ -127,3 +127,35 @@ def test_relax_unsupported_families(data):
         sgdnet(df, FEATS, ["y", "yp"], family="mgaussian", relax=True)
     with pytest.raises(NotImplementedError):
         sgdnet(df, FEATS, "y", family="gaussian", solver="fista", relax=True)
+
+
+def test_cv_relax_selects_gamma(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
+                   nlambda=8, lambda_min_ratio=1e-3, relax=True,
+                   gammas=[0.0, 0.5, 1.0])
+    assert cv.gamma_min in (0.0, 0.5, 1.0)
+    assert len(cv.cv_gamma) == 3
+    # the winning (gamma, lambda) minimum must be the smallest curve min
+    best = min(r["mean"] for r in cv.cv_gamma)
+    chosen = [r for r in cv.cv_gamma if r["gamma"] == cv.gamma_min][0]
+    assert abs(chosen["mean"] - best) < 1e-12
+    # prediction applies the chosen blend automatically, and can be overridden
+    p_auto = cv.predict(df).select("pred").first()[0]
+    p_pen = cv.predict(df, gamma=1.0).select("pred").first()[0]
+    cf = cv.fit.coef(s=cv.lambda_min, gamma=cv.gamma_min)[:, 0]
+    row = df.first()
+    want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
+    assert abs(p_auto - want) < 1e-8
+    assert isinstance(p_pen, float)
+
+
+def test_cv_without_relax_unchanged(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
+                   nlambda=6, use_fold_moments=False)
+    assert cv.gamma_min is None and cv.cv_gamma is None
