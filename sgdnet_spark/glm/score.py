@@ -297,9 +297,12 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s,
     return np.array([row[f"m{i}"] for i in range(nl)])
 
 
-def _score_mgaussian_distributed(fit, df, cols, label_cols, type_measure, s):
+def _score_mgaussian_distributed(fit, df, cols, label_cols, type_measure, s,
+                                 offset_cols=None):
     """mgaussian deviance(=mse)/mse/mae in ONE aggregation pass —
-    per-response eta expressions, per-row sum over responses, avg."""
+    per-response eta expressions, per-row sum over responses, avg.
+    ``offset_cols`` is the n×k offset: one column per response, added to
+    its eta (required for offset fits)."""
     from sgdnet_spark.glm.sgdnet import colref
 
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
@@ -314,6 +317,8 @@ def _score_mgaussian_distributed(fit, df, cols, label_cols, type_measure, s):
             for w, name in zip(cf[c, 1:, i], cols):
                 if w != 0.0:
                     e = e + F.lit(float(w)) * colref(name).cast("double")
+            if offset_cols is not None:
+                e = e + colref(offset_cols[c]).cast("double")
             d = e - colref(names[c]).cast("double")
             term = d * d if type_measure in ("deviance", "mse") else F.abs(d)
             row_sum = term if row_sum is None else row_sum + term
@@ -358,10 +363,6 @@ def score(
             f"weighted scoring is not supported for (family={fam}, "
             f"type.measure={type_measure})"
         )
-    if offset_col is not None and fam == "mgaussian":
-        raise NotImplementedError(
-            f"offset scoring is not supported for family='{fam}'"
-        )
     if fam == "multinomial":
         if type_measure not in ("deviance", "class", "mse", "mae"):
             raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
@@ -378,8 +379,17 @@ def score(
     if fam == "mgaussian":
         if type_measure not in ("deviance", "mse", "mae"):
             raise ValueError(f"unsupported (family={fam}, type.measure={type_measure})")
+        if offset_col is not None and (
+            isinstance(offset_col, str)
+            or len(offset_col) != len(fit.response_names or [])
+        ):
+            raise ValueError(
+                "mgaussian offset_col must be a sequence of one column per "
+                f"response {fit.response_names}"
+            )
         labels = fit.response_names if label_col is None else list(label_col)
-        return _score_mgaussian_distributed(fit, df, cols, labels, type_measure, s)
+        return _score_mgaussian_distributed(fit, df, cols, labels, type_measure, s,
+                                            offset_cols=offset_col)
     if fam == "binomial" and type_measure == "auc":
         return auc_path_distributed(fit, df, cols, label_col, s=s, offset_col=offset_col)
     if type_measure not in ("deviance", "mse", "mae", "class") or (

@@ -173,14 +173,13 @@ class SgdnetFit:
             return self.nonzero(s)
         if self.offset and newoffset is None:
             raise ValueError("need 'newoffset' since offset was used in fit")
-        if self.offset and self.family == "multinomial" and (
-            isinstance(newoffset, str)
-            or len(newoffset) != (len(self.classnames) if self.classnames else 0)
-        ):
-            raise ValueError(
-                "multinomial newoffset must be a sequence of one column per "
-                f"class {self.classnames}"
-            )
+        if self.offset and self.family in ("multinomial", "mgaussian"):
+            names = self.classnames if self.family == "multinomial" else self.response_names
+            if isinstance(newoffset, str) or len(newoffset) != (len(names) if names else 0):
+                raise ValueError(
+                    f"{self.family} newoffset must be a sequence of one "
+                    f"column per target {names}"
+                )
         if (
             newoffset is not None
             and not isinstance(newoffset, str)
@@ -539,9 +538,10 @@ def sgdnet(
     non-negative sample weights, glmnet semantics (internally rescaled
     to sum to n; all families); ``offset_col`` — per-row fixed
     linear-predictor term (gaussian, binomial, poisson: one column;
-    multinomial: a sequence of one column per class, the glmnet n×k
-    offset matrix; glmnet semantics: predict() then requires
-    ``newoffset``); and ``family='poisson'`` (log link) itself.
+    multinomial / mgaussian: a sequence of one column per class resp.
+    response, the glmnet n×k offset matrix; glmnet semantics: predict()
+    then requires ``newoffset``); and ``family='poisson'`` (log link)
+    itself.
 
     ``type_multinomial='grouped'`` (another reference TODO —
     R/sgdnet.R:265 forces 'ungrouped') applies the group-lasso penalty
@@ -572,16 +572,12 @@ def sgdnet(
     if type_multinomial not in ("ungrouped", "grouped"):
         raise ValueError("type_multinomial must be 'ungrouped' or 'grouped'")
     grouped_multi = family == "multinomial" and type_multinomial == "grouped"
-    if offset_col is not None and family == "mgaussian":
-        raise NotImplementedError(
-            "offset_col is not supported for family='mgaussian' "
-            "(supported: gaussian, binomial, poisson, multinomial)"
-        )
-    multi_offset = family == "multinomial" and offset_col is not None
+    multi_offset = family in ("multinomial", "mgaussian") and offset_col is not None
     if multi_offset and isinstance(offset_col, str):
+        kind = "class" if family == "multinomial" else "response"
         raise ValueError(
-            "multinomial offsets are n×k: pass offset_col as a sequence of "
-            "one column per class (sorted class order), e.g. ['o_a', 'o_b', 'o_c']"
+            f"{family} offsets are n×k: pass offset_col as a sequence of "
+            f"one column per {kind}, e.g. ['o_a', 'o_b', 'o_c']"
         )
     if offset_col is not None and not multi_offset and not isinstance(offset_col, str):
         raise ValueError(
@@ -699,11 +695,13 @@ def sgdnet(
     else:
         label_exprs, classnames, response_names = _prepare_labels(df, label_col, family)
         if multi_offset and len(offset_expr) != len(label_exprs):
+            kind = "class" if family == "multinomial" else "response"
             raise ValueError(
-                f"multinomial offset_col needs one column per class: got "
-                f"{len(offset_expr)} columns for {len(label_exprs)} classes "
-                f"{classnames}"
+                f"{family} offset_col needs one column per {kind}: got "
+                f"{len(offset_expr)} columns for {len(label_exprs)} targets "
+                f"{classnames if family == 'multinomial' else response_names}"
             )
+        mgauss_offset = offset_expr is not None and family == "mgaussian"
         if gaussian_offset:
             # exact equivalence: a gaussian fit with offset o is the plain
             # fit on (y - o); predict() adds newoffset back to the link
@@ -711,12 +709,19 @@ def sgdnet(
                 (F.col(e) if isinstance(e, str) else e).cast("double") - offset_expr
                 for e in label_exprs
             ]
+        elif mgauss_offset:
+            # the same identity holds per response for the multi-response
+            # gaussian: each y_c shifts by its own offset column
+            label_exprs = [
+                (F.col(e) if isinstance(e, str) else e).cast("double") - oe
+                for e, oe in zip(label_exprs, offset_expr)
+            ]
 
         # assemble: only the needed columns reach the scan (column pruning)
         xy = suffstats.assemble(
             df, feature_exprs, label_exprs,
             weight_expr=weight_expr,
-            offset_expr=None if gaussian_offset else offset_expr,
+            offset_expr=None if (gaussian_offset or mgauss_offset) else offset_expr,
         )
         feature_cols = feature_names
 

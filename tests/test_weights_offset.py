@@ -211,13 +211,13 @@ def test_poisson_negative_y_rejected(data):
         sgdnet(bad, ["x1", "x2"], "yneg", family="poisson", lambdas=[0.0])
 
 
-def test_offset_rejected_for_mgaussian_and_str_multinomial(data):
+def test_offset_rejected_for_str_multivariate(data):
     df, _ = data
-    # multinomial offsets are supported as of round 6 but must be the
-    # n×k form (one column per class) — a single column is an error
+    # multivariate offsets (round 6) must be the n×k form (one column
+    # per class/response) — a single column is an error
     with pytest.raises(ValueError, match="sequence"):
         sgdnet(df, ["x1", "x2"], "yb", family="multinomial", offset_col="o")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="sequence"):
         sgdnet(df, ["x1", "x2"], ["y", "ypois"], family="mgaussian", offset_col="o")
 
 
@@ -581,3 +581,57 @@ def test_multinomial_offset_validation(multi_offset_data):
         sgdnet(df, cols, "y", family="multinomial", offset_col=["o0", "o1"])
     with pytest.raises(ValueError, match="single column"):
         sgdnet(df, cols, "x1", family="gaussian", offset_col=["o0", "o1"])
+
+
+# ---- mgaussian n×k offsets (round 6: completes offsets for every family) --
+
+
+def test_mgaussian_offset_equals_shifted_labels(data):
+    df, pdf = data
+    import pyspark.sql.functions as sf
+
+    d = df.withColumn("o2", sf.col("o") * -0.5)
+    fit = sgdnet(d, ["x1", "x2"], ["y", "ypois"], family="mgaussian",
+                 alpha=0.5, nlambda=5, offset_col=["o", "o2"])
+    d2 = d.withColumn("z1", sf.col("y") - sf.col("o")).withColumn(
+        "z2", sf.col("ypois") - sf.col("o2"))
+    ref = sgdnet(d2, ["x1", "x2"], ["z1", "z2"], family="mgaussian",
+                 alpha=0.5, nlambda=5)
+    assert np.allclose(fit.lambdas, ref.lambdas)
+    assert np.allclose(fit.beta, ref.beta, atol=1e-10)
+    assert np.allclose(fit.a0, ref.a0, atol=1e-10)
+    assert fit.offset
+
+
+def test_mgaussian_offset_predict_and_score(data):
+    df, _ = data
+    import pyspark.sql.functions as sf
+    from sgdnet_spark.glm.score import score
+
+    d = df.withColumn("o2", sf.col("o") * -0.5)
+    fit = sgdnet(d, ["x1", "x2"], ["y", "ypois"], family="mgaussian",
+                 alpha=0.0, lambdas=[0.1], offset_col=["o", "o2"])
+    with pytest.raises(ValueError, match="newoffset"):
+        fit.predict(d, s=0.1)
+    out = fit.predict(d, s=0.1, newoffset=["o", "o2"]).first()
+    cf = fit.coef(s=0.1)
+    want = cf[0, 0, 0] + cf[0, 1, 0] * out["x1"] + cf[0, 2, 0] * out["x2"] + out["o"]
+    assert abs(out["pred_y"] - want) < 1e-8
+    with pytest.raises(ValueError, match="offset"):
+        score(fit, d, ["x1", "x2"], ["y", "ypois"], "mse", s=0.1)
+    m = score(fit, d, ["x1", "x2"], ["y", "ypois"], "mse", s=0.1,
+              offset_col=["o", "o2"])
+    # same measure, computed on the shifted-label equivalent fit
+    d2 = d.withColumn("z1", sf.col("y") - sf.col("o")).withColumn(
+        "z2", sf.col("ypois") - sf.col("o2"))
+    ref = sgdnet(d2, ["x1", "x2"], ["z1", "z2"], family="mgaussian",
+                 alpha=0.0, lambdas=[0.1])
+    m_ref = score(ref, d2, ["x1", "x2"], ["z1", "z2"], "mse", s=0.1)
+    assert np.allclose(m, m_ref, atol=1e-10)
+
+
+def test_mgaussian_offset_requires_sequence(data):
+    df, _ = data
+    with pytest.raises(ValueError, match="sequence"):
+        sgdnet(df, ["x1", "x2"], ["y", "ypois"], family="mgaussian",
+               offset_col="o")
