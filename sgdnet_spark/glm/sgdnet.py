@@ -318,12 +318,17 @@ class SgdnetFit:
         import os
 
         os.makedirs(path, exist_ok=True)
-        np.savez(
-            os.path.join(path, "arrays.npz"),
+        arrays = dict(
             lambdas=self.lambdas, a0=self.a0, beta=self.beta, df=self.df,
             dev_ratio=self.dev_ratio,
             dfmat=self.dfmat if self.dfmat is not None else np.zeros(0),
         )
+        if self.beta_relaxed is not None:
+            arrays.update(
+                a0_relaxed=self.a0_relaxed, beta_relaxed=self.beta_relaxed,
+                dev_ratio_relaxed=self.dev_ratio_relaxed,
+            )
+        np.savez(os.path.join(path, "arrays.npz"), **arrays)
         meta = dict(
             family=self.family, alpha=self.alpha, nulldev=self.nulldev,
             npasses=self.npasses, nobs=self.nobs, feature_names=self.feature_names,
@@ -331,6 +336,7 @@ class SgdnetFit:
             intercept=self.intercept, standardize=self.standardize,
             offset=self.offset, grouped=self.grouped,
             has_dfmat=self.dfmat is not None,
+            has_relaxed=self.beta_relaxed is not None,
         )
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh)
@@ -344,10 +350,19 @@ class SgdnetFit:
             meta = json.load(fh)
         arr = np.load(os.path.join(path, "arrays.npz"))
         has_dfmat = meta.pop("has_dfmat")
+        # fits saved before round 6 carry no has_relaxed key
+        has_relaxed = meta.pop("has_relaxed", False)
+        extra = {}
+        if has_relaxed:
+            extra = dict(
+                a0_relaxed=arr["a0_relaxed"], beta_relaxed=arr["beta_relaxed"],
+                dev_ratio_relaxed=arr["dev_ratio_relaxed"],
+            )
         return SgdnetFit(
             lambdas=arr["lambdas"], a0=arr["a0"], beta=arr["beta"],
             df=arr["df"], dev_ratio=arr["dev_ratio"],
             dfmat=arr["dfmat"] if has_dfmat else None,
+            **extra,
             **meta,
         )
 

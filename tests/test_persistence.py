@@ -64,3 +64,24 @@ def test_offset_fit_roundtrip_keeps_guard(spark, tmp_path):
         back.predict(df, s=float(back.lambdas[-1]))
     out = back.predict(df, s=float(back.lambdas[-1]), newoffset="o", prefix="p")
     assert "p" in out.columns
+
+
+def test_relaxed_path_survives_persistence(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from sgdnet_spark.glm import sgdnet
+    from sgdnet_spark.glm.sgdnet import SgdnetFit
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(300, 3))
+    y = X @ [1.0, -0.5, 0.0] + 0.2 * rng.normal(size=300)
+    pdf = pd.DataFrame(X, columns=["x0", "x1", "x2"])
+    pdf["y"] = y
+    df = spark.createDataFrame(pdf)
+    fit = sgdnet(df, ["x0", "x1", "x2"], "y", alpha=1.0, nlambda=5, relax=True)
+    path = str(tmp_path / "relaxfit")
+    fit.save(path)
+    back = SgdnetFit.load(path)
+    assert np.allclose(back.beta_relaxed, fit.beta_relaxed)
+    assert np.allclose(back.coef(gamma=0.3), fit.coef(gamma=0.3))
