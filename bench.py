@@ -176,38 +176,39 @@ def main() -> None:
             except Exception as exc:  # warmup must never kill the bench
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
-    # three iterations, report the min (steady-state engine cost; the
-    # first iteration carries one-time plan compilation / page-cache
-    # warmup, and this host shows multi-second hypervisor-steal spikes —
-    # /proc/stat steal jumps under load — so an extra sample materially
-    # improves the odds that one run lands in a quiet window; the
-    # cpu_time_sec twin is the contention-robust cross-check)
-    times: dict[str, float] = {}
-    cpu_times: dict[str, float] = {}
-    for item in HEADLINERS:
-        name, fn = item if isinstance(item, tuple) else (item, QUERIES[item])
-        best, best_cpu, n = float("inf"), -1.0, 0
-        it = 0
-        while it < 3 or (it < 6 and best < 1.5):
-            # sub-1.5s queries get up to 6 samples: they are the ones a
-            # single multi-second hypervisor-steal spike can inflate past
-            # the 2x-of-baseline watch threshold, and extra samples cost
-            # little — the recorded artifact then stands on its own
-            it += 1
+    # four ROUND-ROBIN passes over the whole suite, report each query's
+    # min (steady-state engine cost; the first pass carries one-time plan
+    # compilation / page-cache warmup). Round-robin rather than
+    # consecutive per-query samples because this host shows multi-second
+    # hypervisor-steal bursts (/proc/stat steal jumps under load): with
+    # back-to-back samples one burst poisons EVERY sample of the query it
+    # lands on, while round-robin separates a query's samples by a full
+    # suite pass (~10s+), so the min is taken across well-separated quiet
+    # windows; the cpu_time_sec twin is the contention-robust cross-check
+    resolved = [
+        (item if isinstance(item, tuple) else (item, QUERIES[item]))
+        for item in HEADLINERS
+    ]
+    best: dict[str, float] = {name: float("inf") for name, _ in resolved}
+    best_cpu: dict[str, float] = {name: -1.0 for name, _ in resolved}
+    rows: dict[str, int] = {}
+    for _pass in range(4):
+        for name, fn in resolved:
             c0 = _tree_cpu_sample()
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            rows[name] = fn(spark, sf_dir).count()
             wall = time.perf_counter() - t0
             c1 = _tree_cpu_sample()
-            if wall < best:
-                best = wall
+            if wall < best[name]:
+                best[name] = wall
                 if c0 is not None and c1 is not None:
-                    best_cpu = _cpu_delta(c0, c1)
-        times[name] = round(best, 3)
-        cpu_times[name] = round(best_cpu, 3)
+                    best_cpu[name] = _cpu_delta(c0, c1)
+    times = {name: round(best[name], 3) for name, _ in resolved}
+    cpu_times = {name: round(best_cpu[name], 3) for name, _ in resolved}
+    for name, _ in resolved:
         print(
             f"# {name}: {times[name]:.3f}s wall / "
-            f"{cpu_times[name]:.3f}s cpu ({n} rows)",
+            f"{cpu_times[name]:.3f}s cpu ({rows[name]} rows)",
             file=sys.stderr,
         )
 
