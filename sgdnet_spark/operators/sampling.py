@@ -1,0 +1,156 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Every operator keys off ``hash_fraction`` — a uniform [0, 1) value
+derived from md5(id || salt) — so results are (a) reproducible across
+runs and cluster layouts, (b) narrow (no shuffle, no state: each row
+decides its own fate from its id), and (c) exactly replayable in ANSI
+SQL (md5 + hex-prefix-to-int exists everywhere), which is what the
+driver's DuckDB oracle does for the ``corpus_sample`` registry entry.
+
+At 100 TB this is the only sampling shape that works: a row's
+keep/split decision is a pure function of its id, so sampling
+composes with any partitioning, restarts, and incremental reruns —
+no global sort, no reservoir state, no seed-per-partition drift.
+
+Operators:
+- ``stratified_sample`` — per-stratum keep fractions.
+- ``split_assign`` — train/val/test assignment from weight fractions.
+- ``sample_to_budget`` — downsample to a global weight budget (e.g.
+  chars or tokens) with one aggregation for the rate.
+- ``mix_corpora`` — downsample sources to target mixture proportions
+  (the corpus-mixing rule: the largest feasible total is limited by
+  the scarcest source relative to its target share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def hash_fraction(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from md5 of the value (+ salt).
+
+    Uses the first 8 hex chars of md5(CAST(col AS STRING) || salt) as a
+    32-bit integer over 2^32 — cheap, uniform, and expressible
+    identically in any SQL dialect (the DuckDB twin:
+    ``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) / 4294967296.0``).
+    Distinct salts give independent draws for composed operators.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row with its stratum's probability (deterministically).
+
+    Strata absent from ``fractions`` are dropped (fraction 0), matching
+    an inner join against the fraction table in the SQL twin.
+    """
+    u = hash_fraction(id_col, salt)
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        frac = F.when(cond, F.lit(float(v))) if frac is None else frac.when(cond, F.lit(float(v)))
+    frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
+    return df.filter(u < frac)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split label (train/val/test style).
+
+    Rows land in the split whose cumulative-weight interval contains
+    their hash fraction; weights must sum to ~1 (the last split absorbs
+    any rounding remainder).
+    """
+    names = list(weights)
+    cum = []
+    tot = 0.0
+    for k in names[:-1]:
+        tot = tot + float(weights[k])
+        cum.append(tot)
+    u = hash_fraction(id_col, salt)
+    expr = None
+    for k, hi in zip(names[:-1], cum):
+        expr = F.when(u < F.lit(hi), F.lit(k)) if expr is None else expr.when(u < F.lit(hi), F.lit(k))
+    expr = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[float]:
+    """The cumulative upper bounds split_assign uses for all but the
+    last split — exposed so a SQL twin can embed the EXACT same floats
+    (0.8 + 0.1 is 0.9000000000000001 in IEEE; recomputing the sum in
+    another engine risks a different boundary)."""
+    out = []
+    tot = 0.0
+    for k in list(weights)[:-1]:
+        tot = tot + float(weights[k])
+        out.append(tot)
+    return out
+
+
+def sample_to_budget(
+    df: DataFrame,
+    budget: float,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> tuple[DataFrame, float]:
+    """Downsample so the expected ``weight_col`` total meets ``budget``.
+
+    ONE aggregation computes the global total; every row then keeps
+    itself with rate = min(1, budget/total). Returns (sampled, rate).
+    """
+    total = df.agg(F.sum(F.col(weight_col)).alias("t")).first()["t"]
+    if total is None or total <= 0:
+        return df, 1.0
+    rate = min(1.0, float(budget) / total)
+    return df.filter(hash_fraction(id_col, salt) < F.lit(rate)), rate
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Downsample sources to target mixture proportions.
+
+    The largest feasible mixed total is T = min_s available_s / w_s
+    (the scarcest source relative to its target share saturates first);
+    each source then samples at rate_s = w_s * T / available_s, so the
+    expected post-sample weight shares equal ``weights``. Sources
+    absent from ``weights`` are dropped. ONE aggregation for the
+    per-source totals; rates are a driver-side dict (k entries).
+    """
+    avail = {
+        r[source_col]: r["t"]
+        for r in df.groupBy(source_col).agg(F.sum(F.col(weight_col)).alias("t")).collect()
+    }
+    T = min(avail[s] / w for s, w in weights.items() if s in avail and w > 0)
+    rates = {s: w * T / avail[s] for s, w in weights.items() if s in avail}
+    u = hash_fraction(id_col, salt)
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == F.lit(s)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return df.filter(u < rate), rates
