@@ -508,3 +508,54 @@ def simhash_pairs(
         )
     )
     return cand.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def contamination_flags(
+    df: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination flags: documents sharing any word-k-gram
+    with a benchmark/eval set (the train-test overlap scrub every
+    training-data pipeline runs; k of 8-13 is typical for real text).
+
+    Returns (id, n_overlap) for contaminated documents only —
+    n_overlap counts the DISTINCT k-grams of the document that appear
+    anywhere in the benchmark. Scale shape: both sides shingle per-row
+    (narrow, k-grams as 64-bit hashes — see shingle_array); the
+    benchmark's distinct-gram set is tiny relative to a training corpus
+    (eval sets are small), so it broadcasts and the corpus side never
+    shuffles text — one broadcast semi-join plus one id-keyed count.
+    Set broadcast_bench=False for an unusually large benchmark side.
+    """
+    d = shingle_sets(df, text_col, id_col, k)
+    b = (
+        shingle_sets(bench, bench_text_col or text_col, bench_id_col or id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return d.join(b, "shingle").groupBy("id").agg(F.count("*").alias("n_overlap"))
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop every document flagged by :func:`contamination_flags` —
+    broadcast anti-join on ids (the flagged set is bounded by the
+    contamination rate, small by construction)."""
+    flagged = contamination_flags(df, bench, k, text_col, id_col, **kw).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(flagged), id_col, "left_anti")

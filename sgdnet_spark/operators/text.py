@@ -222,3 +222,61 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(norm_text(text_col).cast("binary")).alias("fp"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, the
+    repetition tier of its quality filters; complements quality_score's
+    length/punctuation/stopword tier): per document with >= 2 tokens,
+
+    - ``top_token_frac``  — occurrences of the most frequent token over
+      all token occurrences,
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over all bigram occurrences,
+    - ``dup_bigram_frac`` — fraction of bigram occurrences that are
+      repeats (1 - distinct/total).
+
+    High values mark boilerplate/looping text that near-dup passes miss
+    because nothing repeats ACROSS documents. Shuffle pattern: two
+    id-keyed groupBys (token counts, bigram counts) joined on id —
+    counts only, document text never shuffles.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    tok = (
+        toks.select("id", F.explode("t").alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    big = (
+        toks.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at("t", i + 1), F.element_at("t", i + 2)),
+                )
+            ).alias("g"),
+        )
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_big"),
+            F.max("c").alias("top_big"),
+            F.count("*").alias("uniq_big"),
+        )
+    )
+    return tok.join(big, "id").select(
+        F.col("id").alias(id_col),
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        rpos(F.col("top_tok") / F.col("n_tok"), 4).alias("top_token_frac"),
+        rpos(F.col("top_big") / F.col("n_big"), 4).alias("top_bigram_frac"),
+        rpos(F.lit(1.0) - F.col("uniq_big") / F.col("n_big"), 4).alias("dup_bigram_frac"),
+    )

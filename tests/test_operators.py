@@ -202,3 +202,50 @@ def test_multimodal_resize_and_frame_sampling(docs):
             assert bytes(r["frame"]) == mc.decode_bmp(bytes(src["payload"])).tobytes()
         else:
             assert len(bytes(r["frame"])) <= 800
+
+
+def test_contamination_flags_planted(spark):
+    import pandas as pd
+
+    from sgdnet_spark.operators import dedup
+
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "totally unrelated text about spark and parquet files here",
+            "he said the quick brown fox jumps high today",  # shares 4-grams
+            "quick brown dog sleeps",  # too short an overlap for k=4
+        ],
+    }))
+    flags = {r["id"]: r["n_overlap"] for r in dedup.contamination_flags(corpus, bench, k=4).collect()}
+    assert set(flags) == {2}
+    assert flags[2] == 2  # 'the quick brown fox', 'quick brown fox jumps'
+    clean = dedup.decontaminate(corpus, bench, k=4)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+
+
+def test_repetition_stats_planted(spark):
+    import pandas as pd
+
+    from sgdnet_spark.operators import text as T
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "spam spam spam spam",          # one token 4x; bigram 'spam spam' 3x
+            "all words here are different",
+        ],
+    }))
+    out = {r["doc_id"]: r.asDict() for r in T.repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert abs(r1["top_token_frac"] - 1.0) < 1e-9
+    assert abs(r1["top_bigram_frac"] - 1.0) < 1e-9
+    assert abs(r1["dup_bigram_frac"] - (1 - 1 / 3)) < 1e-3
+    r2 = out[2]
+    assert abs(r2["top_token_frac"] - 0.2) < 1e-9
+    assert abs(r2["dup_bigram_frac"]) < 1e-9
