@@ -99,3 +99,39 @@ def test_streaming_simhash_candidates_match_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_sampling_matches_batch(spark, sf_dir):
+    """Deterministic sampling/splitting are pure per-row functions of
+    the id, so they run UNCHANGED on a stream and make the exact same
+    decisions as batch — split labels and stratified keeps both match
+    row-for-row."""
+    import shutil
+    import tempfile
+
+    from sgdnet_spark.operators import sampling as S
+
+    stage = tempfile.mkdtemp(prefix="docs_sample_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    docs_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_static.schema).format("parquet").load(stage)
+
+    out = S.stratified_sample(
+        S.split_assign(stream, {"train": 0.8, "val": 0.1, "test": 0.1}),
+        "lang", {"en": 0.5, "de": 1.0, "zh": 0.25},
+    ).select("doc_id", "split")
+    q = out.writeStream.outputMode("append").format("memory").queryName("samp").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["split"]) for r in spark.sql("SELECT * FROM samp").collect()}
+    want = {
+        (r["doc_id"], r["split"])
+        for r in S.stratified_sample(
+            S.split_assign(docs_static, {"train": 0.8, "val": 0.1, "test": 0.1}),
+            "lang", {"en": 0.5, "de": 1.0, "zh": 0.25},
+        ).select("doc_id", "split").collect()
+    }
+    assert got == want
+    assert len(got) > 0
