@@ -145,6 +145,11 @@ def mix_corpora(
         r[source_col]: r["t"]
         for r in df.groupBy(source_col).agg(F.sum(F.col(weight_col)).alias("t")).collect()
     }
+    if not any(s in avail and w > 0 for s, w in weights.items()):
+        raise ValueError(
+            f"no source in weights {sorted(weights)} present in the data "
+            f"(sources: {sorted(avail)})"
+        )
     T = min(avail[s] / w for s, w in weights.items() if s in avail and w > 0)
     rates = {s: w * T / avail[s] for s, w in weights.items() if s in avail}
     u = hash_fraction(id_col, salt)

@@ -159,3 +159,19 @@ def test_cv_without_relax_unchanged(data):
     cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
                    nlambda=6, use_fold_moments=False)
     assert cv.gamma_min is None and cv.cv_gamma is None
+
+
+def test_weighted_relax_is_weighted_ols_on_support(data, spark):
+    import pyspark.sql.functions as sf
+
+    df, pdf = data
+    d = df.withColumn("w", sf.lit(1.0) + sf.abs(sf.col("x0")))
+    fit = sgdnet(d, FEATS, "y", family="gaussian", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-3, weights_col="w", relax=True)
+    i = fit.nlambda - 2
+    A = np.nonzero(fit.beta[:, i])[0]
+    w = (1.0 + np.abs(pdf.x0.values))
+    X = np.column_stack([np.ones(len(pdf)), pdf[FEATS].values[:, A]])
+    beta = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (w * pdf.y.values))
+    assert abs(fit.a0_relaxed[i] - beta[0]) < 1e-8
+    assert np.allclose(fit.beta_relaxed[A, i], beta[1:], atol=1e-8)
