@@ -337,16 +337,22 @@ def cv_sgdnet(
         df = df.withColumn(FOLD_COL, fold_expr)
         foldid_col = FOLD_COL
 
-    # Gram-family fast path: the entire CV from ONE grouped moments pass
+    # Gram-family fast path: the entire CV from ONE grouped moments pass.
+    # Differential penalties ride along (the Gram drivers take them);
+    # box limits only exist on the gaussian driver.
+    _fast_ok = {
+        "nlambda", "lambda_min_ratio", "standardize", "intercept",
+        "thresh", "maxit", "standardize_response",
+        "penalty_factor", "exclude",
+    }
+    if family == "gaussian":
+        _fast_ok |= {"lower_limits", "upper_limits"}
     fast = (
         use_fold_moments
         and family in ("gaussian", "mgaussian")
         and type_measure in ("deviance", "mse")
         and not isinstance(feature_cols, str)
-        and set(fit_kwargs) <= {
-            "nlambda", "lambda_min_ratio", "standardize", "intercept",
-            "thresh", "maxit", "standardize_response",
-        }
+        and set(fit_kwargs) <= _fast_ok
     )
     if fast:
         label_cols = [label_col] if isinstance(label_col, str) else list(label_col)

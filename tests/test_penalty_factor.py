@@ -266,3 +266,21 @@ def test_option_validation_errors(data):
         sgdnet(df, FEATS, "yb", family="multinomial", lower_limits=0.0)
     with pytest.raises(ValueError, match="finite penalty_factor"):
         sgdnet(df, FEATS, "y", penalty_factor=[0.0, 0.0, np.inf, np.inf])
+
+
+def test_cv_gram_fast_path_with_options_matches_generic(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    kw = dict(family="gaussian", alpha=1.0, nfolds=5, nlambda=6,
+              lambda_min_ratio=1e-3, penalty_factor=[0.5, 2.0, 1.0, 1.0],
+              exclude=[3], lower_limits=0.0)
+    fast = cv_sgdnet(df, FEATS, "y", use_fold_moments=True, **kw)
+    slow = cv_sgdnet(df, FEATS, "y", use_fold_moments=False, **kw)
+    assert np.allclose(fast.lambdas[0], slow.lambdas[0])
+    assert abs(fast.lambda_min - slow.lambda_min) < 1e-12
+    m_fast = [r["mean"] for r in fast.cv_summary]
+    m_slow = [r["mean"] for r in slow.cv_summary]
+    assert np.allclose(m_fast, m_slow, rtol=1e-6)
+    assert np.all(fast.fit.beta[3, :] == 0.0)
+    assert np.all(fast.fit.beta >= 0.0)
