@@ -223,3 +223,66 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold — the BUCKETED scale path
+    for cosine_pairs (which is an all-pairs self-join, the exact-oracle
+    tier). Multi-table random-hyperplane LSH: a pair is a candidate if
+    it shares a bucket in ANY of L tables; candidates carry IDS ONLY
+    through the self-join, vectors join back once for the exact cosine
+    rerank — so work scales with bucket collisions (the near-dup rate),
+    not n², and nothing vector-sized shuffles twice.
+
+    Parameter rule: a pair at cosine c agrees on one sign bit with
+    p = 1 - arccos(c)/pi, survives a b-bit table with p^b, and is
+    missed by all L tables with (1-p^b)^L. The low-threshold near-dup
+    regime needs SHALLOW tables (small b) and many of them — the
+    defaults (b=3, L=24) put the per-pair miss probability at ~5e-4
+    at c = 0.45 (p ~ 0.65). Deduplicate at c >= 0.8 with b=8, L=8 for
+    the same miss rate at far better selectivity.
+    """
+    planes = random_hyperplanes(dim, n_planes * n_tables, seed).reshape(
+        n_tables, n_planes, dim
+    )
+    v0 = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        norm(_as_double(vec_col)).alias("nrm"),
+    )
+    keys = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # union of candidates across tables, BEFORE the rerank
+    )
+    av = v0.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    bv = v0.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

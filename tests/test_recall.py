@@ -108,3 +108,16 @@ def test_simhash_blocking_radius_guarantee(spark, sf_dir):
     )
     exact = {(r["id_a"], r["id_b"], r["hamming"]) for r in allp.collect()}
     assert blocked == exact
+
+
+def test_embedding_lsh_pairs_recall_exact(spark, sf_dir):
+    """The bucketed embedding near-dup path must find EXACTLY the pairs
+    the all-pairs cosine join finds at this threshold (exact rerank =>
+    precision 1.0; this asserts recall 1.0 at the test scale)."""
+    from sgdnet_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(emb, 0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs_lsh(emb, 0.45).collect()}
+    assert lsh == exact
+    assert len(exact) > 0
