@@ -74,8 +74,14 @@ class CvSgdnetFit:
             kw.setdefault("gamma", self.gamma_min)
         return self.fit.predict(newx, s=self._resolve_s(s), **kw)
 
-    def coef(self, s="lambda_min"):
-        return self.fit.coef(self._resolve_s(s))
+    def coef(self, s="lambda_min", gamma: float | None = None):
+        """Coefficients at the selected (or given) path point. A relax CV
+        applies its selected gamma blend by default so coef() and
+        predict() describe the SAME model; pass gamma explicitly to
+        override (gamma=1.0 recovers the penalized coefficients)."""
+        if gamma is None and self.gamma_min is not None and self.fit.beta_relaxed is not None:
+            gamma = self.gamma_min
+        return self.fit.coef(self._resolve_s(s), gamma=gamma)
 
     def __repr__(self) -> str:
         return (
@@ -263,6 +269,59 @@ def _blend_fit(fit: SgdnetFit, gamma: float) -> SgdnetFit:
     )
 
 
+def _gamma_mse_fold(fit_j, test, cols, lams, gammas, label_col,
+                    weights_col=None, offset_col=None):
+    """Held-out mse for EVERY gamma blend from ONE aggregation pass.
+
+    The blended residual is affine in gamma — with d_a = eta_pen - y and
+    d_b = eta_relax - y, mse(g) = g²·E[d_a²] + (1-g)²·E[d_b²] +
+    2g(1-g)·E[d_a·d_b] — so three second moments per lambda evaluate the
+    whole gamma grid driver-side instead of one scoring pass per gamma.
+    """
+    from sgdnet_spark.glm.sgdnet import colref
+
+    cf_p = fit_j.coef(lams)
+    cf_r = fit_j.coef(lams, gamma=0.0)
+    nl = cf_p.shape[-1]
+    y = F.col(label_col).cast("double")
+    if weights_col is None:
+        _mean = F.avg
+    else:
+        wcol = F.col(weights_col).cast("double")
+
+        def _mean(t):
+            return F.sum(wcol * t) / F.sum(wcol)
+
+    def eta(cf, i):
+        e = F.lit(float(cf[0, i]))
+        for w, c in zip(cf[1:, i], cols):
+            if w != 0.0:
+                e = e + F.lit(float(w)) * colref(c).cast("double")
+        if offset_col is not None:
+            e = e + colref(offset_col).cast("double")
+        return e
+
+    aggs = []
+    for i in range(nl):
+        da = eta(cf_p, i) - y
+        db = eta(cf_r, i) - y
+        aggs += [
+            _mean(da * da).alias(f"aa{i}"),
+            _mean(db * db).alias(f"bb{i}"),
+            _mean(da * db).alias(f"ab{i}"),
+        ]
+    row = test.agg(*aggs).first()
+    return {
+        g: np.array([
+            g * g * row[f"aa{i}"]
+            + (1.0 - g) ** 2 * row[f"bb{i}"]
+            + 2.0 * g * (1.0 - g) * row[f"ab{i}"]
+            for i in range(nl)
+        ])
+        for g in gammas
+    }
+
+
 def _summarize_cv_gamma(
     alphas: list[float],
     lam_lists: list[np.ndarray],
@@ -410,14 +469,37 @@ def cv_sgdnet(
                         train, feature_cols, label_col, family=family, alpha=a,
                         lambdas=lams, **fit_kwargs,
                     )
-                    for g in gammas:
-                        raws[g][j, :] = score(
-                            _blend_fit(fit_j, g), test, feature_cols, label_col,
-                            type_measure, s=lams, weights_col=score_wc, offset_col=oc,
+                    if (
+                        relax
+                        and family == "gaussian"
+                        and type_measure in ("deviance", "mse")
+                        and len(gammas) > 1
+                    ):
+                        # every gamma from ONE pass (the blended residual
+                        # is affine in gamma; see _gamma_mse_fold)
+                        cols = (
+                            fit_j.feature_names
+                            if isinstance(feature_cols, str)
+                            else list(feature_cols)
                         )
-                cv_raw.append(raws[gammas[-1]] if len(gammas) == 1 else None)
+                        per_g = _gamma_mse_fold(
+                            fit_j, test, cols, lams, gammas, label_col,
+                            weights_col=score_wc, offset_col=oc,
+                        )
+                        for g in gammas:
+                            raws[g][j, :] = per_g[g]
+                    else:
+                        for g in gammas:
+                            raws[g][j, :] = score(
+                                _blend_fit(fit_j, g), test, feature_cols, label_col,
+                                type_measure, s=lams, weights_col=score_wc, offset_col=oc,
+                            )
+                cv_raw.append(raws[gammas[-1]] if not relax else None)
                 cv_raw_gamma.append(raws)
-            if len(gammas) > 1:
+            if relax:
+                # also when ONE gamma was requested: lambda selection came
+                # from that blend's held-out scores, and gamma_min must
+                # record it so coef()/predict() use the evaluated model
                 return _summarize_cv_gamma(
                     alphas, lam_lists, cv_raw_gamma, gammas, full_fits,
                     type_measure, family,

@@ -280,16 +280,27 @@ def gaussian_path(
         if relax:
             # relaxed (debiased) fit, glmnet relax=TRUE: unpenalized OLS on
             # this lambda's active set — closed form from the SAME Gram, no
-            # extra data pass; supports repeat along the path, so cache
+            # extra data pass; supports repeat along the path, so cache.
+            # Box limits stay binding on the refit (glmnet semantics: the
+            # relaxed fit is a lambda=0 fit under the SAME constraints), so
+            # the bounded case runs projected CD instead of lstsq.
             A = tuple(np.nonzero(beta)[0])
             rb = relax_cache.get(A)
             if rb is None:
                 rb = np.zeros(p)
                 if A:
                     idx = np.asarray(A, dtype=np.intp)
-                    rb[idx] = np.linalg.lstsq(
-                        C[np.ix_(idx, idx)], b[idx], rcond=None
-                    )[0]
+                    if lo is not None or hi is not None:
+                        rb[idx], _ = enet_cd_gram(
+                            C[np.ix_(idx, idx)], b[idx], 0.0, 0.0,
+                            beta[idx].copy(), tol=min(thresh, 1e-9), maxit=maxit,
+                            lo=None if lo is None else lo[idx],
+                            hi=None if hi is None else hi[idx],
+                        )
+                    else:
+                        rb[idx] = np.linalg.lstsq(
+                            C[np.ix_(idx, idx)], b[idx], rcond=None
+                        )[0]
                 relax_cache[A] = rb
             rssr = y_var - 2.0 * float(b @ rb) + float(rb @ C @ rb)
             out_dr_r[i] = 1.0 - rssr * n / nulldev if nulldev > 0 else 0.0
@@ -730,6 +741,58 @@ def multinomial_path_fista(
     )
 
 
+def _relax_refit_cached(
+    cache: dict,
+    irls,
+    coef_pen: np.ndarray,
+    b0_pen: float,
+    *,
+    p: int,
+    n: int,
+    intercept: bool,
+    thresh: float,
+    maxit: int,
+    outer_maxit: int,
+    lo,
+    hi,
+    stat0: float,
+):
+    """Shared relaxed-refit kernel for the IRLS families (glmnet
+    relax=TRUE): unpenalized IRLS restricted to the active set,
+    warm-started from the penalized solution, box limits kept binding
+    (a lambda=0 fit under the SAME constraints). ``irls`` is the
+    provider's family pass; its 6th return (log-likelihood or deviance)
+    is passed through. Supports repeat along a path, so refits cache by
+    support tuple."""
+    A = tuple(np.nonzero(coef_pen)[0])
+    hit = cache.get(A)
+    if hit is None:
+        idx = np.asarray(A, dtype=np.intp)
+        cs = coef_pen[idx]
+        rb0 = b0_pen
+        stat = stat0
+        for _ in range(outer_maxit):
+            sw_, swx_, swxx_, swxz_, swz_, stat = irls(cs, rb0, cols=idx)
+            new_cs, new_b0, _ = wls_enet_cd(
+                sw_, swx_, swxx_, swxz_, swz_, n, 0.0, 0.0, cs, rb0, intercept,
+                tol=thresh, maxit=maxit,
+                lo=None if lo is None else lo[idx],
+                hi=None if hi is None else hi[idx],
+            )
+            delta = max(float(np.max(np.abs(new_cs - cs))) if len(idx) else 0.0,
+                        abs(new_b0 - rb0))
+            scale = max(float(np.max(np.abs(new_cs))) if len(idx) else 0.0,
+                        abs(new_b0), 1e-12)
+            cs, rb0 = new_cs, new_b0
+            if delta <= max(thresh, 1e-6) * scale:
+                break
+        full = np.zeros(p)
+        full[idx] = cs
+        hit = (full, float(rb0), float(stat))
+        cache[A] = hit
+    return hit
+
+
 def _strong_set(g: np.ndarray, coef: np.ndarray, lam: float, lam_prev: float, alpha: float,
                 pf=None):
     """Sequential strong rule (Tibshirani et al. 2012): keep j with
@@ -825,34 +888,11 @@ def binomial_path(
     relax_cache: dict = {}
 
     def _relax_refit(coef_pen: np.ndarray, b0_pen: float):
-        """Unpenalized IRLS restricted to the active set (glmnet
-        relax=TRUE), warm-started from the penalized solution; supports
-        repeat along the path, so refits are cached by support."""
-        A = tuple(np.nonzero(coef_pen)[0])
-        hit = relax_cache.get(A)
-        if hit is None:
-            idx = np.asarray(A, dtype=np.intp)
-            cs = coef_pen[idx]
-            rb0 = b0_pen
-            llr = ll_null
-            for _ in range(outer_maxit):
-                sw_, swx_, swxx_, swxz_, swz_, llr = provider.irls_binomial(cs, rb0, cols=idx)
-                new_cs, new_b0, _ = wls_enet_cd(
-                    sw_, swx_, swxx_, swxz_, swz_, n, 0.0, 0.0, cs, rb0, intercept,
-                    tol=thresh, maxit=maxit,
-                )
-                delta = max(float(np.max(np.abs(new_cs - cs))) if len(idx) else 0.0,
-                            abs(new_b0 - rb0))
-                scale = max(float(np.max(np.abs(new_cs))) if len(idx) else 0.0,
-                            abs(new_b0), 1e-12)
-                cs, rb0 = new_cs, new_b0
-                if delta <= max(thresh, 1e-6) * scale:
-                    break
-            full = np.zeros(p)
-            full[idx] = cs
-            hit = (full, float(rb0), float(llr))
-            relax_cache[A] = hit
-        return hit
+        return _relax_refit_cached(
+            relax_cache, provider.irls_binomial, coef_pen, b0_pen,
+            p=p, n=n, intercept=intercept, thresh=thresh, maxit=maxit,
+            outer_maxit=outer_maxit, lo=lo, hi=hi, stat0=ll_null,
+        )
 
     losses: list = []
     # at lambda_max every coefficient is zero by construction (KKT with
@@ -1049,32 +1089,12 @@ def poisson_path(
     relax_cache: dict = {}
 
     def _relax_refit(coef_pen: np.ndarray, b0_pen: float):
-        """As in binomial_path: cached unpenalized restricted IRLS."""
-        A = tuple(np.nonzero(coef_pen)[0])
-        hit = relax_cache.get(A)
-        if hit is None:
-            idx = np.asarray(A, dtype=np.intp)
-            cs = coef_pen[idx]
-            rb0 = b0_pen
-            devr_ = nulldev
-            for _ in range(outer_maxit):
-                sw_, swx_, swxx_, swxz_, swz_, devr_ = provider.irls_poisson(cs, rb0, cols=idx)
-                new_cs, new_b0, _ = wls_enet_cd(
-                    sw_, swx_, swxx_, swxz_, swz_, n, 0.0, 0.0, cs, rb0, intercept,
-                    tol=thresh, maxit=maxit,
-                )
-                delta = max(float(np.max(np.abs(new_cs - cs))) if len(idx) else 0.0,
-                            abs(new_b0 - rb0))
-                scale = max(float(np.max(np.abs(new_cs))) if len(idx) else 0.0,
-                            abs(new_b0), 1e-12)
-                cs, rb0 = new_cs, new_b0
-                if delta <= max(thresh, 1e-6) * scale:
-                    break
-            full = np.zeros(p)
-            full[idx] = cs
-            hit = (full, float(rb0), float(devr_))
-            relax_cache[A] = hit
-        return hit
+        # as in binomial_path, with the deviance passed through as stat
+        return _relax_refit_cached(
+            relax_cache, provider.irls_poisson, coef_pen, b0_pen,
+            p=p, n=n, intercept=intercept, thresh=thresh, maxit=maxit,
+            outer_maxit=outer_maxit, lo=lo, hi=hi, stat0=nulldev,
+        )
 
     losses: list = []
     pf_zero = pf is not None and bool(np.any(pf == 0))

@@ -641,46 +641,16 @@ def sgdnet(
 
     # sample weights: ONE tiny aggregation gives the n/Σw rescale factor
     # (glmnet's weights-sum-to-n convention) so every downstream /n is
-    # the correct weighted mean with no kernel-side renormalization.
-    # The same pass validates weights AND offset for NULL/NaN rows:
-    # F.sum/F.min silently skip nulls, so an unchecked null would reach
-    # the Arrow batches as NaN and poison every moment/IRLS aggregate
-    # into all-NaN coefficients with no error.
-    weight_expr = None
-    if weights_col is not None or offset_col is not None:
-        offset_names = (
-            list(offset_col) if multi_offset
-            else ([offset_col] if offset_col is not None else [])
-        )
-        wc = F.col(weights_col).cast("double") if weights_col is not None else None
-        aggs = [F.count("*").alias("n")]
-        if wc is not None:
-            aggs += [F.count(wc).alias("wn"), F.sum(wc).alias("W"),
-                     F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan")]
-        for i, name in enumerate(offset_names):
-            oc = F.col(name).cast("double")
-            aggs += [F.count(oc).alias(f"on{i}"),
-                     F.max(F.isnan(oc).cast("int")).alias(f"onan{i}")]
-        vrow = df.agg(*aggs).first()
-        if vrow["n"] == 0:
-            raise ValueError("the predictor matrix (x) is empty.")
-        if wc is not None:
-            if vrow["wn"] != vrow["n"] or vrow["wnan"]:
-                raise ValueError(
-                    f"weights_col '{weights_col}' contains NULL/NaN values; "
-                    "filter or impute them before fitting"
-                )
-            if float(vrow["wmin"]) < 0:
-                raise ValueError("sample weights must be non-negative")
-            if float(vrow["W"]) <= 0:
-                raise ValueError("sample weights must not all be zero")
-            weight_expr = wc * F.lit(float(vrow["n"]) / float(vrow["W"]))
-        for i, name in enumerate(offset_names):
-            if vrow[f"on{i}"] != vrow["n"] or vrow[f"onan{i}"]:
-                raise ValueError(
-                    f"offset_col '{name}' contains NULL/NaN values; "
-                    "filter or impute them before fitting"
-                )
+    # the correct weighted mean with no kernel-side renormalization. The
+    # same pass validates weights AND offsets for NULL/NaN (shared with
+    # the sparse entry point: suffstats.validate_weights_offsets).
+    offset_names = (
+        list(offset_col) if multi_offset
+        else ([offset_col] if offset_col is not None else [])
+    )
+    weight_expr = suffstats.validate_weights_offsets(
+        df, weights_col=weights_col, offset_names=offset_names
+    )
 
     if offset_col is None:
         offset_expr = None

@@ -160,28 +160,11 @@ def sgdnet_sparse(
     if family not in ("gaussian", "binomial", "multinomial"):
         raise ValueError("sgdnet_sparse supports gaussian, binomial, multinomial")
 
-    weight_expr = None
-    if weights_col is not None:
-        # the count/isnan checks exist because F.sum/F.min skip nulls: an
-        # unchecked NULL weight would reach the kernels as NaN and poison
-        # every nnz-cost aggregate into all-NaN coefficients silently
-        wc = F.col(weights_col).cast("double")
-        wrow = df.agg(
-            F.count("*").alias("n"), F.count(wc).alias("wn"), F.sum(wc).alias("W"),
-            F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan"),
-        ).first()
-        if wrow["n"] == 0:
-            raise ValueError("empty input")
-        if wrow["wn"] != wrow["n"] or wrow["wnan"]:
-            raise ValueError(
-                f"weights_col '{weights_col}' contains NULL/NaN values; "
-                "filter or impute them before fitting"
-            )
-        if float(wrow["wmin"]) < 0:
-            raise ValueError("sample weights must be non-negative")
-        if float(wrow["W"]) <= 0:
-            raise ValueError("sample weights must not all be zero")
-        weight_expr = wc * F.lit(float(wrow["n"]) / float(wrow["W"]))
+    # NULL/NaN/negative/zero-sum validation + glmnet sum-to-n rescale,
+    # shared with the dense entry point so the input contracts can't drift
+    from sgdnet_spark.glm.suffstats import validate_weights_offsets
+
+    weight_expr = validate_weights_offsets(df, weights_col=weights_col)
 
     classnames = None
     k = 1

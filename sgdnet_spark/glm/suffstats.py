@@ -602,3 +602,51 @@ def collect_xy(
     else:
         o = None
     return x, y, w, o
+
+
+def validate_weights_offsets(df, weights_col=None, offset_names=()):
+    """ONE aggregation validating weights and offsets for fit input.
+
+    F.sum/F.min silently skip NULLs, so an unchecked NULL weight/offset
+    would reach the Arrow batches as NaN and poison every moment/IRLS
+    aggregate into all-NaN coefficients with no error — this pass
+    rejects NULL/NaN up front, enforces non-negative, not-all-zero
+    weights, and returns the glmnet sum-to-n rescaled weight expression
+    (None when no weights). Shared by the dense (sgdnet) and sparse
+    (sgdnet_sparse) entry points so their input contracts cannot drift.
+    """
+    from pyspark.sql import functions as F
+
+    if weights_col is None and not offset_names:
+        return None
+    wc = F.col(weights_col).cast("double") if weights_col is not None else None
+    aggs = [F.count("*").alias("n")]
+    if wc is not None:
+        aggs += [F.count(wc).alias("wn"), F.sum(wc).alias("W"),
+                 F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan")]
+    for i, name in enumerate(offset_names):
+        oc = F.col(name).cast("double")
+        aggs += [F.count(oc).alias(f"on{i}"),
+                 F.max(F.isnan(oc).cast("int")).alias(f"onan{i}")]
+    vrow = df.agg(*aggs).first()
+    if vrow["n"] == 0:
+        raise ValueError("the predictor matrix (x) is empty.")
+    weight_expr = None
+    if wc is not None:
+        if vrow["wn"] != vrow["n"] or vrow["wnan"]:
+            raise ValueError(
+                f"weights_col '{weights_col}' contains NULL/NaN values; "
+                "filter or impute them before fitting"
+            )
+        if float(vrow["wmin"]) < 0:
+            raise ValueError("sample weights must be non-negative")
+        if float(vrow["W"]) <= 0:
+            raise ValueError("sample weights must not all be zero")
+        weight_expr = wc * F.lit(float(vrow["n"]) / float(vrow["W"]))
+    for i, name in enumerate(offset_names):
+        if vrow[f"on{i}"] != vrow["n"] or vrow[f"onan{i}"]:
+            raise ValueError(
+                f"offset_col '{name}' contains NULL/NaN values; "
+                "filter or impute them before fitting"
+            )
+    return weight_expr

@@ -144,11 +144,14 @@ def mix_corpora(
     avail = {
         r[source_col]: r["t"]
         for r in df.groupBy(source_col).agg(F.sum(F.col(weight_col)).alias("t")).collect()
+        # SUM over an all-NULL group is NULL; a NULL/zero total means the
+        # source has no usable weight — treat it as absent
+        if r["t"] is not None and r["t"] > 0
     }
     if not any(s in avail and w > 0 for s, w in weights.items()):
         raise ValueError(
-            f"no source in weights {sorted(weights)} present in the data "
-            f"(sources: {sorted(avail)})"
+            f"no source in weights {sorted(weights)} has positive "
+            f"{weight_col} in the data (usable sources: {sorted(avail)})"
         )
     T = min(avail[s] / w for s, w in weights.items() if s in avail and w > 0)
     rates = {s: w * T / avail[s] for s, w in weights.items() if s in avail}

@@ -175,3 +175,67 @@ def test_weighted_relax_is_weighted_ols_on_support(data, spark):
     beta = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (w * pdf.y.values))
     assert abs(fit.a0_relaxed[i] - beta[0]) < 1e-8
     assert np.allclose(fit.beta_relaxed[A, i], beta[1:], atol=1e-8)
+
+
+def test_relax_refit_honors_box_limits(data):
+    """The relaxed refit is a lambda=0 fit under the SAME constraints
+    (glmnet semantics): blending can never step outside the user's box."""
+    df, pdf = data
+    cap = 0.3
+    fit = sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-3, lower_limits=-cap, upper_limits=cap,
+                 relax=True, thresh=1e-10)
+    assert np.all(fit.beta <= cap + 1e-10) and np.all(fit.beta >= -cap - 1e-10)
+    assert np.all(fit.beta_relaxed <= cap + 1e-8)
+    assert np.all(fit.beta_relaxed >= -cap - 1e-8)
+    # x0's unconstrained OLS coefficient (~2.0) saturates the refit bound
+    assert abs(fit.beta_relaxed[0, -1] - cap) < 1e-6
+    fb = sgdnet(df, FEATS, "yb", family="binomial", alpha=1.0, nlambda=5,
+                lambda_min_ratio=1e-2, lower_limits=0.0, relax=True)
+    assert np.all(fb.beta_relaxed >= -1e-10)
+
+
+def test_cv_relax_single_gamma_records_selection(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
+                   nlambda=6, relax=True, gammas=[0.0])
+    assert cv.gamma_min == 0.0  # the only blend the CV ever evaluated
+    p = cv.predict(df).select("pred").first()[0]
+    cf = cv.fit.coef(s=cv.lambda_min, gamma=0.0)[:, 0]
+    row = df.first()
+    want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
+    assert abs(p - want) < 1e-8
+
+
+def test_cv_relax_coef_matches_predict(data):
+    from sgdnet_spark.glm.cv import cv_sgdnet
+
+    df, _ = data
+    cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
+                   nlambda=6, lambda_min_ratio=1e-3, relax=True,
+                   gammas=[0.0, 1.0])
+    cf = cv.coef()[:, 0]  # applies gamma_min by default
+    row = df.first()
+    want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
+    p = cv.predict(df).select("pred").first()[0]
+    assert abs(p - want) < 1e-8
+    # explicit override recovers the penalized coefficients
+    assert np.allclose(cv.coef(gamma=1.0), cv.fit.coef(cv.lambda_min, gamma=1.0))
+
+
+def test_gamma_mse_one_pass_matches_blend_scoring(data):
+    """The affine-in-gamma mse expansion (one aggregation for every
+    gamma) must equal per-gamma scoring of the blended fits."""
+    from sgdnet_spark.glm.cv import _blend_fit, _gamma_mse_fold
+    from sgdnet_spark.glm.score import score
+
+    df, _ = data
+    fit = sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nlambda=6,
+                 lambda_min_ratio=1e-3, relax=True)
+    gammas = [0.0, 0.25, 1.0]
+    per_g = _gamma_mse_fold(fit, df, FEATS, fit.lambdas, gammas, "y")
+    for g in gammas:
+        direct = score(_blend_fit(fit, g), df, FEATS, "y", "mse", s=fit.lambdas)
+        assert np.allclose(per_g[g], direct, rtol=1e-9), g

@@ -93,3 +93,17 @@ def test_hash_fraction_uniformity(docs):
     ).first()
     assert abs(m["m"] - 0.5) < 0.02
     assert m["lo"] >= 0.0 and m["hi"] < 1.0
+
+
+def test_mix_corpora_null_and_zero_weight_sources(docs):
+    import pyspark.sql.functions as F
+
+    df, _ = docs
+    # 'fr' rows exist but every weight is NULL -> source treated as absent
+    d = df.withColumn(
+        "n_chars", F.when(F.col("lang") == "fr", F.lit(None)).otherwise(F.col("n_chars"))
+    )
+    out, rates = S.mix_corpora(d, "lang", {"en": 0.5, "fr": 0.5})
+    assert "fr" not in rates
+    assert out.filter(F.col("lang") == "fr").count() == 0
+    assert out.count() > 0
