@@ -82,19 +82,25 @@ def _batch_xy(pdf: pd.DataFrame, p: int, k: int) -> tuple[np.ndarray, np.ndarray
     return x, y
 
 
-def _batch_wo(pdf: pd.DataFrame) -> tuple[np.ndarray | None, np.ndarray | None]:
-    w = pdf["w"].to_numpy(dtype=np.float64, copy=False) if "w" in pdf.columns else None
+def _offset_array(pdf: pd.DataFrame) -> np.ndarray | None:
+    """The offset column(s) assemble() materialized, as a numpy array:
+    'o' for a single per-row offset, o0..o{k-1} for the n×k multivariate
+    form, None if the fit has no offset. The ONE place that mirrors
+    assemble()'s offset naming — shared by the Arrow batch path and the
+    driver collect path so they cannot drift."""
     if "o" in pdf.columns:
-        o = pdf["o"].to_numpy(dtype=np.float64, copy=False)
-    elif "o0" in pdf.columns:
-        # n×k multinomial offset, materialized as o0..o{k-1}
+        return pdf["o"].to_numpy(dtype=np.float64, copy=False)
+    if "o0" in pdf.columns:
         ko = 0
         while f"o{ko}" in pdf.columns:
             ko += 1
-        o = pdf[[f"o{i}" for i in range(ko)]].to_numpy(dtype=np.float64, copy=False)
-    else:
-        o = None
-    return w, o
+        return pdf[[f"o{i}" for i in range(ko)]].to_numpy(dtype=np.float64, copy=False)
+    return None
+
+
+def _batch_wo(pdf: pd.DataFrame) -> tuple[np.ndarray | None, np.ndarray | None]:
+    w = pdf["w"].to_numpy(dtype=np.float64, copy=False) if "w" in pdf.columns else None
+    return w, _offset_array(pdf)
 
 
 def _sum_partials(df: DataFrame, fn, p: int, k: int) -> np.ndarray:
@@ -592,16 +598,7 @@ def collect_xy(
     x = pdf[xcols(p)].to_numpy(dtype=np.float64)
     y = pdf[ycols(k)].to_numpy(dtype=np.float64) if k else None
     w = pdf["w"].to_numpy(dtype=np.float64) if "w" in pdf.columns else None
-    if "o" in pdf.columns:
-        o = pdf["o"].to_numpy(dtype=np.float64)
-    elif "o0" in pdf.columns:
-        ko = 0
-        while f"o{ko}" in pdf.columns:
-            ko += 1
-        o = pdf[[f"o{i}" for i in range(ko)]].to_numpy(dtype=np.float64)
-    else:
-        o = None
-    return x, y, w, o
+    return x, y, w, _offset_array(pdf)
 
 
 def validate_weights_offsets(df, weights_col=None, offset_names=()):
