@@ -278,7 +278,7 @@ def _gamma_mse_fold(fit_j, test, cols, lams, gammas, label_col,
     2g(1-g)·E[d_a·d_b] — so three second moments per lambda evaluate the
     whole gamma grid driver-side instead of one scoring pass per gamma.
     """
-    from sgdnet_spark.glm.sgdnet import colref
+    from sgdnet_spark.glm.score import eta_expr
 
     cf_p = fit_j.coef(lams)
     cf_r = fit_j.coef(lams, gamma=0.0)
@@ -292,19 +292,10 @@ def _gamma_mse_fold(fit_j, test, cols, lams, gammas, label_col,
         def _mean(t):
             return F.sum(wcol * t) / F.sum(wcol)
 
-    def eta(cf, i):
-        e = F.lit(float(cf[0, i]))
-        for w, c in zip(cf[1:, i], cols):
-            if w != 0.0:
-                e = e + F.lit(float(w)) * colref(c).cast("double")
-        if offset_col is not None:
-            e = e + colref(offset_col).cast("double")
-        return e
-
     aggs = []
     for i in range(nl):
-        da = eta(cf_p, i) - y
-        db = eta(cf_r, i) - y
+        da = eta_expr(cf_p[:, i], cols, offset_col) - y
+        db = eta_expr(cf_r[:, i], cols, offset_col) - y
         aggs += [
             _mean(da * da).alias(f"aa{i}"),
             _mean(db * db).alias(f"bb{i}"),
@@ -494,7 +485,8 @@ def cv_sgdnet(
                                 _blend_fit(fit_j, g), test, feature_cols, label_col,
                                 type_measure, s=lams, weights_col=score_wc, offset_col=oc,
                             )
-                cv_raw.append(raws[gammas[-1]] if not relax else None)
+                if not relax:
+                    cv_raw.append(raws[gammas[-1]])
                 cv_raw_gamma.append(raws)
             if relax:
                 # also when ONE gamma was requested: lambda selection came

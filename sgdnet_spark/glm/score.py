@@ -27,6 +27,23 @@ PROB_MIN = 1e-05  # reference score.R:86
 PROB_MAX = 1 - PROB_MIN
 
 
+def eta_expr(weights: np.ndarray, cols: Sequence[str], offset_col: str | None = None):
+    """Intercept-first weight vector -> JVM linear-predictor Column
+    (zero coefficients skipped; optional offset column added). The ONE
+    expression builder shared by score(), the per-class multivariate
+    scorers, the path-AUC pass, and the CV gamma fast path — so
+    offset/zero-coefficient handling cannot drift between them."""
+    from sgdnet_spark.glm.sgdnet import colref
+
+    e = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], cols):
+        if w != 0.0:
+            e = e + F.lit(float(w)) * colref(c).cast("double")
+    if offset_col is not None:
+        e = e + colref(offset_col).cast("double")
+    return e
+
+
 def _auc(y: np.ndarray, prob: np.ndarray) -> float:
     """Mann-Whitney AUC (ties get midranks)."""
     order = np.argsort(prob, kind="mergesort")
@@ -110,8 +127,6 @@ def auc_path_distributed(
     residual error is the within-bucket midrank approximation,
     ≤ 1/bins in rank units.
     """
-    from sgdnet_spark.glm.sgdnet import colref
-
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
     cf = fit.coef(s_arr)
     nl = cf.shape[-1]
@@ -119,13 +134,7 @@ def auc_path_distributed(
     y = F.when(F.col(label_col) == F.lit(cls[1]), 1.0).otherwise(0.0)
 
     def _eta(i: int) -> F.Column:
-        e = F.lit(float(cf[0, i]))
-        for w, c in zip(cf[1:, i], cols):
-            if w != 0.0:
-                e = e + F.lit(float(w)) * colref(c).cast("double")
-        if offset_col is not None:
-            e = e + colref(offset_col).cast("double")
-        return e
+        return eta_expr(cf[:, i], cols, offset_col)
 
     # AUC is rank-based, so any strictly increasing transform of the
     # score preserves it — bin the min-max-normalized LINK per path
@@ -246,23 +255,17 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s,
     per-lambda per-class eta expressions -> softmax -> measure (all
     JVM-side; mirrors score_np's multinomial branch). ``offset_cols``
     is the n×k offset — one column per class, added to its eta."""
-    from sgdnet_spark.glm.sgdnet import colref
-
     s_arr = fit.lambdas if s is None else np.atleast_1d(s)
     cf = fit.coef(s_arr)  # (k, p+1, nl)
     k, _, nl = cf.shape
     classes = fit.classnames
     aggs = []
     for i in range(nl):
-        etas = []
-        for c in range(k):
-            e = F.lit(float(cf[c, 0, i]))
-            for w, name in zip(cf[c, 1:, i], cols):
-                if w != 0.0:
-                    e = e + F.lit(float(w)) * colref(name).cast("double")
-            if offset_cols is not None:
-                e = e + colref(offset_cols[c]).cast("double")
-            etas.append(e)
+        etas = [
+            eta_expr(cf[c, :, i], cols,
+                     offset_cols[c] if offset_cols is not None else None)
+            for c in range(k)
+        ]
         mx = F.greatest(*etas) if k > 1 else etas[0]
         exps = [F.exp(e - mx) for e in etas]
         tot = exps[0]
@@ -313,12 +316,8 @@ def _score_mgaussian_distributed(fit, df, cols, label_cols, type_measure, s,
     for i in range(nl):
         row_sum = None
         for c in range(k):
-            e = F.lit(float(cf[c, 0, i]))
-            for w, name in zip(cf[c, 1:, i], cols):
-                if w != 0.0:
-                    e = e + F.lit(float(w)) * colref(name).cast("double")
-            if offset_cols is not None:
-                e = e + colref(offset_cols[c]).cast("double")
+            e = eta_expr(cf[c, :, i], cols,
+                         offset_cols[c] if offset_cols is not None else None)
             d = e - colref(names[c]).cast("double")
             term = d * d if type_measure in ("deviance", "mse") else F.abs(d)
             row_sum = term if row_sum is None else row_sum + term
@@ -350,7 +349,13 @@ def score(
     fit was trained with offset_col (scoring an offset fit without the
     offset would silently return wrong deviance/mse/mae), added to
     every linear predictor before the link inversion."""
-    cols = list(feature_cols) if feature_cols else fit.feature_names
+    # a STRING feature_cols names a single array<numeric> column (the
+    # same convention as sgdnet()): expand to element references at the
+    # fit's width — list(str) would split the name into characters
+    if isinstance(feature_cols, str):
+        cols = [f"{feature_cols}[{i}]" for i in range(len(fit.feature_names))]
+    else:
+        cols = list(feature_cols) if feature_cols else fit.feature_names
     fam = fit.family
     from sgdnet_spark.glm.sgdnet import colref
 
@@ -416,12 +421,7 @@ def score(
 
     aggs = []
     for i in range(nl):
-        eta = F.lit(float(cf[0, i]))
-        for w, c in zip(cf[1:, i], cols):
-            if w != 0.0:
-                eta = eta + F.lit(float(w)) * colref(c).cast("double")
-        if offset_col is not None:
-            eta = eta + colref(offset_col).cast("double")
+        eta = eta_expr(cf[:, i], cols, offset_col)
         if fam == "gaussian":
             d = eta - ycol
             expr = _mean(d * d) if type_measure in ("deviance", "mse") else _mean(F.abs(d))

@@ -612,8 +612,6 @@ def validate_weights_offsets(df, weights_col=None, offset_names=()):
     (None when no weights). Shared by the dense (sgdnet) and sparse
     (sgdnet_sparse) entry points so their input contracts cannot drift.
     """
-    from pyspark.sql import functions as F
-
     if weights_col is None and not offset_names:
         return None
     wc = F.col(weights_col).cast("double") if weights_col is not None else None

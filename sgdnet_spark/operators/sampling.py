@@ -149,9 +149,12 @@ def mix_corpora(
         if r["t"] is not None and r["t"] > 0
     }
     if not any(s in avail and w > 0 for s, w in weights.items()):
+        # str() the keys: a NULL source_col groups under key None, which
+        # would make sorted() raise and mask this diagnostic
         raise ValueError(
             f"no source in weights {sorted(weights)} has positive "
-            f"{weight_col} in the data (usable sources: {sorted(avail)})"
+            f"{weight_col} in the data (usable sources: "
+            f"{sorted(str(k) for k in avail)})"
         )
     T = min(avail[s] / w for s, w in weights.items() if s in avail and w > 0)
     rates = {s: w * T / avail[s] for s, w in weights.items() if s in avail}

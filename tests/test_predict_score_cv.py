@@ -181,3 +181,24 @@ def test_predict_coefficients_and_nonzero_types(gauss_df):
     nz = fit.predict(df, type="nonzero")
     assert nz == fit.nonzero()
     assert nz[0] == []  # lambda_max kills everything
+
+
+def test_score_accepts_array_column_name(spark):
+    """score(feature_cols='emb') — the array<numeric> single-column
+    convention sgdnet() uses — must expand to element references, not
+    split the name into characters."""
+    import numpy as np
+    import pandas as pd
+
+    from sgdnet_spark.glm import sgdnet
+    from sgdnet_spark.glm.score import score
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(300, 4))
+    y = X @ [1.0, -0.5, 0.2, 0.0] + 0.1 * rng.normal(size=300)
+    pdf = pd.DataFrame({"emb": list(X), "y": y})
+    df = spark.createDataFrame(pdf)
+    fit = sgdnet(df, "emb", "y", family="gaussian", nlambda=4)
+    m_str = score(fit, df, "emb", "y", "mse")
+    m_names = score(fit, df, None, "y", "mse")
+    assert np.allclose(m_str, m_names)
