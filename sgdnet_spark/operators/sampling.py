@@ -165,3 +165,51 @@ def mix_corpora(
         rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
     rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return df.filter(u < rate), rates
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    tokens_col: Column | str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style training prep).
+
+    Within each ``group_col`` partition, documents are concatenated in
+    ``id_col`` order into one token stream that is cut every ``budget``
+    tokens; documents may span chunk boundaries. Each document's
+    placement is a pure function of the running token count before it:
+
+    - ``chunk_first``  = floor(start / budget)
+    - ``chunk_offset`` = start % budget (position inside chunk_first)
+    - ``chunk_last``  = floor((start + n_tokens - 1) / budget)
+    - ``chunks_spanned`` = chunk_last - chunk_first + 1
+
+    One window (running sum per group) is the only state; at 100 TB the
+    group key is (source, shard) — packing is per training shard anyway,
+    so per-group running sums parallelize across shards and no global
+    sort exists. The mapping replays exactly in ANSI SQL (the driver's
+    ``pack_sequences`` oracle), and is independent of physical
+    partitioning because the order key is the id, not arrival order.
+    """
+    from pyspark.sql import Window
+
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    b = F.lit(int(budget))
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    start = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("bigint")
+    n = toks.cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n.alias("n_tokens"),
+        F.floor(start / b).cast("bigint").alias("chunk_first"),
+        (start % b).cast("bigint").alias("chunk_offset"),
+        F.floor((start + n - F.lit(1)) / b).cast("bigint").alias("chunk_last"),
+        (F.floor((start + n - F.lit(1)) / b) - F.floor(start / b) + F.lit(1))
+        .cast("bigint")
+        .alias("chunks_spanned"),
+    )

@@ -249,3 +249,39 @@ def test_repetition_stats_planted(spark):
     r2 = out[2]
     assert abs(r2["top_token_frac"] - 0.2) < 1e-9
     assert abs(r2["dup_bigram_frac"]) < 1e-9
+
+
+def test_events_funnel_hand_case(spark):
+    """events_funnel on a hand-built log: stage times must be the
+    earliest qualifying event STRICTLY after the previous stage."""
+    import datetime as dt
+
+    from sgdnet_spark.queries import events_funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: view@1 -> click@5 (click@0 precedes the view: ignored)
+        #         -> purchase@9   => full funnel, 4s + 4s
+        (1, "click", t(0)), (1, "view", t(1)), (1, "click", t(5)),
+        (1, "purchase", t(9)),
+        # user 2: view@2, click@2 (tie NOT after) -> no click stage
+        (2, "view", t(2)), (2, "click", t(2)),
+        # user 3: purchase precedes click: view@0 -> click@8; purchase@4 ignored
+        (3, "view", t(0)), (3, "purchase", t(4)), (3, "click", t(8)),
+        # user 4: clicks only -> no view stage
+        (4, "click", t(3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    import sgdnet_spark.queries as Q
+
+    orig = Q._t
+    Q._t = lambda _s, _d, name: ev  # noqa: E731
+    try:
+        out = {r["stage"]: r.asDict() for r in events_funnel(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    assert out["1_view"]["n_users"] == 3 and out["1_view"]["lat_us_total"] is None
+    assert out["2_click"]["n_users"] == 2  # users 1 and 3
+    assert out["2_click"]["lat_us_total"] == (4 + 8) * 1_000_000
+    assert out["3_purchase"]["n_users"] == 1  # user 1 only
+    assert out["3_purchase"]["lat_us_total"] == 4 * 1_000_000

@@ -107,3 +107,56 @@ def test_mix_corpora_null_and_zero_weight_sources(docs):
     assert "fr" not in rates
     assert out.filter(F.col("lang") == "fr").count() == 0
     assert out.count() > 0
+
+
+def test_pack_sequences_stream_invariants(spark):
+    # 3 sources x uneven token counts; replay the concat-and-chunk rule
+    # in plain python and require exact agreement, plus the structural
+    # invariants any packing must satisfy.
+    rng = np.random.default_rng(5)
+    n = 400
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b", "c"], size=n),
+        "n_tok": rng.integers(1, 90, size=n).astype(np.int64),
+    })
+    B = 64
+    out = (
+        S.pack_sequences(spark.createDataFrame(pdf).repartition(7), B, "n_tok")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # python replay
+    for src, grp in pdf.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        start = 0
+        for _, row in grp.iterrows():
+            got = out[out.doc_id == row.doc_id].iloc[0]
+            assert got.chunk_first == start // B
+            assert got.chunk_offset == start % B
+            assert got.chunk_last == (start + row.n_tok - 1) // B
+            assert got.chunks_spanned == got.chunk_last - got.chunk_first + 1
+            start += row.n_tok
+    # invariants: offsets in [0, B); docs tile the stream with no gaps
+    assert ((out.chunk_offset >= 0) & (out.chunk_offset < B)).all()
+    for src, grp in out.groupby("source"):
+        g = grp.sort_values("doc_id")
+        pos = (g.chunk_first * B + g.chunk_offset).to_numpy()
+        assert (pos[1:] == pos[:-1] + g.n_tokens.to_numpy()[:-1]).all()
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "source": ["s"] * 100,
+        "n_tok": np.full(100, 10, dtype=np.int64),
+    })
+    a = S.pack_sequences(spark.createDataFrame(pdf).coalesce(1), 32, "n_tok").toPandas()
+    b = S.pack_sequences(spark.createDataFrame(pdf).repartition(13), 32, "n_tok").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # constant 10-token docs into 32-token chunks: doc k starts at 10k
+    assert (a.chunk_first == (a.doc_id * 10) // 32).all()
+    assert (a.chunks_spanned <= 2).all()
