@@ -285,3 +285,30 @@ def test_events_funnel_hand_case(spark):
     assert out["2_click"]["lat_us_total"] == (4 + 8) * 1_000_000
     assert out["3_purchase"]["n_users"] == 1  # user 1 only
     assert out["3_purchase"]["lat_us_total"] == 4 * 1_000_000
+
+
+def test_events_retention_hand_case(spark):
+    import datetime as dt
+
+    import sgdnet_spark.queries as Q
+
+    d = lambda day: dt.datetime(2024, 1, 1 + day)  # noqa: E731
+    rows = [
+        (1, "view", d(0)),   # u1 cohort wk0
+        (1, "view", d(1)),   # same week, dedups
+        (1, "view", d(8)),   # wk1 -> offset 1
+        (2, "view", d(7)),   # u2 cohort wk1
+        (2, "view", d(20)),  # wk2 -> offset 1
+        (3, "view", d(0)),   # u3 cohort wk0, never returns
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    orig = Q._t
+    Q._t = lambda _s, _d, name: ev  # noqa: E731
+    try:
+        out = {
+            (r["cohort_week"], r["week_offset"]): r["n_users"]
+            for r in Q.events_retention(spark, "unused").collect()
+        }
+    finally:
+        Q._t = orig
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
