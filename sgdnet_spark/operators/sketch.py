@@ -104,6 +104,21 @@ class CountMinSketch:
         self.w = w
         self.seeds = seeds
 
+    def estimate_col(self, col: Column) -> Column:
+        """JVM-side point estimate: min over the d seed rows of the
+        counter ``col`` hashes into (broadcast literal counter arrays;
+        0 for untouched cells). CMS never underestimates, so
+        ``estimate_col(c) >= T`` is a no-false-negative heavy-hitter
+        pre-filter — an exact recount on just the candidates then
+        yields the exact answer (the sketch_prefilter driver entry)."""
+        est = None
+        for s in self.seeds:
+            dense = [self.table.get((s, p), 0) for p in range(self.w)]
+            pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(self.w))
+            v = F.element_at(F.lit(dense), pos.cast("int") + 1)
+            est = v if est is None else F.least(est, v)
+        return est
+
     def estimate_count(self, value) -> int:
         row = self.spark.range(1).select(
             *[F.pmod(F.xxhash64(F.lit(value), F.lit(s)), F.lit(self.w)).alias(f"p{i}")

@@ -47,3 +47,30 @@ def test_count_min_heavy_hitter(spark):
     est = cms.estimate_count("hot")
     assert 3000 <= est <= 3000 * 1.05
     assert cms.estimate_count("absent-key") <= 4000 * 0.01  # eps * total bound
+
+
+def test_count_min_estimate_col_screen(spark):
+    """estimate_col must never underestimate (no lost heavy hitters),
+    and screening + exact recount must equal the plain exact answer."""
+    rows = [(f"h{i}",) for i in range(5) for _ in range(200)] + [
+        (f"k{i % 400}",) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "key string")
+    cms = sketch.count_min(df, "key", eps=0.005)
+    T = 100
+    exact = {
+        r["key"]: r["c"]
+        for r in df.groupBy("key").agg(F.count("*").alias("c")).filter(F.col("c") >= T).collect()
+    }
+    cand = df.select("key").distinct().filter(cms.estimate_col(F.col("key")) >= T)
+    cand_keys = {r["key"] for r in cand.collect()}
+    assert set(exact) <= cand_keys  # CMS superset guarantee
+    verified = {
+        r["key"]: r["c"]
+        for r in df.join(cand, "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= T)
+        .collect()
+    }
+    assert verified == exact
