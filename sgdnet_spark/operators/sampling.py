@@ -196,20 +196,29 @@ def pack_sequences(
     from pyspark.sql import Window
 
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    b = F.lit(int(budget))
+    b = int(budget)
     w = Window.partitionBy(group_col).orderBy(id_col)
+    # all arithmetic stays in bigint (DIV, %): double division would
+    # silently misplace docs once a group's running count passes 2^53;
+    # start >= 0 so truncating DIV == floor
     start = F.coalesce(
         F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     ).cast("bigint")
-    n = toks.cast("bigint")
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.col(group_col),
-        n.alias("n_tokens"),
-        F.floor(start / b).cast("bigint").alias("chunk_first"),
-        (start % b).cast("bigint").alias("chunk_offset"),
-        F.floor((start + n - F.lit(1)) / b).cast("bigint").alias("chunk_last"),
-        (F.floor((start + n - F.lit(1)) / b) - F.floor(start / b) + F.lit(1))
-        .cast("bigint")
-        .alias("chunks_spanned"),
+        toks.cast("bigint").alias("n_tokens"),
+        start.alias("_start"),
+    )
+    placed = staged.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.expr(f"_start DIV {b}").cast("bigint").alias("chunk_first"),
+        (F.col("_start") % b).cast("bigint").alias("chunk_offset"),
+        F.expr(f"(_start + n_tokens - 1) DIV {b}").cast("bigint").alias("chunk_last"),
+    )
+    return placed.withColumn(
+        "chunks_spanned",
+        (F.col("chunk_last") - F.col("chunk_first") + F.lit(1)).cast("bigint"),
     )

@@ -109,8 +109,11 @@ class CountMinSketch:
         counter ``col`` hashes into (broadcast literal counter arrays;
         0 for untouched cells). CMS never underestimates, so
         ``estimate_col(c) >= T`` is a no-false-negative heavy-hitter
-        pre-filter — an exact recount on just the candidates then
-        yields the exact answer (the sketch_prefilter driver entry)."""
+        pre-filter. Literal-array lookup is right for SMALL w (a few
+        thousand counters); for threshold-sized sketches use
+        ``cms_screen`` — a broadcast join against the sketch-sized
+        counter relation — instead of materializing w literals per seed
+        in the plan."""
         est = None
         for s in self.seeds:
             dense = [self.table.get((s, p), 0) for p in range(self.w)]
@@ -127,6 +130,48 @@ class CountMinSketch:
         return min(
             self.table.get((s, int(row[f"p{i}"])), 0) for i, s in enumerate(self.seeds)
         )
+
+
+def cms_screen(
+    keys: DataFrame, col: str, cms: CountMinSketch, threshold: int
+) -> DataFrame:
+    """Keys whose CMS estimate >= threshold — a SUPERSET of the true
+    heavy hitters (CMS never underestimates), so an exact recount on
+    the survivors yields the exact answer.
+
+    The sketch travels as a broadcast (seed, pos, count) relation —
+    d×w rows, independent of data size — and each key's estimate is
+    MIN over its d probed counters (missing cells count 0). This is
+    the scale shape: one keys-side shuffle, sketch-sized broadcast,
+    no plan-sized literals (estimate_col's literal arrays make codegen
+    quadratic in w)."""
+    spark = keys.sparkSession
+    tbl = spark.createDataFrame(
+        [(s, p, c) for (s, p), c in cms.table.items()] or [],
+        "s int, p int, c bigint",
+    )
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(cms.w))
+                        .cast("int")
+                        .alias("p"),
+                    )
+                    for s in cms.seeds
+                ]
+            )
+        ).alias("sp"),
+    ).select(col, "sp.s", "sp.p")
+    est = (
+        probes.join(F.broadcast(tbl), ["s", "p"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    return est.filter(F.col("est") >= F.lit(int(threshold))).select(col)
 
 
 def count_min(

@@ -62,9 +62,17 @@ def test_count_min_estimate_col_screen(spark):
         r["key"]: r["c"]
         for r in df.groupBy("key").agg(F.count("*").alias("c")).filter(F.col("c") >= T).collect()
     }
-    cand = df.select("key").distinct().filter(cms.estimate_col(F.col("key")) >= T)
+    cand = sketch.cms_screen(df.select("key").distinct(), "key", cms, T)
     cand_keys = {r["key"] for r in cand.collect()}
     assert set(exact) <= cand_keys  # CMS superset guarantee
+    # the literal-array point estimator must agree with the join screen
+    lit_keys = {
+        r["key"]
+        for r in df.select("key").distinct()
+        .filter(cms.estimate_col(F.col("key")) >= T)
+        .collect()
+    }
+    assert lit_keys == cand_keys
     verified = {
         r["key"]: r["c"]
         for r in df.join(cand, "key", "left_semi")
