@@ -173,6 +173,8 @@ def pack_sequences(
     tokens_col: Column | str,
     group_col: str = "source",
     id_col: str = "doc_id",
+    n_shards: int | None = None,
+    shard_salt: str = "pack_shard",
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (GPT-style training prep).
 
@@ -186,10 +188,19 @@ def pack_sequences(
     - ``chunk_last``  = floor((start + n_tokens - 1) / budget)
     - ``chunks_spanned`` = chunk_last - chunk_first + 1
 
-    One window (running sum per group) is the only state; at 100 TB the
-    group key is (source, shard) — packing is per training shard anyway,
-    so per-group running sums parallelize across shards and no global
-    sort exists. The mapping replays exactly in ANSI SQL (the driver's
+    One window (running sum per group) is the only state. With a handful
+    of sources, one source = one window partition = one task, so at
+    scale the window must parallelize WITHIN a source: pass ``n_shards``
+    and each document is deterministically assigned a shard
+    (floor(hash_fraction(id, shard_salt) * n_shards) — reproducible,
+    partitioning-independent) and packing runs per (group, shard). That
+    matches real training prep — shards are independent token streams
+    fed to different workers, each packed on its own running sum — and
+    caps window-partition size at |group|/n_shards. The output then
+    carries a ``shard`` column; packing a shard's rows alone yields the
+    identical placement (shards are independent by construction).
+
+    The mapping replays exactly in ANSI SQL (the driver's
     ``pack_sequences`` oracle), and is independent of physical
     partitioning because the order key is the id, not arrival order.
     """
@@ -197,7 +208,14 @@ def pack_sequences(
 
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     b = int(budget)
-    w = Window.partitionBy(group_col).orderBy(id_col)
+    group_cols = [group_col]
+    if n_shards is not None:
+        shard = F.floor(
+            hash_fraction(id_col, shard_salt) * F.lit(int(n_shards))
+        ).cast("int")
+        df = df.withColumn("shard", shard)
+        group_cols.append("shard")
+    w = Window.partitionBy(*group_cols).orderBy(id_col)
     # all arithmetic stays in bigint (DIV, %): double division would
     # silently misplace docs once a group's running count passes 2^53;
     # start >= 0 so truncating DIV == floor
@@ -206,13 +224,13 @@ def pack_sequences(
     ).cast("bigint")
     staged = df.select(
         F.col(id_col),
-        F.col(group_col),
+        *[F.col(c) for c in group_cols],
         toks.cast("bigint").alias("n_tokens"),
         start.alias("_start"),
     )
     placed = staged.select(
         id_col,
-        group_col,
+        *group_cols,
         "n_tokens",
         F.expr(f"_start DIV {b}").cast("bigint").alias("chunk_first"),
         (F.col("_start") % b).cast("bigint").alias("chunk_offset"),

@@ -12,6 +12,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def parquet_row_count(path: str) -> int | None:
+    """Row count from parquet footer metadata only — zero data read, no
+    Spark job. Sketch SIZING needs a row-count estimate (CMS width
+    w ≈ 8N/T, Bloom m from expected inserts) but sketch CORRECTNESS
+    never depends on it, so a stats-grade number must not cost a full
+    scan: at 100 TB a ``df.count()`` solely for sizing is a complete
+    pass over the table, while every parquet writer already committed
+    the exact count to the footers (the same place a lakehouse
+    table-statistics catalog reads it from). Returns None when the path
+    isn't a readable parquet file/directory — callers fall back to
+    ``df.count()``."""
+    try:
+        import pyarrow.dataset as ds
+
+        return int(ds.dataset(path, format="parquet").count_rows())
+    except Exception:  # noqa: BLE001 — sizing fallback, never correctness
+        return None
+
+
 def approx_distinct(df: DataFrame, cols: list[str], rsd: float = 0.02) -> DataFrame:
     return df.agg(
         *[F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct") for c in cols]
@@ -60,9 +79,13 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
     the probe side of a join to drop non-matching rows pre-shuffle).
 
     Each partition packs its hash positions into an m-bit numpy word
-    array; partials are OR-merged on the driver — the transfer is
-    #partitions × m/8 bytes, independent of row count (the same merge
-    shape as Spark's own BloomFilterAggregate)."""
+    array; partials are OR-merged executor-side in a tree (fanout 64,
+    one extra level only when the partition count needs it) down to a
+    single bitset row, so the driver transfer is O(m/8) — NOT
+    O(#partitions × m/8) — and the widest single merge task streams at
+    most 64 partials through an in-place OR (the partial→final shape of
+    Spark's own BloomFilterAggregate). A billion-key build (m ≈ 1.2 GB)
+    therefore costs the driver one bitset, not one per partition."""
     import math
 
     from typing import Iterator
@@ -90,10 +113,31 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
         if seen:
             yield pd.DataFrame({"words": [acc.view(np.int64).tolist()]})
 
-    parts = positions.mapInPandas(pack, schema="words array<long>").collect()
-    acc = np.zeros(n_words, dtype=np.int64)
-    for r in parts:
-        acc |= np.asarray(r["words"], dtype=np.int64)
+    def or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(n_words, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            for lst in pdf["words"]:
+                acc |= np.asarray(lst, dtype=np.int64)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"words": [acc.tolist()]})
+
+    partials = positions.mapInPandas(pack, schema="words array<long>")
+    fanout = 64
+    n_parts = positions.rdd.getNumPartitions()
+    if n_parts > fanout:  # extra tree level: no merge task sees > fanout bitsets
+        partials = partials.repartition(-(-n_parts // fanout)).mapInPandas(
+            or_merge, schema="words array<long>"
+        )
+    merged = partials.repartition(1).mapInPandas(
+        or_merge, schema="words array<long>"
+    ).collect()
+    acc = (
+        np.asarray(merged[0]["words"], dtype=np.int64)
+        if merged
+        else np.zeros(n_words, dtype=np.int64)
+    )
     return BloomFilter(acc, m, k, seeds)
 
 

@@ -18,7 +18,11 @@ import pytest
 
 import __spark_entry__ as E
 from sgdnet_spark._golden import GOLDEN
-from sgdnet_spark.queries import QUERIES
+from sgdnet_spark.queries import QUERIES, SUBQUERIES
+
+# golden-pinned entries may live in the driver registry or (since the
+# round-7 gate packing) in the sub-entry registry under an umbrella
+ALL_QUERIES = {**SUBQUERIES, **QUERIES}
 from sgdnet_spark.testing import canonical_hash
 
 PIN_SF_DIR = "/root/testdata/sf0.01"
@@ -55,7 +59,7 @@ _GOLDEN_ROW_FILTERS = {"glm_predict_class": lambda row: row["s"] != 0}
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_golden_constants_match_current_output(spark, name):
-    df = QUERIES[name](spark, PIN_SF_DIR)
+    df = ALL_QUERIES[name](spark, PIN_SF_DIR)
     entry = GOLDEN[name]
     assert df.columns == entry["columns"], f"{name} schema drifted"
     rows = [r.asDict() for r in df.collect()]

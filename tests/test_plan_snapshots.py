@@ -20,8 +20,10 @@ SNAP_SF_DIR = "/root/testdata/sf0.001"
 def test_query_plan_shapes_match_snapshots(spark):
     with open(SNAP_FILE) as fh:
         want = json.load(fh)
+    from sgdnet_spark.queries import SUBQUERIES
+
     got = {}
-    for name, fn in E.queries().items():
+    for name, fn in {**SUBQUERIES, **E.queries()}.items():
         df = fn(spark, SNAP_SF_DIR)
         got[name] = {
             "shuffles": introspect.shuffle_count(df),

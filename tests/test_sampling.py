@@ -160,3 +160,51 @@ def test_pack_sequences_partitioning_independent(spark):
     # constant 10-token docs into 32-token chunks: doc k starts at 10k
     assert (a.chunk_first == (a.doc_id * 10) // 32).all()
     assert (a.chunks_spanned <= 2).all()
+
+
+def test_pack_sequences_sharded(spark):
+    """n_shards parallelizes packing WITHIN a source: shard assignment is
+    a deterministic hash of the id, every (source, shard) stream packs on
+    its own running sum, and packing one shard's rows alone reproduces
+    the identical placement (shards are independent token streams)."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(11)
+    n = 600
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b"], size=n),
+        "n_tok": rng.integers(1, 50, size=n).astype(np.int64),
+    })
+    B, K = 64, 4
+    out = (
+        S.pack_sequences(spark.createDataFrame(pdf).repartition(9), B, "n_tok",
+                         n_shards=K)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # shard column present, in range, and covers >1 shard per source
+    assert set(out.columns) >= {"shard", "chunk_first", "chunk_offset"}
+    assert out.shard.between(0, K - 1).all()
+    assert out.groupby("source").shard.nunique().min() > 1
+    # physical-partitioning independence (same rows, different layout)
+    out2 = (
+        S.pack_sequences(spark.createDataFrame(pdf).coalesce(1), B, "n_tok",
+                         n_shards=K)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    # per-(source, shard) streams tile with no gaps from offset 0
+    for (_, _), grp in out.groupby(["source", "shard"]):
+        g = grp.sort_values("doc_id")
+        pos = (g.chunk_first * B + g.chunk_offset).to_numpy()
+        assert pos[0] == 0
+        assert (pos[1:] == pos[:-1] + g.n_tokens.to_numpy()[:-1]).all()
+    # shard independence: packing shard 0's subset alone is identical
+    sub_ids = out[out.shard == 0].doc_id.to_numpy()
+    sub_pdf = pdf[pdf.doc_id.isin(sub_ids)]
+    sub = (
+        S.pack_sequences(spark.createDataFrame(sub_pdf), B, "n_tok", n_shards=K)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = out[out.shard == 0].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sub, want)

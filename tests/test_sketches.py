@@ -82,3 +82,22 @@ def test_count_min_estimate_col_screen(spark):
         .collect()
     }
     assert verified == exact
+
+
+def test_bloom_build_partitioning_independent(spark):
+    """The tree-merged Bloom build (fanout-64 executor-side OR-reduce)
+    must produce the SAME bitset regardless of input partitioning —
+    including with enough partitions to engage the extra tree level —
+    and never false-negative."""
+    import numpy as np
+
+    from sgdnet_spark.operators import sketch
+
+    vals = spark.range(0, 3000).selectExpr("id * 7 AS k")
+    a = sketch.bloom_filter(vals.coalesce(1), "k", expected=3000)
+    b = sketch.bloom_filter(vals.repartition(130), "k", expected=3000)
+    assert a.m == b.m and a.k == b.k
+    assert np.array_equal(np.asarray(a.words), np.asarray(b.words))
+    # no false negatives
+    missed = vals.filter(~a.might_contain_col(F.col("k"))).count()
+    assert missed == 0

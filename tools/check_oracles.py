@@ -41,6 +41,12 @@ def main() -> int:
 
     qs = queries()
     os_ = oracle_sql()
+    # sub-entries (folded into umbrella registry keys) keep their own
+    # oracles — check them too for granular failure localization
+    from sgdnet_spark.queries import SUBORACLES, SUBQUERIES  # noqa: E402
+
+    qs.update(SUBQUERIES)
+    os_.update(SUBORACLES)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -28,9 +28,13 @@ SNAP_FILE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
 
 
 def compute() -> dict:
+    from sgdnet_spark.queries import SUBQUERIES
+
     spark = get_spark("snapshot_plans", shuffle_partitions=8)
     snaps = {}
-    for name, fn in queries().items():
+    # sub-entries first so plan drift localizes to the operator, then the
+    # driver-facing umbrellas/registry
+    for name, fn in {**SUBQUERIES, **queries()}.items():
         df = fn(spark, SNAP_SF_DIR)
         snaps[name] = {
             "shuffles": introspect.shuffle_count(df),
