@@ -49,7 +49,8 @@ def _glm_mgaussian_bench(spark, sf_dir):
     return fit.path_frame(spark)
 
 
-# names resolve in QUERIES unless an explicit callable is given
+# names resolve in QUERIES (then SUBQUERIES) unless an explicit callable
+# is given
 HEADLINERS: list[str | tuple[str, object]] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -68,6 +69,15 @@ HEADLINERS: list[str | tuple[str, object]] = [
     "ann_topk_bruteforce",
     "text_quality",
     "text_fingerprint",
+]
+
+# round-7 additions: the most expensive registered workloads that were
+# previously unmetered in the artifact of record. Kept OUT of the
+# r1-comparable set (they did not exist in round 1); the JSON reports
+# both the full total and the r1-comparable subtotal.
+HEADLINERS_R7: list[str] = [
+    "sketch_prefilter",  # bloom prefilter + CMS heavy hitters, exact-verified
+    "decontaminate",     # benchmark k-gram scrub (sub-entry of text_scrub)
 ]
 
 
@@ -153,7 +163,10 @@ def main() -> None:
     #   SPARK_GRAFT_UI=true python bench.py
     spark = get_spark("sgdnet_spark_bench")
 
-    from sgdnet_spark.queries import QUERIES
+    from sgdnet_spark.queries import QUERIES, SUBQUERIES
+
+    def _resolve(name: str):
+        return QUERIES.get(name) or SUBQUERIES[name]
 
     # warm the JVM + parquet footers + Python UDF workers + local-relation
     # conversion (all one-time session costs, not per-query work)
@@ -169,8 +182,8 @@ def main() -> None:
     # otherwise stall all 32 tasks for seconds and leak into min-of-N
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for item in HEADLINERS:
-            name, fn = item if isinstance(item, tuple) else (item, QUERIES[item])
+        for item in HEADLINERS + HEADLINERS_R7:
+            name, fn = item if isinstance(item, tuple) else (item, _resolve(item))
             try:
                 fn(spark, warm_dir).count()
             except Exception as exc:  # warmup must never kill the bench
@@ -186,9 +199,10 @@ def main() -> None:
     # suite pass (~10s+), so the min is taken across well-separated quiet
     # windows; the cpu_time_sec twin is the contention-robust cross-check
     resolved = [
-        (item if isinstance(item, tuple) else (item, QUERIES[item]))
-        for item in HEADLINERS
+        (item if isinstance(item, tuple) else (item, _resolve(item)))
+        for item in HEADLINERS + HEADLINERS_R7
     ]
+    r1_names = {item if isinstance(item, str) else item[0] for item in HEADLINERS}
     best: dict[str, float] = {name: float("inf") for name, _ in resolved}
     best_cpu: dict[str, float] = {name: -1.0 for name, _ in resolved}
     rows: dict[str, int] = {}
@@ -222,6 +236,12 @@ def main() -> None:
                 "queries": times,
                 "cpu_time_sec": cpu_times,
                 "cpu_time_total": round(sum(cpu_times.values()), 3),
+                # the r1 baseline total (BASELINE.md) covers only the
+                # original 17 workloads; this subtotal is the
+                # like-for-like comparison after the round-7 additions
+                "value_r1_comparable": round(
+                    sum(v for k, v in times.items() if k in r1_names), 3
+                ),
                 "sf": float(sf),
             }
         )

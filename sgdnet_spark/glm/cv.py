@@ -61,20 +61,28 @@ class CvSgdnetFit:
         )
 
     def _resolve_s(self, s):
-        if s == "lambda_min" or s is None:
-            return self.lambda_min
-        if s == "lambda_1se":
+        # reference predict.cv_sgdnet.R:46-53: s = c("lambda_1se",
+        # "lambda_min") — match.arg picks the FIRST entry, so the
+        # DEFAULT selector is lambda_1se (the most-regularized model
+        # within one SE of the CV minimum); numeric s passes through
+        if s == "lambda_1se" or s is None:
             return self.lambda_1se
+        if s == "lambda_min":
+            return self.lambda_min
         return s
 
-    def predict(self, newx: DataFrame, s="lambda_min", **kw) -> DataFrame:
-        """reference predict.cv_sgdnet.R: s may be 'lambda_min'/'lambda_1se'.
-        A relax CV applies its selected gamma blend unless overridden."""
+    def predict(self, newx: DataFrame, s="lambda_1se", **kw) -> DataFrame:
+        """reference predict.cv_sgdnet.R: s may be 'lambda_min'/'lambda_1se'
+        (default lambda_1se, matching match.arg on c("lambda_1se",
+        "lambda_min")) or a numeric lambda; delegates to the full-data
+        fit's predict (stats::predict(object$fit, ...)), so type=/exact=
+        pass through. A relax CV applies its selected gamma blend unless
+        overridden."""
         if self.gamma_min is not None and self.fit.beta_relaxed is not None:
             kw.setdefault("gamma", self.gamma_min)
         return self.fit.predict(newx, s=self._resolve_s(s), **kw)
 
-    def coef(self, s="lambda_min", gamma: float | None = None):
+    def coef(self, s="lambda_1se", gamma: float | None = None):
         """Coefficients at the selected (or given) path point. A relax CV
         applies its selected gamma blend by default so coef() and
         predict() describe the SAME model; pass gamma explicitly to

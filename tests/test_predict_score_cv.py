@@ -202,3 +202,37 @@ def test_score_accepts_array_column_name(spark):
     m_str = score(fit, df, "emb", "y", "mse")
     m_names = score(fit, df, None, "y", "mse")
     assert np.allclose(m_str, m_names)
+
+
+def test_cv_predict_coef_reference_selector_semantics(gauss_df, spark):
+    """predict.cv_sgdnet.R parity: s = c('lambda_1se', 'lambda_min') —
+    match.arg makes lambda_1se the DEFAULT; string selectors resolve to
+    object[[s]]; numeric s passes straight through; and prediction
+    delegates to the full-data fit (stats::predict(object$fit, ...)),
+    so type=/exact= compose with the selectors."""
+    df, cols, x, y = gauss_df
+    cv = cv_sgdnet(df, cols, "y", nfolds=3, nlambda=10, type_measure="mse")
+
+    def col(d, name="p"):
+        return d.select(name).toPandas()[name].to_numpy()
+
+    # default == lambda_1se == explicit string == numeric passthrough
+    p_default = col(cv.predict(df, prefix="p"))
+    p_1se = col(cv.predict(df, s="lambda_1se", prefix="p"))
+    p_1se_num = col(cv.fit.predict(df, s=cv.lambda_1se, prefix="p"))
+    assert np.array_equal(p_default, p_1se)
+    assert np.array_equal(p_default, p_1se_num)
+    # lambda_min selector resolves to object$lambda_min
+    p_min = col(cv.predict(df, s="lambda_min", prefix="p"))
+    p_min_num = col(cv.fit.predict(df, s=cv.lambda_min, prefix="p"))
+    assert np.array_equal(p_min, p_min_num)
+    if cv.lambda_1se != cv.lambda_min:
+        assert not np.array_equal(p_default, p_min)
+    # coef mirrors the same defaults (coef on CV fit = coef of $fit at s)
+    assert np.array_equal(cv.coef()[:, 0], cv.fit.coef(cv.lambda_1se)[:, 0])
+    assert np.array_equal(cv.coef("lambda_min")[:, 0], cv.fit.coef(cv.lambda_min)[:, 0])
+    # exact refit composes with the selector (predict.sgdnet exact=TRUE
+    # pathway reached through the CV wrapper): at an ON-path s the exact
+    # refit must agree with the stored path point
+    p_exact = col(cv.predict(df, s="lambda_min", exact=True, prefix="p"))
+    assert np.allclose(p_exact, p_min, atol=1e-6)

@@ -143,8 +143,8 @@ def test_cv_relax_selects_gamma(data):
     chosen = [r for r in cv.cv_gamma if r["gamma"] == cv.gamma_min][0]
     assert abs(chosen["mean"] - best) < 1e-12
     # prediction applies the chosen blend automatically, and can be overridden
-    p_auto = cv.predict(df).select("pred").first()[0]
-    p_pen = cv.predict(df, gamma=1.0).select("pred").first()[0]
+    p_auto = cv.predict(df, s="lambda_min").select("pred").first()[0]
+    p_pen = cv.predict(df, s="lambda_min", gamma=1.0).select("pred").first()[0]
     cf = cv.fit.coef(s=cv.lambda_min, gamma=cv.gamma_min)[:, 0]
     row = df.first()
     want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
@@ -202,7 +202,7 @@ def test_cv_relax_single_gamma_records_selection(data):
     cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
                    nlambda=6, relax=True, gammas=[0.0])
     assert cv.gamma_min == 0.0  # the only blend the CV ever evaluated
-    p = cv.predict(df).select("pred").first()[0]
+    p = cv.predict(df, s="lambda_min").select("pred").first()[0]
     cf = cv.fit.coef(s=cv.lambda_min, gamma=0.0)[:, 0]
     row = df.first()
     want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
@@ -216,13 +216,13 @@ def test_cv_relax_coef_matches_predict(data):
     cv = cv_sgdnet(df, FEATS, "y", family="gaussian", alpha=1.0, nfolds=5,
                    nlambda=6, lambda_min_ratio=1e-3, relax=True,
                    gammas=[0.0, 1.0])
-    cf = cv.coef()[:, 0]  # applies gamma_min by default
+    cf = cv.coef("lambda_min")[:, 0]  # applies gamma_min by default
     row = df.first()
     want = cf[0] + sum(cf[1 + j] * row[FEATS[j]] for j in range(5))
-    p = cv.predict(df).select("pred").first()[0]
+    p = cv.predict(df, s="lambda_min").select("pred").first()[0]
     assert abs(p - want) < 1e-8
     # explicit override recovers the penalized coefficients
-    assert np.allclose(cv.coef(gamma=1.0), cv.fit.coef(cv.lambda_min, gamma=1.0))
+    assert np.allclose(cv.coef("lambda_min", gamma=1.0), cv.fit.coef(cv.lambda_min, gamma=1.0))
 
 
 def test_gamma_mse_one_pass_matches_blend_scoring(data):
