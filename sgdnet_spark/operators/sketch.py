@@ -142,11 +142,17 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
 
 
 class CountMinSketch:
-    def __init__(self, spark, table, w: int, seeds: list[int]):
+    def __init__(self, spark, table, w: int, seeds: list[int], rel=None):
         self.spark = spark
-        self.table = table  # dict[(seed, pos)] -> count
+        self.table = table  # dict[(seed, pos)] -> count (None in relation mode)
         self.w = w
         self.seeds = seeds
+        # relation mode: the touched (s, p, c) cells stay a DataFrame —
+        # never collected to the driver, never re-uploaded; ``cms_screen``
+        # broadcasts it straight into the probe join. This is the scale
+        # shape: a d×w sketch with millions of touched cells would
+        # otherwise round-trip through Python row objects twice.
+        self.rel = rel
 
     def estimate_col(self, col: Column) -> Column:
         """JVM-side point estimate: min over the d seed rows of the
@@ -158,6 +164,12 @@ class CountMinSketch:
         ``cms_screen`` — a broadcast join against the sketch-sized
         counter relation — instead of materializing w literals per seed
         in the plan."""
+        if self.table is None:
+            raise ValueError(
+                "estimate_col needs a dict-mode sketch (count_min(..., "
+                "as_relation=False)); relation-mode sketches screen via "
+                "cms_screen's broadcast join"
+            )
         est = None
         for s in self.seeds:
             dense = [self.table.get((s, p), 0) for p in range(self.w)]
@@ -171,9 +183,15 @@ class CountMinSketch:
             *[F.pmod(F.xxhash64(F.lit(value), F.lit(s)), F.lit(self.w)).alias(f"p{i}")
               for i, s in enumerate(self.seeds)]
         ).first()
-        return min(
-            self.table.get((s, int(row[f"p{i}"])), 0) for i, s in enumerate(self.seeds)
-        )
+        probes = {(s, int(row[f"p{i}"])) for i, s in enumerate(self.seeds)}
+        if self.table is not None:
+            return min(self.table.get(sp, 0) for sp in probes)
+        cond = None
+        for s, p in probes:
+            c = (F.col("s") == s) & (F.col("p") == p)
+            cond = c if cond is None else cond | c
+        hits = {(r["s"], r["p"]): r["c"] for r in self.rel.filter(cond).collect()}
+        return min(hits.get(sp, 0) for sp in probes)
 
 
 def cms_screen(
@@ -190,10 +208,12 @@ def cms_screen(
     no plan-sized literals (estimate_col's literal arrays make codegen
     quadratic in w)."""
     spark = keys.sparkSession
-    tbl = spark.createDataFrame(
-        [(s, p, c) for (s, p), c in cms.table.items()] or [],
-        "s int, p int, c bigint",
-    )
+    tbl = cms.rel
+    if tbl is None:
+        tbl = spark.createDataFrame(
+            [(s, p, c) for (s, p), c in cms.table.items()] or [],
+            "s int, p int, c bigint",
+        )
     probes = keys.select(
         F.col(col),
         F.explode(
@@ -219,10 +239,17 @@ def cms_screen(
 
 
 def count_min(
-    df: DataFrame, col: str, eps: float = 0.001, confidence: float = 0.99
+    df: DataFrame, col: str, eps: float = 0.001, confidence: float = 0.99,
+    as_relation: bool = False,
 ) -> CountMinSketch:
     """Heavy-hitter frequency sketch, built with one distributed pass
-    (d×w counters; w=ceil(e/eps), d=ceil(ln(1/(1-confidence))))."""
+    (d×w counters; w=ceil(e/eps), d=ceil(ln(1/(1-confidence)))).
+
+    ``as_relation=True`` keeps the touched cells as a cached DataFrame
+    instead of a driver-side dict — the right mode for screen-sized
+    sketches (hundreds of thousands of touched cells), whose dict mode
+    would collect every cell into Python rows and re-upload them in
+    ``cms_screen``."""
     import math
 
     w = int(math.ceil(math.e / eps))
@@ -234,11 +261,23 @@ def count_min(
             for s in seeds
         ]
     )
-    rows = (
+    counted = (
         df.select(F.explode(cells).alias("c"))
         .groupBy("c.s", "c.p")
         .count()
-        .collect()
+        .select(
+            F.col("s").cast("int").alias("s"),
+            F.col("p").cast("int").alias("p"),
+            F.col("count").cast("bigint").alias("c"),
+        )
     )
-    table = {(int(r["s"]), int(r["p"])): int(r["count"]) for r in rows}
+    if as_relation:
+        # touched cells stay a lazy DataFrame: no driver collect, no
+        # Python re-upload — cms_screen broadcasts it into the probe
+        # join, so the build pass runs exactly when (and once per time)
+        # the screen is evaluated. Callers screening repeatedly should
+        # persist() cms.rel themselves.
+        return CountMinSketch(df.sparkSession, None, w, seeds, rel=counted)
+    rows = counted.collect()
+    table = {(int(r["s"]), int(r["p"])): int(r["c"]) for r in rows}
     return CountMinSketch(df.sparkSession, table, w, seeds)
