@@ -280,3 +280,66 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         rpos(F.col("top_big") / F.col("n_big"), 4).alias("top_bigram_frac"),
         rpos(F.lit(1.0) - F.col("uniq_big") / F.col("n_big"), 4).alias("dup_bigram_frac"),
     )
+
+
+def hash_bucket(tok: Column, n_buckets: int, salt: str = "qs") -> Column:
+    """Feature-hashing bucket for a token: first 8 md5 hex chars as a
+    uint32, mod n_buckets. md5 (not xxhash64) so the mapping replays
+    exactly in ANSI SQL — the same trick as sampling.hash_fraction."""
+    u = F.conv(F.substring(F.md5(F.concat(tok, F.lit(salt + "b"))), 1, 8), 16, 10)
+    return u.cast("long") % n_buckets
+
+
+def hash_score(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    weights: list[float] | None = None,
+    salt: str = "qs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality scoring over hashed bag-of-words features — the
+    fastText-style model-based filter stage of a training-data pipeline
+    (after the rule tiers: text_quality lengths/ratios, text_repetition
+    boilerplate): score(doc) = sum_j tf_j * w_j with j = hash(token).
+
+    Because the model is linear, the score folds to a PER-TOKEN weight
+    sum — no tf materialization, no shuffle, no state: one codegen pass
+    whose cost is O(tokens), embarrassingly parallel at 100 TB (model
+    scoring is a map). ``weights`` is the learned coefficient vector
+    (length n_buckets, e.g. from a sparse binomial sgdnet fit on hashed
+    features); it rides into the plan as one broadcast literal array.
+    With ``weights=None`` the weights are themselves md5-derived
+    (w_j = u32(md5(j||salt))/2^32 - 1/2 ∈ [-0.5, 0.5)) so the whole
+    operator — bucketing AND scoring — replays exactly in DuckDB for
+    the driver's value gate. Every weight is a dyadic rational k/2^32
+    and document sums stay far below 2^53 numerator bits, so the
+    aggregation is EXACT in IEEE double regardless of summation order —
+    the score needs no rounding to hash-match across engines.
+
+    Returns (id, n_tokens, score).
+    """
+    t = tokens(text_col)
+
+    if weights is not None:
+        if len(weights) != n_buckets:
+            raise ValueError(f"weights must have length n_buckets={n_buckets}")
+        warr = F.lit([float(w) for w in weights])
+
+        def wexpr(tok: Column) -> Column:
+            return F.element_at(warr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
+    else:
+
+        def wexpr(tok: Column) -> Column:
+            j = hash_bucket(tok, n_buckets, salt)
+            u = F.conv(
+                F.substring(F.md5(F.concat(j.cast("string"), F.lit(salt + "w"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            return u / F.lit(4294967296.0) - 0.5
+
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.aggregate(F.transform(t, wexpr), F.lit(0.0), lambda a, x: a + x).alias("score"),
+    )

@@ -312,3 +312,112 @@ def test_events_retention_hand_case(spark):
     finally:
         Q._t = orig
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_hash_score_exact_python_replay(spark):
+    """hash_score with md5-derived weights must equal a pure-python
+    replay EXACTLY (zero tolerance): every weight is a dyadic rational
+    k/2^32, so the document sum is exact in IEEE double in any
+    summation order — the property that lets the DuckDB oracle
+    hash-match without rounding."""
+    import hashlib
+
+    from sgdnet_spark.operators import text as T
+
+    docs = [(1, "the cat sat on the mat"), (2, "a b c a b a"), (3, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.hash_score(df, n_buckets=64, salt="t").collect()}
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for doc_id, txt in docs:
+        toks = txt.split(" ")
+        want = 0.0
+        for w in toks:
+            j = u32(w + "tb") % 64
+            want += u32(str(j) + "tw") / 4294967296.0 - 0.5
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert out[doc_id]["score"] == want  # exact, no tolerance
+
+
+def test_hash_score_learned_weights_mode(spark):
+    """weights= mode: a one-hot weight vector turns the score into the
+    count of tokens hashing into that bucket."""
+    import hashlib
+
+    from sgdnet_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y y y y")], "doc_id long, text string"
+    )
+    B = 32
+    jx = int(hashlib.md5(b"xtb").hexdigest()[:8], 16) % B
+    weights = [0.0] * B
+    weights[jx] = 1.0
+    out = {r["doc_id"]: r["score"] for r in
+           T.hash_score(df, n_buckets=B, weights=weights, salt="t").collect()}
+    jy = int(hashlib.md5(b"ytb").hexdigest()[:8], 16) % B
+    assert out[1] == (2.0 if jy != jx else 3.0)
+    assert out[2] == (0.0 if jy != jx else 4.0)
+    with pytest.raises(ValueError):
+        T.hash_score(df, n_buckets=B, weights=[1.0])
+
+
+def test_hash_score_trains_quality_model(spark):
+    """The train->score loop: hashed-TF features feed a binomial sgdnet
+    fit, and scoring with the LEARNED weight vector separates the
+    classes — the model-based quality-filter stage of a training
+    pipeline, end to end. (Corpus is constructed: the driver testdata's
+    languages share one vocabulary with near-identical frequencies, so
+    nothing is learnable from its tokens by design.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.glm import sgdnet
+    from sgdnet_spark.operators import text as T
+    from sgdnet_spark.operators.text import hash_bucket, tokens
+
+    B = 128
+    rng = np.random.default_rng(7)
+    good_vocab = [f"g{i}" for i in range(40)]
+    bad_vocab = [f"b{i}" for i in range(40)]
+    common = [f"c{i}" for i in range(60)]
+    rows = []
+    for i in range(400):
+        is_good = i % 2
+        marked = good_vocab if is_good else bad_vocab
+        n = int(rng.integers(20, 60))
+        words = [
+            str(rng.choice(marked)) if rng.random() < 0.3 else str(rng.choice(common))
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(words), is_good))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_en int")
+    # hashed-TF dense feature array per doc (test-sized B; one pass)
+    tf = docs.select(
+        "doc_id", "is_en",
+        F.aggregate(
+            F.transform(tokens("text"), lambda t: hash_bucket(t, B, "t")),
+            F.array_repeat(F.lit(0.0), B),
+            lambda acc, j: F.transform(
+                acc, lambda v, i: F.when(i == j.cast("int"), v + 1.0).otherwise(v)
+            ),
+        ).alias("features"),
+    )
+    fit = sgdnet(tf, "features", "is_en", family="binomial", alpha=0.0,
+                 nlambda=1, lambdas=[0.01])
+    w = fit.beta[:, 0]
+    # score with the learned vector via the literal-array fast path;
+    # adding the intercept turns it into the model's linear predictor
+    scored = (
+        T.hash_score(docs, n_buckets=B, weights=[float(x) for x in w], salt="t")
+        .join(docs.select("doc_id", "is_en"), "doc_id")
+        .select("is_en", (F.col("score") + float(fit.a0[0])).alias("eta"))
+        .collect()
+    )
+    eta = np.array([r["eta"] for r in scored])
+    y = np.array([r["is_en"] for r in scored])
+    acc = float((((eta > 0).astype(int)) == y).mean())
+    base = max(y.mean(), 1 - y.mean())
+    assert acc > base + 0.05, (acc, base)
