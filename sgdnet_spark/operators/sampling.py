@@ -30,18 +30,25 @@ from pyspark.sql import functions as F
 _U32 = float(1 << 32)
 
 
-def hash_fraction(col: Column | str, salt: str = "") -> Column:
-    """Deterministic uniform [0, 1) from md5 of the value (+ salt).
-
-    Uses the first 8 hex chars of md5(CAST(col AS STRING) || salt) as a
-    32-bit integer over 2^32 — cheap, uniform, and expressible
-    identically in any SQL dialect (the DuckDB twin:
-    ``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) / 4294967296.0``).
-    Distinct salts give independent draws for composed operators.
-    """
+def hash_u32(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uint32 from md5 of the value (+ salt): the first 8
+    hex chars of md5(CAST(col AS STRING) || salt) as an integer. THE
+    one md5-derivation recipe every replayable operator builds on
+    (hash_fraction, text.hash_bucket/hash_score) — its DuckDB twin is
+    ``CAST(('0x' || substr(md5(CAST(col AS VARCHAR) || salt), 1, 8)) AS
+    BIGINT)``; keep the two in lockstep."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_fraction(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from md5 of the value (+ salt):
+    ``hash_u32`` over 2^32 — cheap, uniform, and expressible identically
+    in any SQL dialect (the DuckDB twin divides the hash_u32 twin by
+    4294967296.0). Distinct salts give independent draws for composed
+    operators."""
+    return hash_u32(col, salt) / F.lit(_U32)
 
 
 def stratified_sample(
@@ -210,6 +217,12 @@ def pack_sequences(
     b = int(budget)
     group_cols = [group_col]
     if n_shards is not None:
+        if "shard" in df.columns:
+            raise ValueError(
+                "pack_sequences(n_shards=...) derives its own 'shard' column "
+                "but the input already has one — rename the existing column "
+                "(withColumnRenamed) or pass it as group_col instead"
+            )
         shard = F.floor(
             hash_fraction(id_col, shard_salt) * F.lit(int(n_shards))
         ).cast("int")

@@ -79,13 +79,14 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
     the probe side of a join to drop non-matching rows pre-shuffle).
 
     Each partition packs its hash positions into an m-bit numpy word
-    array; partials are OR-merged executor-side in a tree (fanout 64,
-    one extra level only when the partition count needs it) down to a
-    single bitset row, so the driver transfer is O(m/8) — NOT
-    O(#partitions × m/8) — and the widest single merge task streams at
-    most 64 partials through an in-place OR (the partial→final shape of
+    array; partials are OR-merged executor-side in a fanout-64 tree
+    with as many levels as the partition count needs (log64 n_parts),
+    down to a single bitset row: the driver transfer is O(m/8) — NOT
+    O(#partitions × m/8) — and NO merge task ever streams more than 64
+    partials through its in-place OR (the partial→final shape of
     Spark's own BloomFilterAggregate). A billion-key build (m ≈ 1.2 GB)
-    therefore costs the driver one bitset, not one per partition."""
+    therefore costs the driver one bitset, not one per partition, and a
+    100k-partition scan costs three merge levels, each bounded."""
     import math
 
     from typing import Iterator
@@ -126,8 +127,12 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
     partials = positions.mapInPandas(pack, schema="words array<long>")
     fanout = 64
     n_parts = positions.rdd.getNumPartitions()
-    if n_parts > fanout:  # extra tree level: no merge task sees > fanout bitsets
-        partials = partials.repartition(-(-n_parts // fanout)).mapInPandas(
+    # true tree: add levels until one task's fan-in is within the bound
+    # (a single conditional level would hand the final task n_parts/64
+    # bitsets for very wide scans)
+    while n_parts > fanout:
+        n_parts = -(-n_parts // fanout)
+        partials = partials.repartition(n_parts).mapInPandas(
             or_merge, schema="words array<long>"
         )
     merged = partials.repartition(1).mapInPandas(
@@ -186,6 +191,10 @@ class CountMinSketch:
         probes = {(s, int(row[f"p{i}"])) for i, s in enumerate(self.seeds)}
         if self.table is not None:
             return min(self.table.get(sp, 0) for sp in probes)
+        # point lookups re-evaluate the build plan; persist on first use
+        # so repeated estimate_count calls cost one build, not one each
+        if not self.rel.is_cached:
+            self.rel = self.rel.persist()
         cond = None
         for s, p in probes:
             c = (F.col("s") == s) & (F.col("p") == p)
@@ -245,7 +254,7 @@ def count_min(
     """Heavy-hitter frequency sketch, built with one distributed pass
     (d×w counters; w=ceil(e/eps), d=ceil(ln(1/(1-confidence)))).
 
-    ``as_relation=True`` keeps the touched cells as a cached DataFrame
+    ``as_relation=True`` keeps the touched cells as a lazy DataFrame
     instead of a driver-side dict — the right mode for screen-sized
     sketches (hundreds of thousands of touched cells), whose dict mode
     would collect every cell into Python rows and re-upload them in

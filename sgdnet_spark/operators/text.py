@@ -283,11 +283,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def hash_bucket(tok: Column, n_buckets: int, salt: str = "qs") -> Column:
-    """Feature-hashing bucket for a token: first 8 md5 hex chars as a
-    uint32, mod n_buckets. md5 (not xxhash64) so the mapping replays
-    exactly in ANSI SQL — the same trick as sampling.hash_fraction."""
-    u = F.conv(F.substring(F.md5(F.concat(tok, F.lit(salt + "b"))), 1, 8), 16, 10)
-    return u.cast("long") % n_buckets
+    """Feature-hashing bucket for a token: sampling.hash_u32 (the one
+    md5-u32 recipe shared with the sampling tier) mod n_buckets — md5,
+    not xxhash64, so the mapping replays exactly in ANSI SQL."""
+    from sgdnet_spark.operators.sampling import hash_u32
+
+    return hash_u32(tok, salt + "b") % n_buckets
 
 
 def hash_score(
@@ -330,13 +331,11 @@ def hash_score(
             return F.element_at(warr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
     else:
 
+        from sgdnet_spark.operators.sampling import hash_fraction
+
         def wexpr(tok: Column) -> Column:
             j = hash_bucket(tok, n_buckets, salt)
-            u = F.conv(
-                F.substring(F.md5(F.concat(j.cast("string"), F.lit(salt + "w"))), 1, 8),
-                16, 10,
-            ).cast("long")
-            return u / F.lit(4294967296.0) - 0.5
+            return hash_fraction(j, salt + "w") - 0.5
 
     return df.select(
         F.col(id_col),
