@@ -31,9 +31,26 @@ def read_jsonl_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).json(path).withColumn("ts", F.to_timestamp("ts"))
 
 
-def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
-    """Partition-pruned layout for downstream scans (dt-style partitioning)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other columnar format Spark ships natively — same
+    predicate-pushdown / column-pruning story as parquet (PushedFilters
+    reach the OrcScan; plan-asserted in tests)."""
+    return spark.read.orc(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Partition-pruned layout for downstream scans (dt-style
+    partitioning); format: parquet (default) or orc — both columnar,
+    both pushdown-capable, no extra jars."""
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported partitioned-write format: {format!r}")
+    df.write.mode(mode).partitionBy(*partition_cols).format(format).save(path)
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
@@ -43,4 +60,18 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
         raise NotImplementedError(
             "delta-lake jars are not on the classpath in this environment; "
             "add io.delta:delta-spark to spark.jars.packages"
+        ) from e
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
+    """Avro (row-oriented interchange): the spark-avro module is an
+    EXTERNAL jar not bundled with the pyspark distribution — gated like
+    delta with a clear error."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # noqa: BLE001
+        raise NotImplementedError(
+            "spark-avro is an external module not on the classpath in this "
+            "environment; add org.apache.spark:spark-avro to "
+            "spark.jars.packages"
         ) from e

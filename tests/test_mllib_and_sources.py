@@ -88,3 +88,31 @@ def test_partitioned_write_prunes(spark, tmp_path, sf_dir):
     # partition pruning: the 1997 filter must reach the scan as a partition filter
     assert "PartitionFilters" in plan
     assert back.count() > 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path, sf_dir):
+    """ORC is the second natively-shipped columnar format: partitioned
+    round-trip must preserve rows, and a selective predicate must reach
+    the ORC scan as a pushed filter (same pushdown story as parquet)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "orc")
+    readers.write_partitioned(li, out, ["ship_year"], format="orc")
+    back = readers.read_orc(spark, out)
+    assert back.count() == li.count()
+    sel = back.filter((F.col("ship_year") == 1997) & (F.col("l_quantity") > 45.0))
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # partition pruning on ship_year
+    assert "PushedFilters: [" in plan and "l_quantity" in plan  # ORC pushdown
+    assert sel.count() > 0
+    with pytest.raises(ValueError):
+        readers.write_partitioned(li, out, ["ship_year"], format="xml")
+
+
+def test_avro_reader_gated(spark, tmp_path):
+    """spark-avro is an external jar absent from this image: the reader
+    must fail with the actionable gating error, not a raw classpath
+    stack."""
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        readers.read_avro(spark, str(tmp_path / "nope.avro"))
