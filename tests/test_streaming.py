@@ -135,3 +135,54 @@ def test_streaming_sampling_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_scrub_matches_batch(spark, sf_dir):
+    """The scrub tier runs on a document stream: model-based hash
+    scoring is a stateless per-row map (append mode), and
+    decontamination is a stream-static join against the benchmark's
+    gram set plus a per-doc count that completes within the batch —
+    both must make exactly the batch decisions."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from sgdnet_spark.operators import dedup
+    from sgdnet_spark.operators import text as T
+
+    stage = tempfile.mkdtemp(prefix="docs_scrub_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    docs_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_static.schema).format("parquet").load(stage)
+
+    # hash_score: stateless map, append mode
+    hs = T.hash_score(stream, n_buckets=512, salt="st")
+    q = hs.writeStream.outputMode("append").format("memory").queryName("hs").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["n_tokens"], r["score"])
+           for r in spark.sql("SELECT * FROM hs").collect()}
+    want = {(r["doc_id"], r["n_tokens"], r["score"])
+            for r in T.hash_score(docs_static, n_buckets=512, salt="st").collect()}
+    assert got == want and len(got) > 0
+
+    # decontamination: corpus stream x static benchmark gram set
+    corpus_stream = stream.filter(F.col("doc_id") % 20 != 0)
+    bench_static = docs_static.filter(F.col("doc_id") % 20 == 0)
+    flags = dedup.contamination_flags(corpus_stream, bench_static, k=4)
+    q2 = (flags.writeStream.outputMode("complete").format("memory")
+          .queryName("decon_s").start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {(r["id"], r["n_overlap"])
+            for r in spark.sql("SELECT * FROM decon_s").collect()}
+    want2 = {(r["id"], r["n_overlap"])
+             for r in dedup.contamination_flags(
+                 docs_static.filter(F.col("doc_id") % 20 != 0), bench_static, k=4
+             ).collect()}
+    assert got2 == want2 and len(got2) > 0
