@@ -64,7 +64,8 @@ def _once(col: F.Column, streaming: bool = False) -> F.Column:
     return F.element_at(F.shuffle(F.array(col)), 1)
 
 
-def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+                  eval_once: bool = True) -> DataFrame:
     """(id, shingles array<bigint>) — the distinct word-k-grams of each
     document, HASHED per-gram to 64 bits (pure per-row expressions, no
     shuffle).
@@ -100,9 +101,17 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.size(t) >= k,
         F.transform(z, lambda s: F.xxhash64(*[s[f"w{j}"] for j in range(k)])),
     ).otherwise(F.array().cast("array<bigint>"))
-    return toks.select(
-        "id", _once(F.array_distinct(sh), streaming=df.isStreaming).alias("shingles")
-    )
+    # eval_once=False skips the _once barrier: the nondeterministic
+    # marker suppresses whole-stage codegen on this project (~1.4x CPU,
+    # measured), so consumers that PERSIST the frame or consume the
+    # array in a single aggregate (no explode whose guard could be
+    # pushed below the spread exchange) opt out; explode-consumers
+    # (shingle_sets: jaccard, decontamination) keep it — removing it
+    # there regressed wall time (docs/BENCH_NOTES.md round-7 A/B)
+    col = F.array_distinct(sh)
+    if eval_once:
+        col = _once(col, streaming=df.isStreaming)
+    return toks.select("id", col.alias("shingles"))
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -219,7 +228,9 @@ def band_keys(
     the exploded formulation.
     """
     rows_per_band = num_hashes // bands
-    sa = shingle_array(df, text_col, id_col, k)
+    # single-aggregate consumer: no explode guard to mis-push, so the
+    # codegen-suppressing barrier is unnecessary
+    sa = shingle_array(df, text_col, id_col, k, eval_once=False)
     return band_keys_from_shingles(sa, num_hashes, bands)
 
 
@@ -292,7 +303,7 @@ def minhash_lsh_pairs(
     # ONE pass computes the shingle arrays; both the signature path and
     # candidate verification read the cached frame (previously shingling
     # ran twice — once per consumer)
-    sa = shingle_array(df, text_col, id_col, k).persist()
+    sa = shingle_array(df, text_col, id_col, k, eval_once=False).persist()
     # the band-key frame is tiny (n · bands rows of three int64s) but its
     # signature computation — num_hashes array transforms per row — is the
     # pipeline's hottest expression; persist it so the self-join's two
