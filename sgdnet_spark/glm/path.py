@@ -20,6 +20,7 @@ from sgdnet_spark.glm.solvers import (
     enet_cd_gram,
     group_cd_gram,
     log_space,
+    soft_threshold,
     wls_enet_cd,
 )
 
@@ -53,8 +54,12 @@ class PathResult:
 def _standardization(mom, standardize: bool, center: bool):
     x_mean = mom.x_mean if center else np.zeros_like(mom.x_mean)
     if standardize:
-        std = mom.x_std() if center else np.sqrt(np.maximum(mom.sum_xx.diagonal() / mom.n - mom.x_mean**2, 0.0))
-        std = np.where(std > 0, std, 1.0)
+        # the scale is the MEAN-CENTERED population std regardless of
+        # center/intercept: reference utils.h:105 computes
+        # StandardDeviation(x, x_center) unconditionally (the sparse
+        # path too applies scale-only but derives the scale around the
+        # mean)
+        std = np.where(mom.x_std() > 0, mom.x_std(), 1.0)
     else:
         std = np.ones_like(x_mean)
     return x_mean, std
@@ -459,8 +464,6 @@ def gaussian_path_fista(
         for _ in range(maxit):
             g, rssn_last = grad_at(z)
             cand = z - step * (g + l2v * z)
-            from sgdnet_spark.glm.solvers import soft_threshold
-
             new = soft_threshold(cand, step * l1v)
             if boxed:
                 new = np.clip(new, lo if lo is not None else -np.inf,
@@ -524,8 +527,6 @@ def binomial_path_fista(
     driver state, never a p×p quadratic (the saga-sparse.h capability,
     Spark-shaped). Lipschitz bound: max(1, lambda_max(C))/4 for the
     centered extended design [1, X~]."""
-    from sgdnet_spark.glm.solvers import soft_threshold
-
     mom = mom or provider.moments_diag()
     n = mom.n
     x_mean, x_std = _standardization(mom, standardize, intercept)
@@ -644,8 +645,6 @@ def multinomial_path_fista(
     the same operator the mgaussian family uses (solvers.group_cd_gram),
     applied here on the isotropic FISTA step where it has a closed form
     even though per-class IRLS curvatures differ."""
-    from sgdnet_spark.glm.solvers import soft_threshold
-
     mom = mom or provider.moments_diag()
     n = mom.n
     k = len(mom.sum_y)
@@ -814,6 +813,174 @@ def _strong_set(g: np.ndarray, coef: np.ndarray, lam: float, lam_prev: float, al
     return S
 
 
+def _irls_path_loop(
+    family: str,
+    irls_fn,
+    grad_fn,
+    loss_of,
+    devr_of,
+    *,
+    p: int,
+    n: int,
+    lam_path,
+    lambda_max: float,
+    alpha: float,
+    pf,
+    lo,
+    hi,
+    intercept: bool,
+    thresh: float,
+    maxit: int,
+    outer_maxit: int,
+    do_screen: bool,
+    auto_path: bool,
+    b0_null: float,
+    stat_null: float,
+    nulldev: float,
+    first_point_loss: float,
+    prev_stats,
+    x_mean,
+    x_std,
+    relax: bool,
+    relax_refit,
+    provider=None,
+) -> PathResult:
+    """The shared screened/unscreened IRLS path loop behind
+    binomial_path and poisson_path (previously two ~90-line verbatim
+    copies that had to be edited in lockstep). Family-specific pieces
+    enter as callables: ``irls_fn(coef, b0, cols=None)`` returns the
+    weighted-quadratic stats + the family's fit statistic (binomial:
+    log-likelihood; poisson: deviance), ``grad_fn(coef, b0)`` the full
+    penalized-scale gradient, ``loss_of(stat)`` the per-pass objective
+    WITHOUT the penalty term, ``devr_of(stat)`` the dev_ratio.
+    Everything else — secant warm starts, sequential strong-rule
+    screening with the KKT repair loop and its unscreened fallback, the
+    prox-Newton stale-quadratic warm solve, unstandardization, relax
+    refits — is family-independent and lives here exactly once."""
+    coef = np.zeros(p)
+    b0 = b0_null
+    nl = len(lam_path)
+    out_beta = np.zeros((p, nl))
+    out_a0 = np.zeros(nl)
+    out_df = np.zeros(nl, dtype=int)
+    out_dr = np.zeros(nl)
+    out_beta_r = np.zeros((p, nl)) if relax else None
+    out_a0_r = np.zeros(nl) if relax else None
+    out_dr_r = np.zeros(nl) if relax else None
+
+    losses: list = []
+    prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
+    stat = stat_null
+    for i, lam in enumerate(lam_path):
+        if auto_path and i == 0:
+            # at lambda_max every coefficient is zero by construction
+            # (KKT with equality) — emit the null model directly
+            out_a0[i] = b0_null
+            if relax:
+                out_a0_r[i] = b0_null  # empty support: relaxed == null model
+            losses.append([first_point_loss])
+            continue
+        # secant warm-start: extrapolate the solution curve from the two
+        # previous lambdas — most path points then converge in ONE IRLS
+        # pass instead of two+ (the passes are the entire fit cost)
+        if len(prev_sol) >= 2:
+            (l1, c1, i1), (l2, c2, i2) = prev_sol[-2], prev_sol[-1]
+            if l1 != l2:
+                r = (lam - l2) / (l2 - l1)
+                coef = c2 + r * (c2 - c1)
+                b0 = i2 + r * (i2 - i1)
+        stat = stat_null
+        lam_losses: list = []
+        if do_screen:
+            g, _, _ = grad_fn(coef, b0)
+            lam_prev = lam_path[i - 1] if i > 0 else lambda_max
+            S = _strong_set(g, coef, lam, lam_prev, alpha, pf=pf)
+            _kkt = 0
+            while True:
+                pf_S = pf[S] if pf is not None else None
+                cs = coef[S]
+                for _ in range(outer_maxit):
+                    sw, swx, swxx, swxz, swz, stat = irls_fn(cs, b0, cols=S)
+                    lam_losses.append(loss_of(stat) + _penalty_value(cs, lam, alpha, pf_S))
+                    new_cs, new_b0, _ = wls_enet_cd(
+                        sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
+                        tol=thresh, maxit=maxit, pf=pf_S,
+                    )
+                    delta = max(float(np.max(np.abs(new_cs - cs))) if len(cs) else 0.0,
+                                abs(new_b0 - b0))
+                    scale = max(float(np.max(np.abs(new_cs))) if len(cs) else 0.0,
+                                abs(new_b0), 1e-12)
+                    cs, b0 = new_cs, new_b0
+                    if delta <= max(thresh, 1e-6) * scale:
+                        break
+                coef = np.zeros(p)
+                coef[S] = cs
+                # exactness: KKT over the FULL gradient; violators join S
+                # (per-coordinate threshold alpha*lam*pf_j; an infinite
+                # factor means the coordinate can never violate)
+                g, _, _ = grad_fn(coef, b0)
+                kkt_thr = alpha * lam * (pf if pf is not None else 1.0) + 1e-7
+                viol = np.setdiff1d(np.where(np.abs(g) > kkt_thr)[0], S)
+                if len(viol) == 0:
+                    break
+                _kkt += 1
+                if _kkt >= 8:
+                    # repair didn't converge by growing S incrementally:
+                    # drop screening for this path point — one solve on
+                    # the full feature set restores exactness by
+                    # construction (viol ⊆ S is then empty), so a
+                    # screened point can never ship with a wrong support
+                    S = np.arange(p, dtype=np.intp)
+                else:
+                    S = np.union1d(S, viol).astype(np.intp)
+            prev_stats = None  # restricted stats don't replay across lambdas
+        else:
+            # prox-Newton warm start: re-solve the NEW lambda on the stale
+            # quadratic from the previous one (driver-side only, no data
+            # pass) — the refresh pass below then usually confirms in one go
+            if prev_stats is not None:
+                coef, b0, _ = wls_enet_cd(
+                    *prev_stats, n, lam, alpha, coef, b0, intercept,
+                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
+                )
+            for _ in range(outer_maxit):
+                sw, swx, swxx, swxz, swz, stat = irls_fn(coef, b0)
+                prev_stats = (sw, swx, swxx, swxz, swz)
+                lam_losses.append(loss_of(stat) + _penalty_value(coef, lam, alpha, pf))
+                new_coef, new_b0, _ = wls_enet_cd(
+                    sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
+                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
+                )
+                delta = max(float(np.max(np.abs(new_coef - coef))) if p else 0.0,
+                            abs(new_b0 - b0))
+                scale = max(float(np.max(np.abs(new_coef))) if p else 0.0,
+                            abs(new_b0), 1e-12)
+                coef, b0 = new_coef, new_b0
+                if delta <= max(thresh, 1e-6) * scale:
+                    break
+        prev_sol.append((float(lam), coef.copy(), float(b0)))
+        if len(prev_sol) > 2:
+            prev_sol.pop(0)
+        losses.append(lam_losses)
+        out_dr[i] = devr_of(stat) if nulldev > 0 else 0.0
+        ob, _ = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
+        out_beta[:, i] = ob
+        out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
+        out_df[i] = int(np.count_nonzero(coef))
+        if relax:
+            rfull, rb0, stat_r = relax_refit(coef, b0)
+            out_dr_r[i] = devr_of(stat_r) if nulldev > 0 else 0.0
+            orb, _ = _unstandardize(rfull, x_mean, x_std, 0.0, intercept)
+            out_beta_r[:, i] = orb
+            out_a0_r[i] = rb0 - float(x_mean @ orb) if intercept else 0.0
+    return PathResult(
+        family, lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
+        # read AFTER the loop: the provider increments passes per scan
+        getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
+        a0_relaxed=out_a0_r, beta_relaxed=out_beta_r, dev_ratio_relaxed=out_dr_r,
+    )
+
+
 def binomial_path(
     provider,
     alpha: float,
@@ -875,16 +1042,7 @@ def binomial_path(
 
     lambda_max = _lambda_max_scaled(np.abs(b), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
-    nl = len(lam_path)
 
-    coef = np.zeros(p)
-    out_beta = np.zeros((p, nl))
-    out_a0 = np.zeros(nl)
-    out_df = np.zeros(nl, dtype=int)
-    out_dr = np.zeros(nl)
-    out_beta_r = np.zeros((p, nl)) if relax else None
-    out_a0_r = np.zeros(nl) if relax else None
-    out_dr_r = np.zeros(nl) if relax else None
     relax_cache: dict = {}
 
     def _relax_refit(coef_pen: np.ndarray, b0_pen: float):
@@ -894,133 +1052,34 @@ def binomial_path(
             outer_maxit=outer_maxit, lo=lo, hi=hi, stat0=ll_null,
         )
 
-    losses: list = []
-    # at lambda_max every coefficient is zero by construction (KKT with
-    # equality) — fit the null model directly rather than letting FP noise
-    # in the recomputed gradient fake a nonzero coef. For ridge (alpha=0)
-    # nothing is exactly zeroed, so the first point is a real fit
-    # (reference R/sgdnet.R 'Relationship with glmnet'). Unpenalized
-    # features (penalty_factor 0) are live at EVERY lambda, so the
-    # shortcut is off for them too.
+    # lambda_max shortcut applies on auto paths with every feature
+    # penalized (see _irls_path_loop); ridge (alpha=0) and zero
+    # penalty factors fit the first point for real
     pf_zero = pf is not None and bool(np.any(pf == 0))
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     # sequential strong-rule screening: pays once p is large enough that
     # the O(n·p²) quadratic dominates the extra O(n·p) gradient pass; the
-    # KKT re-check below restores exactness, so the rule being heuristic
-    # costs nothing but an occasional re-solve. Off for ridge (alpha=0:
-    # nothing is ever discarded), for small p (goldens stay at p<=64),
-    # and under box limits (a bound-active coordinate fails the plain
-    # |grad| KKT test by design — the rule would loop on it).
+    # KKT re-check restores exactness, so the rule being heuristic costs
+    # nothing but an occasional re-solve. Off for ridge (alpha=0: nothing
+    # is ever discarded), for small p (goldens stay at p<=64), and under
+    # box limits (a bound-active coordinate fails the plain |grad| KKT
+    # test by design — the rule would loop on it).
     do_screen = (
         ((screen is True) or (screen == "auto" and p > 100))
         and alpha > 0
         and lo is None and hi is None
     )
-    prev_sol: list[tuple[float, np.ndarray, float]] = []  # (lam, coef, b0)
-    for i, lam in enumerate(lam_path):
-        if auto_path and i == 0:
-            out_a0[i] = b0
-            if relax:
-                out_a0_r[i] = b0  # empty support: relaxed fit IS the null model
-            losses.append([-ll_null / n])
-            continue
-        # secant warm-start: extrapolate the solution curve from the two
-        # previous lambdas — most path points then converge in ONE IRLS
-        # pass instead of two+ (the passes are the entire fit cost)
-        if len(prev_sol) >= 2:
-            (l1, c1, i1), (l2, c2, i2) = prev_sol[-2], prev_sol[-1]
-            if l1 != l2:
-                r = (lam - l2) / (l2 - l1)
-                coef = c2 + r * (c2 - c1)
-                b0 = i2 + r * (i2 - i1)
-        ll = ll_null
-        lam_losses: list = []
-        if do_screen:
-            g, _, _ = provider.grad_binomial(coef, b0)
-            lam_prev = lam_path[i - 1] if i > 0 else lambda_max
-            S = _strong_set(g, coef, lam, lam_prev, alpha, pf=pf)
-            _kkt = 0
-            while True:
-                pf_S = pf[S] if pf is not None else None
-                cs = coef[S]
-                for _ in range(outer_maxit):
-                    sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(cs, b0, cols=S)
-                    lam_losses.append(
-                        -ll / n + _penalty_value(cs, lam, alpha, pf_S)
-                    )
-                    new_cs, new_b0, _ = wls_enet_cd(
-                        sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
-                        tol=thresh, maxit=maxit, pf=pf_S,
-                    )
-                    delta = max(float(np.max(np.abs(new_cs - cs))), abs(new_b0 - b0))
-                    scale = max(float(np.max(np.abs(new_cs))), abs(new_b0), 1e-12)
-                    cs, b0 = new_cs, new_b0
-                    if delta <= max(thresh, 1e-6) * scale:
-                        break
-                coef = np.zeros(p)
-                coef[S] = cs
-                # exactness: KKT over the FULL gradient; violators join S
-                # (per-coordinate threshold alpha*lam*pf_j; an infinite
-                # factor means the coordinate can never violate)
-                g, _, _ = provider.grad_binomial(coef, b0)
-                kkt_thr = alpha * lam * (pf if pf is not None else 1.0) + 1e-7
-                viol = np.setdiff1d(np.where(np.abs(g) > kkt_thr)[0], S)
-                if len(viol) == 0:
-                    break
-                _kkt += 1
-                if _kkt >= 8:
-                    # repair didn't converge by growing S incrementally:
-                    # drop screening for this path point — one solve on
-                    # the full feature set restores exactness by
-                    # construction (viol ⊆ S is then empty), so a
-                    # screened point can never ship with a wrong support
-                    S = np.arange(p, dtype=np.intp)
-                else:
-                    S = np.union1d(S, viol).astype(np.intp)
-            prev_stats = None  # restricted stats don't replay across lambdas
-        else:
-            # prox-Newton warm start: re-solve the NEW lambda on the stale
-            # quadratic from the previous one (driver-side only, no data
-            # pass) — the refresh pass below then usually confirms in one go
-            if prev_stats is not None:
-                coef, b0, _ = wls_enet_cd(
-                    *prev_stats, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
-                )
-            for _ in range(outer_maxit):
-                sw, swx, swxx, swxz, swz, ll = provider.irls_binomial(coef, b0)
-                prev_stats = (sw, swx, swxx, swxz, swz)
-                lam_losses.append(
-                    -ll / n + _penalty_value(coef, lam, alpha, pf)
-                )
-                new_coef, new_b0, _ = wls_enet_cd(
-                    sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
-                )
-                delta = max(float(np.max(np.abs(new_coef - coef)), ), abs(new_b0 - b0))
-                scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
-                coef, b0 = new_coef, new_b0
-                if delta <= max(thresh, 1e-6) * scale:
-                    break
-        prev_sol.append((float(lam), coef.copy(), float(b0)))
-        if len(prev_sol) > 2:
-            prev_sol.pop(0)
-        losses.append(lam_losses)
-        out_dr[i] = 1.0 - (-2.0 * ll) / nulldev if nulldev > 0 else 0.0
-        ob, oa0 = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
-        out_beta[:, i] = ob
-        out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
-        out_df[i] = int(np.count_nonzero(coef))
-        if relax:
-            rfull, rb0, llr = _relax_refit(coef, b0)
-            out_dr_r[i] = 1.0 - (-2.0 * llr) / nulldev if nulldev > 0 else 0.0
-            orb, _ = _unstandardize(rfull, x_mean, x_std, 0.0, intercept)
-            out_beta_r[:, i] = orb
-            out_a0_r[i] = rb0 - float(x_mean @ orb) if intercept else 0.0
-    return PathResult(
-        "binomial", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
-        getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
-        a0_relaxed=out_a0_r, beta_relaxed=out_beta_r, dev_ratio_relaxed=out_dr_r,
+    return _irls_path_loop(
+        "binomial", provider.irls_binomial, provider.grad_binomial,
+        loss_of=lambda ll: -ll / n,
+        devr_of=lambda ll: 1.0 - (-2.0 * ll) / nulldev,
+        p=p, n=n, lam_path=lam_path, lambda_max=lambda_max, alpha=alpha,
+        pf=pf, lo=lo, hi=hi, intercept=intercept, thresh=thresh,
+        maxit=maxit, outer_maxit=outer_maxit, do_screen=do_screen,
+        auto_path=auto_path, b0_null=b0, stat_null=ll_null,
+        nulldev=nulldev, first_point_loss=-ll_null / n,
+        prev_stats=prev_stats, x_mean=x_mean, x_std=x_std,
+        relax=relax, relax_refit=_relax_refit, provider=provider,
     )
 
 
@@ -1075,17 +1134,7 @@ def poisson_path(
     pf, lo, hi = _penalty_options(p, x_std, penalty_factor, exclude, lower_limits, upper_limits)
     lambda_max = _lambda_max_scaled(np.abs(grad_null), alpha, pf)
     lam_path = _lambda_path(lambda_max, nlambda, lambda_min_ratio, lambdas)
-    nl = len(lam_path)
 
-    coef = np.zeros(p)
-    b0 = b0_null
-    out_beta = np.zeros((p, nl))
-    out_a0 = np.zeros(nl)
-    out_df = np.zeros(nl, dtype=int)
-    out_dr = np.zeros(nl)
-    out_beta_r = np.zeros((p, nl)) if relax else None
-    out_a0_r = np.zeros(nl) if relax else None
-    out_dr_r = np.zeros(nl) if relax else None
     relax_cache: dict = {}
 
     def _relax_refit(coef_pen: np.ndarray, b0_pen: float):
@@ -1096,7 +1145,6 @@ def poisson_path(
             outer_maxit=outer_maxit, lo=lo, hi=hi, stat0=nulldev,
         )
 
-    losses: list = []
     pf_zero = pf is not None and bool(np.any(pf == 0))
     auto_path = (lambdas is None or len(lambdas) == 0) and alpha > 0 and not pf_zero
     do_screen = (
@@ -1104,100 +1152,17 @@ def poisson_path(
         and alpha > 0
         and lo is None and hi is None
     )
-    prev_sol: list[tuple[float, np.ndarray, float]] = []
-    prev_stats = (sw, swx, swxx, swxz, swz)
-    for i, lam in enumerate(lam_path):
-        if auto_path and i == 0:
-            out_a0[i] = b0_null
-            if relax:
-                out_a0_r[i] = b0_null  # empty support: relaxed == null model
-            losses.append([nulldev / (2.0 * n)])
-            continue
-        if len(prev_sol) >= 2:
-            (l1, c1, i1), (l2, c2, i2) = prev_sol[-2], prev_sol[-1]
-            if l1 != l2:
-                r = (lam - l2) / (l2 - l1)
-                coef = c2 + r * (c2 - c1)
-                b0 = i2 + r * (i2 - i1)
-        dev = nulldev
-        lam_losses: list = []
-        if do_screen:
-            g, _, _ = provider.grad_poisson(coef, b0)
-            lam_prev = lam_path[i - 1] if i > 0 else lambda_max
-            S = _strong_set(g, coef, lam, lam_prev, alpha, pf=pf)
-            _kkt = 0
-            while True:
-                pf_S = pf[S] if pf is not None else None
-                cs = coef[S]
-                for _ in range(outer_maxit):
-                    sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(cs, b0, cols=S)
-                    lam_losses.append(
-                        dev / (2.0 * n) + _penalty_value(cs, lam, alpha, pf_S)
-                    )
-                    new_cs, new_b0, _ = wls_enet_cd(
-                        sw, swx, swxx, swxz, swz, n, lam, alpha, cs, b0, intercept,
-                        tol=thresh, maxit=maxit, pf=pf_S,
-                    )
-                    delta = max(float(np.max(np.abs(new_cs - cs))), abs(new_b0 - b0))
-                    scale = max(float(np.max(np.abs(new_cs))), abs(new_b0), 1e-12)
-                    cs, b0 = new_cs, new_b0
-                    if delta <= max(thresh, 1e-6) * scale:
-                        break
-                coef = np.zeros(p)
-                coef[S] = cs
-                g, _, _ = provider.grad_poisson(coef, b0)
-                kkt_thr = alpha * lam * (pf if pf is not None else 1.0) + 1e-7
-                viol = np.setdiff1d(np.where(np.abs(g) > kkt_thr)[0], S)
-                if len(viol) == 0:
-                    break
-                _kkt += 1
-                if _kkt >= 8:
-                    # as in binomial_path: unscreened final solve rather
-                    # than a silent inexact exit
-                    S = np.arange(p, dtype=np.intp)
-                else:
-                    S = np.union1d(S, viol).astype(np.intp)
-            prev_stats = None
-        else:
-            if prev_stats is not None:
-                coef, b0, _ = wls_enet_cd(
-                    *prev_stats, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
-                )
-            for _ in range(outer_maxit):
-                sw, swx, swxx, swxz, swz, dev = provider.irls_poisson(coef, b0)
-                prev_stats = (sw, swx, swxx, swxz, swz)
-                lam_losses.append(
-                    dev / (2.0 * n) + _penalty_value(coef, lam, alpha, pf)
-                )
-                new_coef, new_b0, _ = wls_enet_cd(
-                    sw, swx, swxx, swxz, swz, n, lam, alpha, coef, b0, intercept,
-                    tol=thresh, maxit=maxit, pf=pf, lo=lo, hi=hi,
-                )
-                delta = max(float(np.max(np.abs(new_coef - coef))) if p else 0.0, abs(new_b0 - b0))
-                scale = max(float(np.max(np.abs(new_coef))) if p else 0.0, abs(new_b0), 1e-12)
-                coef, b0 = new_coef, new_b0
-                if delta <= max(thresh, 1e-6) * scale:
-                    break
-        prev_sol.append((float(lam), coef.copy(), float(b0)))
-        if len(prev_sol) > 2:
-            prev_sol.pop(0)
-        losses.append(lam_losses)
-        out_dr[i] = 1.0 - dev / nulldev if nulldev > 0 else 0.0
-        ob, _ = _unstandardize(coef, x_mean, x_std, 0.0, intercept)
-        out_beta[:, i] = ob
-        out_a0[i] = b0 - float(x_mean @ ob) if intercept else 0.0
-        out_df[i] = int(np.count_nonzero(coef))
-        if relax:
-            rfull, rb0, devr_ = _relax_refit(coef, b0)
-            out_dr_r[i] = 1.0 - devr_ / nulldev if nulldev > 0 else 0.0
-            orb, _ = _unstandardize(rfull, x_mean, x_std, 0.0, intercept)
-            out_beta_r[:, i] = orb
-            out_a0_r[i] = rb0 - float(x_mean @ orb) if intercept else 0.0
-    return PathResult(
-        "poisson", lam_path, out_a0, out_beta, out_df, out_dr, nulldev,
-        getattr(provider, "passes", 1), x_mean, x_std, loss=losses,
-        a0_relaxed=out_a0_r, beta_relaxed=out_beta_r, dev_ratio_relaxed=out_dr_r,
+    return _irls_path_loop(
+        "poisson", provider.irls_poisson, provider.grad_poisson,
+        loss_of=lambda dev: dev / (2.0 * n),
+        devr_of=lambda dev: 1.0 - dev / nulldev,
+        p=p, n=n, lam_path=lam_path, lambda_max=lambda_max, alpha=alpha,
+        pf=pf, lo=lo, hi=hi, intercept=intercept, thresh=thresh,
+        maxit=maxit, outer_maxit=outer_maxit, do_screen=do_screen,
+        auto_path=auto_path, b0_null=b0_null, stat_null=nulldev,
+        nulldev=nulldev, first_point_loss=nulldev / (2.0 * n),
+        prev_stats=(sw, swx, swxx, swxz, swz), x_mean=x_mean, x_std=x_std,
+        relax=relax, relax_refit=_relax_refit, provider=provider,
     )
 
 

@@ -208,7 +208,7 @@ def score_np(fit, x: np.ndarray, y: np.ndarray, type_measure: str = "deviance", 
         yv = np.asarray(y, dtype=float)
         out = np.zeros(nl)
         for i, si in enumerate(s_arr):
-            eta = fit.predict_np(x, s=si)[:, :, 0]  # (n, k)
+            eta = fit.predict_np(x, s=si, offset=offset)[:, :, 0]  # (n, k)
             d = eta - yv
             out[i] = (d**2).sum(axis=1).mean() if type_measure in ("deviance", "mse") else np.abs(d).sum(axis=1).mean()
         return out
@@ -279,7 +279,14 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s,
                 ptrue = F.when(F.col(label_col) == F.lit(cls), pc) if ptrue is None else ptrue.when(
                     F.col(label_col) == F.lit(cls), pc
                 )
+            # a label outside fit.classnames (or NULL) leaves the when
+            # ladder NULL; greatest/least SKIP nulls, so the clamp would
+            # silently turn it into PROB_MIN and charge the row the
+            # maximum deviance. Poison to NaN AFTER the clamp (least()
+            # would un-poison a NaN fed into it) so bad labels are
+            # visible in the result instead of silently scored.
             pclamp = F.least(F.greatest(ptrue, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+            pclamp = F.when(ptrue.isNull(), F.lit(float("nan"))).otherwise(pclamp)
             aggs.append(F.avg(F.lit(-2.0) * F.log(pclamp)).alias(f"m{i}"))
         elif type_measure in ("mse", "mae"):
             # sum over classes of (p_c - onehot_c)^2 (resp. |.|), row-avg

@@ -167,6 +167,15 @@ class SgdnetFit:
         sequence of k columns (one per class, sorted-class order), the
         n×k form.
         """
+        # match.arg semantics (predict.sgdnet.R): an unknown type is an
+        # error everywhere — previously the univariate branch silently
+        # fell through to link predictions for a typo'd type string
+        if type not in ("link", "response", "class", "coefficients", "nonzero"):
+            raise ValueError(f"unknown predict type: {type!r}")
+        if type == "class" and self.family not in ("binomial", "multinomial"):
+            raise ValueError(
+                f"type='class' is only defined for classification families, not {self.family!r}"
+            )
         if type == "coefficients":
             return self.coef(s, gamma=gamma)
         if type == "nonzero":
@@ -431,18 +440,17 @@ def _prepare_labels(df: DataFrame, label_col: str | Sequence[str], family: str):
     # classification: determine distinct classes (sorted, as R factor levels)
     assert isinstance(label_col, str)
     classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+    if any(c is None for c in classes):
+        # NULL would otherwise become a phantom class whose one-hot
+        # indicator is all-zero (NULL == literal is NULL -> otherwise(0)),
+        # silently fitting garbage — same policy as NULL weights/offsets
+        raise ValueError("NULL values in the response; classification labels must be non-null")
     if family == "binomial":
-        if len(classes) > 2:
-            raise ValueError("more than two classes in response. Are you looking for family = 'multinomial'?")
-        if len(classes) < 2:
-            raise ValueError("only one class in response.")
+        _validate_classes(classes, family)
         expr = F.when(F.col(label_col) == F.lit(classes[1]), 1.0).otherwise(0.0)
         return [expr], classes, None
     if family == "multinomial":
-        if len(classes) == 2:
-            raise ValueError("only two classes in response. Are you looking for family = 'binomial'?")
-        if len(classes) < 2:
-            raise ValueError("only one class in response.")
+        _validate_classes(classes, family)
         exprs = [F.when(F.col(label_col) == F.lit(c), 1.0).otherwise(0.0) for c in classes]
         return exprs, classes, None
     raise ValueError(f"unknown family: {family}")
@@ -487,9 +495,13 @@ def _local_classification(df, feature_exprs, label_col: str, family: str,
         extra.append(offset_expr.cast("double").alias("_o"))
     pdf = df.select(*cols, F.col(label_col).alias("_label"), *extra).toPandas()
     labels = pdf["_label"]
+    if labels.isna().any():
+        # the distributed path rejects NULL labels (phantom class);
+        # the fast path must not instead silently map them to class 0
+        raise ValueError("NULL values in the response; classification labels must be non-null")
     # sorted() over the raw values matches the distributed path's
     # orderBy(label) (R factor-level order) for numeric and ASCII labels
-    classes = sorted(labels.dropna().unique().tolist())
+    classes = sorted(labels.unique().tolist())
     _validate_classes(classes, family)
     k = 1 if family == "binomial" else len(classes)
     if n * (p + k) > collect_max_cells:

@@ -179,7 +179,6 @@ def sgdnet_sparse(
         else:
             if len(classes) < 3:
                 raise ValueError("multinomial response needs at least 3 classes")
-            expr = F.lit(None).cast("double")
             mapped = None
             for i, c in enumerate(classes):
                 mapped = (

@@ -54,14 +54,21 @@ def assemble(
     k expressions is the n×k multinomial offset (one column per class,
     sorted-class order), materialized as o0..o{k-1}.
     """
+    # NULL x/y values coalesce to NaN so EVERY execution strategy sees
+    # the same poison: F.sum skips NULL (the JVM-agg path would silently
+    # return biased moments over fewer rows than n counts) but
+    # propagates NaN, matching what the Arrow/pandas paths produce when
+    # they convert NULL to NaN — a fit on NULL-bearing features now
+    # visibly NaNs out everywhere instead of differing by strategy.
+    nan = F.lit(float("nan"))
     cols = []
     for i, e in enumerate(feature_exprs):
         c = F.col(e) if isinstance(e, str) else e
-        cols.append(c.cast("double").alias(f"x{i}"))
+        cols.append(F.coalesce(c.cast("double"), nan).alias(f"x{i}"))
     if label_exprs is not None:
         for i, e in enumerate(label_exprs):
             c = F.col(e) if isinstance(e, str) else e
-            cols.append(c.cast("double").alias(f"y{i}"))
+            cols.append(F.coalesce(c.cast("double"), nan).alias(f"y{i}"))
     if weight_expr is not None:
         c = F.col(weight_expr) if isinstance(weight_expr, str) else weight_expr
         cols.append(c.cast("double").alias("w"))

@@ -102,3 +102,56 @@ def test_dataset_analogs_fit_every_family(spark):
     assert "pred" in fit.predict(
         df, type="response", newoffset="log_hours", s=float(fit.lambdas[-1])
     ).columns
+
+
+def test_null_labels_raise_on_both_paths(spark):
+    """NULL classification labels must raise on BOTH execution paths:
+    the distributed path previously grew a phantom NULL class and the
+    driver fast path silently mapped NULLs to class 0 — the same data
+    must never fit silently on one path and error on the other."""
+    import pytest
+
+    from sgdnet_spark.glm import sgdnet
+
+    rows = [(1.0, 2.0, "a"), (2.0, 1.0, "b"), (3.0, 0.5, None), (0.5, 3.0, "a")] * 10
+    df = spark.createDataFrame(rows, "x0 double, x1 double, y string")
+    with pytest.raises(ValueError, match="NULL"):
+        sgdnet(df, ["x0", "x1"], "y", family="binomial", nlambda=3)  # fast path
+    with pytest.raises(ValueError, match="NULL"):
+        sgdnet(df, ["x0", "x1"], "y", family="binomial", nlambda=3,
+               solver="spark")
+
+
+def test_predict_unknown_type_raises(fit_and_df):
+    """match.arg semantics: a typo'd predict type must error, not fall
+    through to link predictions (previously silent on univariate)."""
+    import pytest
+
+    fit, df, cols = fit_and_df
+    with pytest.raises(ValueError, match="unknown predict type"):
+        fit.predict(df, type="clas")
+    with pytest.raises(ValueError, match="classification"):
+        fit.predict(df, type="class")  # gaussian fit
+
+
+def test_score_np_mgaussian_forwards_offset(spark):
+    """score_np on an offset-trained mgaussian fit must pass the
+    caller's offset through to predict_np (previously dropped ->
+    ValueError even with offset supplied)."""
+    import numpy as np
+
+    from sgdnet_spark.glm import score_np, sgdnet
+
+    rng = np.random.default_rng(3)
+    n = 200
+    x = rng.normal(size=(n, 3))
+    o = rng.normal(scale=0.1, size=(n, 2))
+    y = x @ rng.normal(size=(3, 2)) + o + rng.normal(scale=0.1, size=(n, 2))
+    rows = [(*map(float, xi), float(y1), float(y2), float(o1), float(o2))
+            for xi, (y1, y2), (o1, o2) in zip(x, y, o)]
+    df = spark.createDataFrame(
+        rows, "x0 double, x1 double, x2 double, y0 double, y1 double, o0 double, o1 double")
+    fit = sgdnet(df, ["x0", "x1", "x2"], ["y0", "y1"], family="mgaussian",
+                 alpha=0.0, nlambda=1, lambdas=[0.1], offset_col=["o0", "o1"])
+    out = score_np(fit, x, y, type_measure="mse", offset=o)
+    assert np.isfinite(out).all()
