@@ -15,9 +15,22 @@ from sgdnet_spark.operators import text
 from sgdnet_spark.operators.text import norm_text, tokens
 
 
-def exact_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _exact_hash(text_col: str, id_col: str) -> F.Column:
+    """md5 of the canonical text, with NULL text mapped to a PER-ROW
+    sentinel: md5(NULL) is NULL, and both countDistinct (which skips
+    NULLs) and a window partitioned on the hash (which groups all NULLs
+    together) would otherwise treat every NULL-text document — failed
+    extractions, binary-only rows — as one duplicate group and silently
+    drop all but one. A document with no text is nobody's duplicate."""
+    return F.coalesce(
+        F.md5(norm_text(text_col).cast("binary")),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
+
+
+def exact_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-row summary of exact (md5-canonical) duplication."""
-    h = F.md5(norm_text(text_col).cast("binary"))
+    h = _exact_hash(text_col, id_col)
     return (
         df.select(h.alias("h"))
         .agg(
@@ -30,10 +43,9 @@ def exact_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per md5 group (deterministic)."""
-    h = F.md5(norm_text(text_col).cast("binary")).alias("__h")
     w = Window.partitionBy("__h").orderBy(id_col)
     return (
-        df.withColumn("__h", h)
+        df.withColumn("__h", _exact_hash(text_col, id_col))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__h", "__rn")
@@ -227,7 +239,6 @@ def band_keys(
     Documents with no shingles (< k tokens) produce no band keys, as in
     the exploded formulation.
     """
-    rows_per_band = num_hashes // bands
     # single-aggregate consumer: no explode guard to mis-push, so the
     # codegen-suppressing barrier is unnecessary
     sa = shingle_array(df, text_col, id_col, k, eval_once=False)
@@ -248,6 +259,14 @@ def band_keys_from_shingles(sa: DataFrame, num_hashes: int = 32, bands: int = 8)
     walk instead of 32 — measured at sf0.1: 0.5s vs 1.4s, and the
     first-call Janino compile that stalls every task drops with the
     codegen size)."""
+    if num_hashes % bands != 0:
+        # num_hashes // bands would silently discard the trailing
+        # signature rows — the effective (bands × rows) operating point
+        # would differ from the requested recall curve with no warning
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): the "
+            "banding S-curve is defined by rows_per_band = num_hashes/bands"
+        )
     rows_per_band = num_hashes // bands
     sa = sa.filter(F.size("shingles") > 0)
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)

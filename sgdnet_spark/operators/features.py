@@ -35,7 +35,9 @@ def hashed_token_features(
                 continue
             mat = np.zeros((len(pdf), n_features))
             for r, s in enumerate(pdf["__norm"]):
-                for tok in s.split(" "):
+                # NULL text arrives as None (norm_text propagates NULL);
+                # featurize as the empty document instead of crashing
+                for tok in (s or "").split(" "):
                     if tok:
                         mat[r, zlib.crc32(tok.encode()) % n_features] += 1.0
             out = pdf[keep_cols].copy()
@@ -67,7 +69,7 @@ def hashed_token_features_sparse(
             idx_out, val_out = [], []
             for s in pdf["__norm"]:
                 counts: dict[int, float] = {}
-                for tok in s.split(" "):
+                for tok in (s or "").split(" "):
                     if tok:
                         h = zlib.crc32(tok.encode()) % n_features
                         counts[h] = counts.get(h, 0.0) + 1.0

@@ -39,6 +39,13 @@ def kmeans_fit(
     driver reduces #partitions × (k, dim+1) partials.
     """
     cents = _collect_vec(df, id_col, vec_col, k)
+    if len(cents) == 0:
+        raise ValueError("kmeans_fit: empty input")
+    # fewer rows than requested centroids: clamp k to n (the accumulator
+    # below is sized (k, dim+1) — a mismatch would crash with an obscure
+    # numpy broadcast error instead of training on what exists)
+    k = min(k, len(cents))
+    cents = cents[:k]
     dim = cents.shape[1]
     vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
 
@@ -119,7 +126,8 @@ def ivf_topk(
             V = np.stack(pdf["v"].to_numpy())
             Q = np.stack(pdf["qv"].to_numpy())
             cos = (V * Q).sum(1) / (
-                np.linalg.norm(V, axis=1) * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+                np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+                * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
             )
             yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
 
@@ -208,7 +216,8 @@ def ivf_topk_indexed(
             V = np.stack(pdf["v"].to_numpy())
             Q = np.stack(pdf["qv"].to_numpy())
             cos = (V * Q).sum(1) / (
-                np.linalg.norm(V, axis=1) * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+                np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+                * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
             )
             yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
 

@@ -17,7 +17,19 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    # clamped away from zero: an all-zero embedding would otherwise make
+    # cosine 0/0 = NaN, and Spark orders NaN ABOVE every number — the
+    # zero vector would pass every `cos >= threshold` filter and outrank
+    # every real neighbor in desc sorts. Clamped, its cosine is 0 and it
+    # is excluded/ranked last, which is the only sensible semantics for
+    # a vector with no direction.
+    # 1e-150, not 1e-300: cosine divides by a PRODUCT of two norms, and
+    # 1e-300 * 1e-300 underflows to exactly 0.0 — an ANSI-mode
+    # DIVIDE_BY_ZERO error (or NaN with ANSI off)
+    return F.greatest(
+        F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)),
+        F.lit(1e-150),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -67,7 +79,14 @@ def brute_force_topk(
     the broadcast-join idea taken down to expression level). Larger sets
     fall back to a broadcast join over array columns.
     """
-    q_rows = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).collect()
+    # bounded collect for the path decision: limit(max+1) tells us which
+    # branch to take without ever materializing a large query set on the
+    # driver (the distributed branch below never needs the rows)
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .limit(max_inline_queries + 1)
+        .collect()
+    )
     if len(q_rows) <= max_inline_queries:
         # Arrow-batched BLAS path: broadcast the query block to every
         # partition, one (batch x dim) @ (dim x q) matmul per batch, keep
@@ -77,7 +96,7 @@ def brute_force_topk(
 
         q_ids = [int(r["query_id"]) for r in q_rows]
         Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
         corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"))
 
         def run(batches):
@@ -91,7 +110,13 @@ def brute_force_topk(
                 out_q, out_n, out_c = [], [], []
                 kk = min(k + 1, len(ids))  # +1 in case the query itself is here
                 for j, qid in enumerate(q_ids):
-                    top = np.argpartition(-S[:, j], kk - 1)[:kk]
+                    # lexsort, not argpartition: ties at the kk boundary
+                    # must keep the smallest nbr_id so the batch-local
+                    # truncation agrees with the final window's
+                    # (desc cos, asc nbr_id) tie-break — argpartition
+                    # keeps an arbitrary subset of tied candidates and
+                    # the output would depend on batch layout
+                    top = np.lexsort((ids, -S[:, j]))[:kk]
                     for t in top:
                         if ids[t] != qid:
                             out_q.append(qid)

@@ -30,7 +30,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{stage}/events.parquet").schema
     raw = spark.readStream.schema(schema).format("parquet").load(stage)
     if schema["ts"].dataType.simpleString() == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame
 
 from sgdnet_spark.glm import path as path_mod
@@ -42,8 +43,15 @@ class OnlineBinomial:
         self.step = step
         self.intercept = intercept
         self.moments: Moments | None = None
-        self.coef = None
+        p = len(self.feature_cols)
+        # null model + identity standardization until the first
+        # non-empty batch, so coefficients() is well-defined from the
+        # start (OnlineMultinomial already guards this; the univariate
+        # estimators previously crashed on an empty-stream read)
+        self.coef = np.zeros(p)
         self.b0 = 0.0
+        self._x_mean = np.zeros(p)
+        self._x_std = np.ones(p)
         self.n_batches = 0
 
     def update(self, batch_df: DataFrame) -> None:
@@ -110,8 +118,15 @@ class OnlinePoisson:
         self.step = step
         self.intercept = intercept
         self.moments: Moments | None = None
-        self.coef = None
+        p = len(self.feature_cols)
+        # null model + identity standardization until the first
+        # non-empty batch, so coefficients() is well-defined from the
+        # start (OnlineMultinomial already guards this; the univariate
+        # estimators previously crashed on an empty-stream read)
+        self.coef = np.zeros(p)
         self.b0 = 0.0
+        self._x_mean = np.zeros(p)
+        self._x_std = np.ones(p)
         self.n_batches = 0
 
     def update(self, batch_df: DataFrame) -> None:

@@ -421,3 +421,65 @@ def test_hash_score_trains_quality_model(spark):
     acc = float((((eta > 0).astype(int)) == y).mean())
     base = max(y.mean(), 1 - y.mean())
     assert acc > base + 0.05, (acc, base)
+
+
+def test_zero_vector_excluded_from_cosine(spark):
+    """An all-zero embedding has no direction: its cosine must be 0
+    (clamped norm), never NaN — Spark orders NaN above every number, so
+    a NaN cosine would pass every threshold filter and outrank every
+    real neighbor."""
+    from sgdnet_spark.operators import similarity as sim
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = sim.cosine_pairs(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    topk = sim.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    order = [r["nbr_id"] for r in topk]
+    assert order[0] == 1  # the zero vector never outranks a real neighbor
+    assert all(r["cos"] == r["cos"] for r in topk)  # no NaN emitted
+
+
+def test_exact_dedup_null_text_not_grouped(spark):
+    """NULL-text documents (failed extractions) are nobody's duplicates:
+    exact_dedup must keep every one, and exact_stats must count each as
+    unique — previously md5(NULL)=NULL grouped them into ONE dup group
+    and silently dropped all but one."""
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+    st = dedup.exact_stats(df).first()
+    assert (st["n_docs"], st["n_unique"], st["n_dup_rows"]) == (5, 4, 1)
+
+
+def test_kmeans_fewer_rows_than_centroids(spark):
+    """n < k clamps k to n instead of a numpy broadcast crash."""
+    from sgdnet_spark.operators import ivf
+
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf.kmeans_fit(df, k=16, iters=2)
+    assert cents.shape == (5, 2)
+
+
+def test_band_keys_reject_nondivisible_bands(spark):
+    """bands must divide num_hashes — silent truncation of trailing
+    signature rows would shift the banding S-curve unnoticed."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.band_keys(df, num_hashes=32, bands=5)
+
+
+def test_hashed_features_null_text(spark):
+    """NULL text featurizes as the empty document, not an
+    AttributeError inside the Arrow worker."""
+    from sgdnet_spark.operators import features as FT
+
+    df = spark.createDataFrame([(1, "a b a"), (2, None)], "doc_id long, text string")
+    out = FT.hashed_token_features(df, n_features=8, keep_cols=["doc_id"]).collect()
+    assert len(out) == 2
+    row2 = [r for r in out if r["doc_id"] == 2][0]
+    assert sum(row2[f"x{j}"] for j in range(8)) == 0.0
+    sp = FT.hashed_token_features_sparse(df, n_features=8, keep_cols=["doc_id"]).collect()
+    assert [r for r in sp if r["doc_id"] == 2][0]["indices"] == []
