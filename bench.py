@@ -81,27 +81,6 @@ HEADLINERS_R7: list[str] = [
 ]
 
 
-def _executor_run_time_ms(spark) -> float:
-    """Total executorRunTime (task CPU-clock, ms) across all completed
-    stages, from the local Spark UI REST API. Unlike wall time this is
-    robust to a contended bench host: concurrent load inflates wall
-    clock but not the tasks' own run time. Returns -1 if the UI is
-    unavailable."""
-    try:
-        import urllib.request
-
-        base = spark.sparkContext.uiWebUrl
-        app_id = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
-            timeout=5,
-        ) as resp:
-            stages = json.load(resp)
-        return float(sum(s.get("executorRunTime", 0) for s in stages))
-    except Exception:
-        return -1.0
-
-
 def _tree_cpu_sample() -> dict[int, float] | None:
     """Per-PID CPU seconds (utime+stime) of this process and every live
     descendant — the python driver, the single local-mode JVM, and any
@@ -156,7 +135,14 @@ def _cpu_delta(c0: dict[int, float], c1: dict[int, float]) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # parse (and validate) the scale factor BEFORE the multi-minute run:
+    # a path without an 'sfN' suffix must not throw at report time and
+    # discard the completed benchmark's one JSON output line
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        print(f"# warning: no sfN suffix in {sf_dir}; reporting sf=-1", file=sys.stderr)
+        sf = -1.0
     # Task-time capture needs the Spark UI, whose listener bus measurably
     # inflates CPU-heavy 32-task stages (~1.6x total at sf0.1 measured) —
     # so it is OPT-IN for diagnostics, never the default bench config:
@@ -242,7 +228,7 @@ def main() -> None:
                 "value_r1_comparable": round(
                     sum(v for k, v in times.items() if k in r1_names), 3
                 ),
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -109,6 +109,46 @@ class _SgdnetParams(HasFeaturesCol, HasLabelCol, HasPredictionCol, HasWeightCol)
         )
 
 
+class _PathGridFit:
+    """One path fit serves every CrossValidator grid point that differs
+    only in ``s`` — the glmnet trick the module docstring promises: the
+    whole lambda path is fitted once per fold and each grid model just
+    predicts at its own path point (lambda interpolation for off-path
+    s). Heterogeneous grids (alpha, nlambda, ... varying) fall back to
+    the default one-fit-per-map behavior. Listed BEFORE Estimator in
+    the bases so this fitMultiple wins the MRO."""
+
+    def fitMultiple(self, dataset, paramMaps):
+        import threading
+
+        maps = list(paramMaps)
+        non_s = [{par.name: v for par, v in pm.items() if par.name != "s"}
+                 for pm in maps]
+        if len(maps) > 1 and all(d == non_s[0] for d in non_s):
+            base_model = self.copy(maps[0])._fit(dataset)
+            lock = threading.Lock()
+            state = {"i": 0}
+            s_param = self.s
+
+            class _SharedPathIter:
+                def __iter__(it):
+                    return it
+
+                def __next__(it):
+                    with lock:
+                        i = state["i"]
+                        if i >= len(maps):
+                            raise StopIteration
+                        state["i"] = i + 1
+                    m = base_model.copy()
+                    if s_param in maps[i]:
+                        m._set(s=float(maps[i][s_param]))
+                    return i, m
+
+            return _SharedPathIter()
+        return super().fitMultiple(dataset, paramMaps)
+
+
 def _with_features_array(df: DataFrame, features_col: str) -> DataFrame:
     """Project the features column to array<double> under a fixed name."""
     dtype = dict(df.dtypes).get(features_col)
@@ -125,7 +165,7 @@ def _set_params(obj, kwargs):
         obj._set(**{k: v})
 
 
-class SgdnetRegressor(Estimator, _SgdnetParams, DefaultParamsReadable, DefaultParamsWritable):
+class SgdnetRegressor(_PathGridFit, Estimator, _SgdnetParams, DefaultParamsReadable, DefaultParamsWritable):
     """Elastic-net path regression estimator (gaussian or poisson)."""
 
     family = Param(Params._dummy(), "family", "gaussian | poisson",
@@ -149,7 +189,7 @@ class SgdnetRegressor(Estimator, _SgdnetParams, DefaultParamsReadable, DefaultPa
         return model
 
 
-class SgdnetClassifier(Estimator, _SgdnetParams, HasProbabilityCol,
+class SgdnetClassifier(_PathGridFit, Estimator, _SgdnetParams, HasProbabilityCol,
                        HasRawPredictionCol, DefaultParamsReadable, DefaultParamsWritable):
     """Elastic-net path classification estimator.
 
@@ -261,7 +301,10 @@ class SgdnetClassificationModel(_SgdnetModelBase, HasProbabilityCol, HasRawPredi
             return out.drop(_FEATURES_ARR)
         # multinomial: per-class response columns in class order
         out = fit.predict(ds, s=s, type="response", prefix="__p")
-        probs = [F.col(f"__p_{c}") for c in (fit.classnames or [])]
+        # backticks: MLlib double labels produce class names like "0.0",
+        # and an unquoted F.col("__p_0.0") parses the dot as a
+        # struct-field access (UNRESOLVED_COLUMN `__p_0`.`0`)
+        probs = [F.col(f"`__p_{c}`") for c in (fit.classnames or [])]
         # argmax with lowest-index tie-break: maximize (prob, -idx)
         best = F.array_max(F.array(*[
             F.struct(p.alias("p"), F.lit(-i).alias("ni"))

@@ -210,6 +210,8 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
                         for i in range(0, len(samples), _WAV_FRAME)
                     ]
                 n = len(blocks)
+                if n == 0:  # zero-sample clip: no frames, not a ZeroDivisionError
+                    continue
                 take = min(max_frames, n)
                 step = n / take
                 for j in range(take):

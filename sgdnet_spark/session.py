@@ -66,8 +66,9 @@ def get_spark(app_name: str = "sgdnet_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the UI is off for tests (port churn); bench.py turns it on to
-        # read per-query executorRunTime from the REST API
+        # the UI is off by default (its listener bus measurably slows
+        # CPU-heavy 32-task stages); SPARK_GRAFT_UI=true re-enables it
+        # for interactive plan/stage inspection only
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.port", "0")
         # 1g code cache: a many-query session generates thousands of
@@ -108,11 +109,37 @@ TABLES = (
 ).split()
 
 
+def read_events(spark: SparkSession, sf_dir: str):
+    """events.parquet with ``ts`` normalized to TimestampType.
+
+    The table has shipped with two physical ts encodings: TIMESTAMP(NANOS)
+    — which Spark can only read as long (legacy conf) and we truncate to
+    micros with exact integer DIV (= DuckDB's view) — and plain micros,
+    which reads natively as TIMESTAMP_NTZ and is cast to TimestampType.
+    THE one events reader: queries._t and load_tables both route through
+    it so views and query frames can never disagree on the ts type."""
+    from pyspark.sql import functions as F
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if df.schema["ts"].dataType.simpleString() == "bigint":
+        # integer DIV, not /1000: epoch nanos (~1.7e18) exceed double's
+        # 2^53 exact range — float division can shift boundary
+        # timestamps one microsecond off DuckDB's integer truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
-    """Load every testdata table as a DataFrame and register temp views."""
+    """Load every testdata table as a DataFrame and register temp views
+    (events through the same ts normalization queries use)."""
     out = {}
     for name in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

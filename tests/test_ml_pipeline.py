@@ -176,3 +176,58 @@ def test_penalty_options_thread_through(spark, reg_df):
                            penaltyFactor=[0.0, 1.0, 1.0])
     m2 = est2.fit(dv)
     assert abs(m2.fit.beta[0, 0]) > 0.1          # unpenalized at lambda_max
+
+
+def test_classifier_double_labels_with_dots(spark):
+    """MLlib-style double labels (0.0/1.0/2.0) produce per-class
+    column names containing dots; transform() must reference them as
+    literal names (backticks), not struct-field paths."""
+    import numpy as np
+    from pyspark.ml.feature import VectorAssembler
+
+    from sgdnet_spark.ml import SgdnetClassifier
+
+    rng = np.random.default_rng(4)
+    n = 240
+    x = rng.normal(size=(n, 3))
+    lab = np.digitize(x @ np.array([1.0, -1.0, 0.5]), [-0.5, 0.5]).astype(float)
+    rows = [(float(a), float(b), float(c), float(l)) for (a, b, c), l in zip(x, lab)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, label double")
+    va = VectorAssembler(inputCols=["x0", "x1", "x2"], outputCol="features")
+    model = SgdnetClassifier(featuresCol="features", labelCol="label",
+                             family="multinomial", nlambda=4).fit(va.transform(df))
+    out = model.transform(va.transform(df)).select("prediction", "probability").collect()
+    assert len(out) == n
+    assert {r["prediction"] for r in out} <= {0.0, 1.0, 2.0}
+
+
+def test_fit_multiple_shares_path_over_s_grid(spark):
+    """A grid over s alone fits ONE path (the documented glmnet trick):
+    fitMultiple yields per-s models that all share the same fit object,
+    and their predictions equal individually-fitted models'."""
+    import numpy as np
+
+    from sgdnet_spark.ml import SgdnetRegressor
+
+    rng = np.random.default_rng(6)
+    n = 200
+    x = rng.normal(size=(n, 3))
+    y = 1.0 + x @ np.array([2.0, -1.0, 0.0]) + rng.normal(scale=0.3, size=n)
+    rows = [([float(a) for a in xi], float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    est = SgdnetRegressor(featuresCol="features", labelCol="label", nlambda=8)
+    grid = [{est.s: 0.1}, {est.s: 0.01}, {est.s: 0.001}]
+    models = dict(est.fitMultiple(df, grid))
+    assert len(models) == 3
+    # shared path: every model holds the SAME fit object
+    assert models[0].fit is models[1].fit is models[2].fit
+    # each model predicts at its own s, equal to a fresh single fit
+    for i, s in enumerate([0.1, 0.01, 0.001]):
+        single = est.copy({est.s: s}).fit(df)
+        a = models[i].transform(df).select("prediction").toPandas()
+        b = single.transform(df).select("prediction").toPandas()
+        assert np.allclose(a["prediction"], b["prediction"])
+    # heterogeneous grid falls back to per-map fits (different alphas)
+    grid2 = [{est.alpha: 1.0}, {est.alpha: 0.0}]
+    models2 = dict(est.fitMultiple(df, grid2))
+    assert models2[0].fit is not models2[1].fit
