@@ -1,0 +1,90 @@
+"""End-to-end training-data pipeline: every tier composes.
+
+One chain over the real documents table — exact dedup -> near-dup
+removal -> benchmark decontamination -> Gopher repetition filter ->
+model-based quality scoring -> stratified sampling -> train/val/test
+split -> sharded sequence packing -> a GLM fit on the surviving
+corpus's hashed features. Each stage is DataFrame-in/DataFrame-out, so
+the whole pipeline is ONE lazy plan per action; this test pins that
+the stages agree on schemas/ids and that each tier actually removes or
+labels what it should.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import dedup, sampling, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_full_training_data_pipeline(spark, corpus):
+    n0 = corpus.count()
+
+    # 1. exact dedup (md5-canonical, min-id representative)
+    stage1 = dedup.exact_dedup(corpus)
+    n1 = stage1.count()
+    assert n1 <= n0
+
+    # 2. near-dup removal on the MinHash+LSH scale path: drop the
+    # higher id of every verified pair
+    pairs = dedup.minhash_lsh_pairs(stage1, threshold=0.6)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    stage2 = stage1.join(drop, "doc_id", "left_anti")
+    n2 = stage2.count()
+    assert n2 <= n1
+
+    # 3. decontamination against a held-out benchmark split
+    bench = corpus.filter(F.col("doc_id") % 17 == 0)
+    stage3 = dedup.decontaminate(stage2.filter(F.col("doc_id") % 17 != 0), bench, k=5)
+    n3 = stage3.count()
+    assert n3 <= n2
+
+    # 4. repetition filter (Gopher-style): drop boilerplate/looping docs
+    rep = text.repetition_stats(stage3)
+    ok_ids = rep.filter(
+        (F.col("top_token_frac") < 0.2) & (F.col("dup_bigram_frac") < 0.5)
+    ).select("doc_id")
+    stage4 = stage3.join(ok_ids, "doc_id", "left_semi")
+    n4 = stage4.count()
+    assert 0 < n4 <= n3
+
+    # 5. model-based quality scoring joins on cleanly
+    scored = text.hash_score(stage4, n_buckets=512).select("doc_id", "score")
+    stage5 = stage4.join(scored, "doc_id")
+    assert stage5.count() == n4
+
+    # 6-7. stratified sample + split assignment (deterministic, id-keyed)
+    fr = {lang: 0.8 for lang in ("en", "de", "fr", "es", "zh")}
+    sampled = sampling.stratified_sample(stage5, "lang", fr)
+    split = sampling.split_assign(sampled, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+
+    # 8. sharded sequence packing of the train split
+    train = split.filter(F.col("split") == "train").withColumn(
+        "n_tok", F.size(text.tokens("text")).cast("bigint")
+    )
+    packed = sampling.pack_sequences(train, budget=256, tokens_col="n_tok",
+                                     n_shards=4)
+    # every surviving doc is placed exactly once, offsets within budget
+    assert packed.count() == train.count()
+    assert packed.filter((F.col("chunk_offset") < 0) | (F.col("chunk_offset") >= 256)).count() == 0
+
+    # 9. the cleaned corpus feeds the GLM engine (hashed features)
+    from sgdnet_spark.glm import sgdnet
+    from sgdnet_spark.operators.features import hashed_token_features_sparse
+
+    feats = hashed_token_features_sparse(
+        train.limit(200), n_features=64, keep_cols=["doc_id", "n_tok"]
+    ).withColumn("y", (F.col("n_tok") > 50).cast("double"))
+    from sgdnet_spark.glm.sparse import sgdnet_sparse
+
+    fit = sgdnet_sparse(feats, "indices", "values", "y", p=64,
+                        family="gaussian", nlambda=3)
+    assert fit.nlambda == 3
