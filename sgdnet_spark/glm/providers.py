@@ -81,7 +81,21 @@ class LocalXY:
         return self.o is not None
 
     def moments_diag(self) -> Moments:
-        return self.moments()
+        # honor the O(p) contract: no p×p Gram even on the local
+        # provider (a wide-p collect that fit the n·p budget would
+        # otherwise allocate p² bytes here)
+        self.passes += 1
+        x, y = self.x, self.y
+        xw = x if self.w is None else x * self.w[:, None]
+        yw = y if self.w is None else y * self.w[:, None]
+        return Moments(
+            n=self.n,
+            sum_x=xw.sum(axis=0),
+            sum_y=yw.sum(axis=0),
+            sum_xx=(xw * x).sum(axis=0),  # 1-D diagonal
+            sum_xy=xw.T @ y,
+            sum_yy=(yw * y).sum(axis=0),
+        )
 
     def moments(self) -> Moments:
         self.passes += 1
@@ -240,10 +254,12 @@ class LocalXY:
             z = eta + (yb[s:e] - mu) / w
             if self.o is not None:
                 z -= self.o[s:e]  # the WLS solve targets eta MINUS the offset
-            # ll = Σ y·η − Σ log(1+e^η); log(1+e^η) = η − log σ(η) and σ(η)
-            # is already in mu — one np.log instead of logaddexp (σ only
-            # underflows past η < -745; guard the tail with maximum)
-            llt = (yb[s:e] - 1.0) * eta + np.log(np.maximum(mu, 1e-300))
+            # ll = Σ y·η − Σ log(1+e^η), via logaddexp EXACTLY as the
+            # distributed kernel (suffstats.weighted_quadratic) computes
+            # it — a log(max(mu, 1e-300)) shortcut diverges from the
+            # Spark path for η < −691 (quasi-separable fits), breaking
+            # the bit-identical-statistics contract between strategies
+            llt = yb[s:e] * eta - np.logaddexp(0.0, eta)
             if self.w is not None:
                 sw = self.w[s:e]
                 llt = llt * sw

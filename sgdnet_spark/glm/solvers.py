@@ -224,6 +224,11 @@ def log_space(hi: float, lo: float, num: int) -> np.ndarray:
     which would let a ~1e-16 coefficient slip past the lambda_max
     soft-threshold (KKT holds with equality there).
     """
+    if num == 1:
+        # a 1-point path is lambda_max (the null model the auto path
+        # emits at index 0) — out[-1] = lo would mislabel it as
+        # lambda_min
+        return np.array([hi], dtype=float)
     out = np.logspace(np.log10(hi), np.log10(lo), num)
     out[0] = hi
     out[-1] = lo

@@ -53,13 +53,26 @@ def _batch_csr(pdf: pd.DataFrame):
     return idx.astype(np.int64), val, rows, indptr, y, w
 
 
-def _sum_partials(df: DataFrame, fn) -> np.ndarray:
+def _sum_partials(df: DataFrame, fn, p: int | None = None) -> np.ndarray:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            part = fn(*_batch_csr(pdf))
+            batch = _batch_csr(pdf)
+            if p is not None and len(batch[0]):
+                # the input contract, enforced where it breaks: an index
+                # >= p lengthens bincount output and SHIFTS the packed
+                # partial's segments — partials then silently mis-sum
+                # (or fail with an inscrutable inhomogeneous-shape
+                # error when partitions disagree)
+                mx, mn = int(batch[0].max()), int(batch[0].min())
+                if mx >= p or mn < 0:
+                    raise ValueError(
+                        f"sparse feature index out of range: saw {mn}..{mx} "
+                        f"but p={p} (indices must be in [0, p))"
+                    )
+            part = fn(*batch)
             acc = part if acc is None else acc + part
         if acc is not None:
             yield pd.DataFrame({"partial": [acc.tolist()]})
@@ -83,7 +96,7 @@ def moments_diag_sparse(xy: DataFrame, p: int) -> Moments:
             [[float(len(y))], sum_x, sum_xsq, [yw.sum()], sum_xy, [(yw * y).sum()]]
         )
 
-    out = _sum_partials(xy, fn)
+    out = _sum_partials(xy, fn, p)
     i = 0
     n = int(round(out[0])); i += 1
     sum_x = out[i : i + p]; i += p
@@ -91,7 +104,8 @@ def moments_diag_sparse(xy: DataFrame, p: int) -> Moments:
     sum_y = out[i : i + 1]; i += 1
     sum_xy = out[i : i + p].reshape(p, 1); i += p
     sum_yy = out[i : i + 1]
-    return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)
+    # 1-D diagonal (see Moments.xx_diag) — np.diag would be p^2 bytes
+    return Moments(n, sum_x, sum_y, sum_xsq, sum_xy, sum_yy)
 
 
 def _densify(prov: "SparseSparkXY", p: int, k_onehot: int | None = None):
@@ -101,7 +115,12 @@ def _densify(prov: "SparseSparkXY", p: int, k_onehot: int | None = None):
     pdf = prov.xy.toPandas()
     x = np.zeros((len(pdf), p))
     for r, (ii, vv) in enumerate(zip(pdf[IDX_COL], pdf[VAL_COL])):
-        x[r, np.asarray(ii, dtype=int)] = np.asarray(vv, dtype=float)
+        # np.add.at, not fancy-index assignment: a row with a DUPLICATE
+        # index would last-wins under assignment while the distributed
+        # kernels (np.bincount / np.add.at) SUM duplicates — the same
+        # dataset must fit identically above and below the collect
+        # threshold
+        np.add.at(x[r], np.asarray(ii, dtype=int), np.asarray(vv, dtype=float))
     y = pdf[LBL_COL].to_numpy(dtype=float)
     if k_onehot is not None:
         oh = np.zeros((len(y), k_onehot))
@@ -172,6 +191,10 @@ def sgdnet_sparse(
         label_expr: object = label_col
     else:
         classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+        if any(c is None for c in classes):
+            # same policy as the dense path (sgdnet.py): NULL would sort
+            # first and become a phantom class whose rows map to NaN
+            raise ValueError("NULL values in the response; classification labels must be non-null")
         if family == "binomial":
             if len(classes) != 2:
                 raise ValueError(f"binomial response needs exactly 2 classes, got {len(classes)}")
@@ -288,7 +311,7 @@ class SparseSparkXY:
             g = (xr - m * sum_r) * inv
             return np.concatenate([g, [sum_r], [rw @ r], [float(len(y))]])
 
-        out = _sum_partials(self.xy, fn)
+        out = _sum_partials(self.xy, fn, self.p)
         n = out[-1]
         return out[:p] / n, out[p] / n, out[p + 1] / n
 
@@ -309,7 +332,7 @@ class SparseSparkXY:
             xu = np.bincount(idx, weights=val * uw[rows], minlength=p)
             return np.concatenate([(xu - m * uw.sum()) * inv, [float(len(y))]])
 
-        out = _sum_partials(self.xy, fn)
+        out = _sum_partials(self.xy, fn, self.p)
         return out[:p] / out[-1]
 
     def grad_binomial(self, coef: np.ndarray, b0: float):
@@ -337,7 +360,7 @@ class SparseSparkXY:
             ll = ll_terms.sum()
             return np.concatenate([(xr - m * sum_r) * inv, [sum_r], [ll], [float(len(y))]])
 
-        out = _sum_partials(self.xy, fn)
+        out = _sum_partials(self.xy, fn, self.p)
         n = out[-1]
         return out[:p] / n, out[p] / n, out[p + 1]
 
@@ -374,7 +397,7 @@ class SparseSparkXY:
             ll = float(ll_terms.sum())
             return np.concatenate([G.T.ravel(), R.sum(axis=0), [ll], [float(nb)]])
 
-        out = _sum_partials(self.xy, fn)
+        out = _sum_partials(self.xy, fn, self.p)
         n = out[-1]
         G = out[: k * p].reshape(k, p) / n
         gb = out[k * p : k * p + k] / n
@@ -403,7 +426,7 @@ class SparseSparkXY:
                 [[float(nb)], sum_x, sum_xsq, Yw.sum(axis=0), XY.ravel(), (Yw * Y).sum(axis=0)]
             )
 
-        out = _sum_partials(self.xy, fn)
+        out = _sum_partials(self.xy, fn, self.p)
         i = 0
         n = int(round(out[0])); i += 1
         sum_x = out[i : i + p]; i += p
@@ -412,7 +435,8 @@ class SparseSparkXY:
         sum_xy = out[i : i + p * k].reshape(p, k); i += p * k
         sum_yy = out[i : i + k]
         self.n = n
-        return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)
+        # 1-D diagonal (see Moments.xx_diag) — np.diag would be p^2 bytes
+        return Moments(n, sum_x, sum_y, sum_xsq, sum_xy, sum_yy)
 
 
 def predict_sparse(
@@ -441,10 +465,19 @@ def predict_sparse(
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
     fam = fit.family
+    # match.arg semantics, as the dense predict: unknown types must not
+    # silently fall through to link, and poisson response must
+    # exponentiate rather than leak the raw linear predictor
+    if type not in ("link", "response", "class"):
+        raise ValueError(f"unknown predict type: {type!r}")
+    if type == "class" and fam not in ("binomial", "multinomial"):
+        raise ValueError(
+            f"type='class' is only defined for classification families, not {fam!r}"
+        )
     cf = fit.coef(s) if s is not None else fit.coef()
     multi = fam == "multinomial"
     if fam == "mgaussian":
-        raise ValueError("predict_sparse supports gaussian, binomial, multinomial fits")
+        raise ValueError("predict_sparse supports gaussian, binomial, multinomial (and poisson) fits")
     if multi and cf.shape[-1] != 1:
         raise ValueError("multinomial predict_sparse needs a single s per call")
 
@@ -488,6 +521,8 @@ def predict_sparse(
                     np.add.at(eta, rows, val * cf[1:, i][idx])
                     if fam == "binomial" and type == "response":
                         col = 1.0 / (1.0 + np.exp(-eta))
+                    elif fam == "poisson" and type == "response":
+                        col = np.exp(eta)
                     elif fam == "binomial" and type == "class":
                         col = np.where(eta > 0, cls_labels[1], cls_labels[0])
                     else:
@@ -561,7 +596,12 @@ def score_sparse(
                         if ptrue is None
                         else ptrue.when(lbl == F.lit(c), F.col(f"pred_{c}"))
                     )
+                # labels outside fit.classnames (or NULL) leave the when
+                # ladder NULL; greatest/least skip NULLs, so the clamp
+                # would silently max-penalize — NaN-poison AFTER the
+                # clamp instead (same policy as the dense score path)
                 pc = F.least(F.greatest(ptrue, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+                pc = F.when(ptrue.isNull(), F.lit(float("nan"))).otherwise(pc)
                 expr = F.avg(F.lit(-2.0) * F.log(pc))
             elif type_measure in ("mse", "mae"):
                 row = None

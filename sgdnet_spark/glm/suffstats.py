@@ -111,16 +111,13 @@ def _batch_wo(pdf: pd.DataFrame) -> tuple[np.ndarray | None, np.ndarray | None]:
 
 
 def _sum_partials(df: DataFrame, fn, p: int, k: int) -> np.ndarray:
-    """Run ``fn(x, y[, w, o]) -> 1-d partial vector`` per Arrow batch and
-    sum. ``fn`` taking two args gets (x, y); taking four also gets the
-    optional weight/offset arrays (None when the columns are absent).
+    """Run ``fn(x, y, w, o) -> 1-d partial vector`` per Arrow batch and
+    sum (w/o are None when the columns are absent — every kernel takes
+    all four).
 
     One packed partial row per partition; the combine on the driver sums
     #partitions vectors of O(p^2) floats — independent of n.
     """
-    import inspect
-
-    wants_wo = len(inspect.signature(fn).parameters) >= 4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
@@ -128,11 +125,8 @@ def _sum_partials(df: DataFrame, fn, p: int, k: int) -> np.ndarray:
             if len(pdf) == 0:
                 continue
             x, y = _batch_xy(pdf, p, k)
-            if wants_wo:
-                w, o = _batch_wo(pdf)
-                part = fn(x, y, w, o)
-            else:
-                part = fn(x, y)
+            w, o = _batch_wo(pdf)
+            part = fn(x, y, w, o)
             acc = part if acc is None else acc + part
         if acc is not None:
             yield pd.DataFrame({"partial": [acc.tolist()]})
@@ -162,9 +156,15 @@ class Moments:
     def y_mean(self) -> np.ndarray:
         return self.sum_y / self.n
 
+    def xx_diag(self) -> np.ndarray:
+        # diag-only moments (wide-p path) store sum_xx as the 1-D
+        # diagonal itself — a dense np.diag(p×p) would be 80 GB at
+        # p=100k on the exact path that exists to avoid p²
+        return self.sum_xx if self.sum_xx.ndim == 1 else self.sum_xx.diagonal()
+
     def x_std(self) -> np.ndarray:
         # population (1/n) std, as reference utils.h:Mean/StandardDeviation
-        var = self.sum_xx.diagonal() / self.n - self.x_mean**2
+        var = self.xx_diag() / self.n - self.x_mean**2
         return np.sqrt(np.maximum(var, 0.0))
 
     def y_std(self) -> np.ndarray:
@@ -265,7 +265,8 @@ def moments_diag(xy: DataFrame, p: int, k: int) -> Moments:
     sum_y = out[i : i + k]; i += k
     sum_xy = out[i : i + p * k].reshape(p, k); i += p * k
     sum_yy = out[i : i + k]
-    return Moments(n, sum_x, sum_y, np.diag(sum_xsq), sum_xy, sum_yy)
+    # 1-D diagonal, NOT np.diag(...): the dense matrix is p² bytes
+    return Moments(n, sum_x, sum_y, sum_xsq, sum_xy, sum_yy)
 
 
 def gradient_gaussian(
@@ -625,11 +626,13 @@ def validate_weights_offsets(df, weights_col=None, offset_names=()):
     aggs = [F.count("*").alias("n")]
     if wc is not None:
         aggs += [F.count(wc).alias("wn"), F.sum(wc).alias("W"),
-                 F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan")]
+                 F.min(wc).alias("wmin"), F.max(F.isnan(wc).cast("int")).alias("wnan"),
+                 F.max(wc).alias("wmax")]
     for i, name in enumerate(offset_names):
         oc = F.col(name).cast("double")
         aggs += [F.count(oc).alias(f"on{i}"),
-                 F.max(F.isnan(oc).cast("int")).alias(f"onan{i}")]
+                 F.max(F.isnan(oc).cast("int")).alias(f"onan{i}"),
+                 F.max(F.abs(oc)).alias(f"oabs{i}")]
     vrow = df.agg(*aggs).first()
     if vrow["n"] == 0:
         raise ValueError("the predictor matrix (x) is empty.")
@@ -642,6 +645,16 @@ def validate_weights_offsets(df, weights_col=None, offset_names=()):
             )
         if float(vrow["wmin"]) < 0:
             raise ValueError("sample weights must be non-negative")
+        if not np.isfinite(float(vrow["wmax"])):
+            # an inf weight makes W=inf, so the sum-to-n rescale factor
+            # n/W is 0.0 — every finite weight silently becomes zero and
+            # the fit goes all-NaN with no error (the local fast path
+            # already rejects non-finite weights; keep the strategies in
+            # lockstep)
+            raise ValueError(
+                f"weights_col '{weights_col}' contains infinite values; "
+                "filter or cap them before fitting"
+            )
         if float(vrow["W"]) <= 0:
             raise ValueError("sample weights must not all be zero")
         weight_expr = wc * F.lit(float(vrow["n"]) / float(vrow["W"]))
@@ -650,5 +663,10 @@ def validate_weights_offsets(df, weights_col=None, offset_names=()):
             raise ValueError(
                 f"offset_col '{name}' contains NULL/NaN values; "
                 "filter or impute them before fitting"
+            )
+        if not np.isfinite(float(vrow[f"oabs{i}"])):
+            raise ValueError(
+                f"offset_col '{name}' contains infinite values; "
+                "filter or cap them before fitting"
             )
     return weight_expr

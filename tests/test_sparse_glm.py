@@ -1,6 +1,7 @@
 """Sparse wide-p GLM path == dense fit on the same hashed features."""
 
 import numpy as np
+import pytest
 
 from sgdnet_spark.glm.sgdnet import sgdnet
 from sgdnet_spark.glm.sparse import sgdnet_sparse
@@ -47,7 +48,7 @@ def test_sparse_distributed_kernels(spark):
     mom = prov.moments_diag()
     assert mom.n == n
     assert np.allclose(mom.sum_x, dense.sum(0), rtol=1e-10)
-    assert np.allclose(np.diag(mom.sum_xx), (dense**2).sum(0), rtol=1e-10)
+    assert np.allclose(mom.xx_diag(), (dense**2).sum(0), rtol=1e-10)
     yv = np.array([r[2] for r in rows])
     assert np.allclose(mom.sum_xy[:, 0], dense.T @ yv, rtol=1e-10)
     # gradient pass vs dense formula (standardized)
@@ -310,3 +311,81 @@ def test_cv_sgdnet_sparse(spark, sf_dir):
     for a, b in zip(cvs.cv_summary, cvd.cv_summary):
         assert np.isclose(a["mean"], b["mean"], rtol=1e-4), (a, b)
     assert cvs.lambda_1se >= cvs.lambda_min
+
+
+def test_sparse_null_labels_raise(spark):
+    """Sparse classification rejects NULL labels like the dense path —
+    NULL would sort first and become a phantom class."""
+    rows = [([0], [1.0], "a"), ([1], [2.0], "b"), ([0, 1], [1.0, 1.0], None)] * 5
+    df = spark.createDataFrame(rows, "indices array<int>, vals array<double>, y string")
+    with pytest.raises(ValueError, match="NULL"):
+        sgdnet_sparse(df, "indices", "vals", "y", p=2, family="binomial", nlambda=2)
+
+
+def test_sparse_index_out_of_range_raises(spark):
+    """A feature index >= p must raise with the contract named, not
+    shift bincount segments into silently-garbage aggregates."""
+    rows = [([0, 5], [1.0, 2.0], 1.0), ([1], [1.0], 0.0)] * 5
+    df = spark.createDataFrame(rows, "indices array<int>, vals array<double>, y double")
+    with pytest.raises(Exception, match="out of range"):
+        sgdnet_sparse(df, "indices", "vals", "y", p=4, family="gaussian",
+                      nlambda=2, collect_max_cells=0)  # force distributed
+
+
+def test_sparse_duplicate_indices_sum_consistently(spark):
+    """A row with a duplicate index sums its values on BOTH execution
+    strategies (distributed bincount and the densified fast path) — the
+    same data must fit identically above and below the collect budget."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(80):
+        rows.append(([0, 0, 1], [1.0, 2.0, float(rng.normal())],
+                     float(rng.normal())))
+    df = spark.createDataFrame(rows, "indices array<int>, vals array<double>, y double")
+    kw = dict(family="gaussian", alpha=0.0, nlambda=1, lambdas=[0.1])
+    fast = sgdnet_sparse(df, "indices", "vals", "y", p=2, **kw)
+    slow = sgdnet_sparse(df, "indices", "vals", "y", p=2,
+                         collect_max_cells=0, **kw)
+    assert np.allclose(fast.beta[:, 0], slow.beta[:, 0], atol=1e-6)
+    assert np.allclose(fast.a0, slow.a0, atol=1e-6)
+
+
+def test_predict_sparse_type_validation(spark):
+    """predict_sparse rejects unknown types and class-on-gaussian, like
+    the dense predict (no silent link fall-through)."""
+    import numpy as np
+
+    rows = [([0], [float(i)], float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "indices array<int>, vals array<double>, y double")
+    fit = sgdnet_sparse(df, "indices", "vals", "y", p=1, family="gaussian", nlambda=2)
+    from sgdnet_spark.glm.sparse import predict_sparse
+
+    with pytest.raises(ValueError, match="unknown predict type"):
+        predict_sparse(fit, df, "indices", "vals", type="respons")
+    with pytest.raises(ValueError, match="classification"):
+        predict_sparse(fit, df, "indices", "vals", type="class")
+
+
+def test_inf_weights_raise_distributed(spark):
+    """An infinite weight must raise (the n/W rescale factor would be
+    0.0 and every finite weight silently zeroes out), matching the
+    local fast path's check."""
+    import pytest as _p
+
+    from sgdnet_spark.glm import sgdnet
+
+    rows = [(float(i), float(i), 1.0 if i else float("inf")) for i in range(50)]
+    df = spark.createDataFrame(rows, "x0 double, y double, w double")
+    with _p.raises(ValueError, match="infinite"):
+        sgdnet(df, ["x0"], "y", family="gaussian", nlambda=2, weights_col="w")
+
+
+def test_log_space_single_point_is_lambda_max():
+    from sgdnet_spark.glm.solvers import log_space
+
+    out = log_space(10.0, 0.001, 1)
+    assert out.tolist() == [10.0]
+    assert log_space(10.0, 0.001, 3)[0] == 10.0
+    assert log_space(10.0, 0.001, 3)[-1] == 0.001
