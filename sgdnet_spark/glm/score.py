@@ -105,6 +105,18 @@ def auc_distributed(
     return _hist_auc(pos, n)
 
 
+def _binomial_y(label_col: str, cls) -> F.Column:
+    """0/1 response from the label column, NaN-poisoned for NULL or
+    out-of-class values — a bare otherwise(0.0) would silently score
+    such rows as genuine negatives while training raises on them."""
+    lbl = F.col(label_col)
+    return (
+        F.when(lbl == F.lit(cls[1]), 1.0)
+        .when(lbl == F.lit(cls[0]), 0.0)
+        .otherwise(F.lit(float("nan")))
+    )
+
+
 def auc_path_distributed(
     fit,
     df: DataFrame,
@@ -131,7 +143,7 @@ def auc_path_distributed(
     cf = fit.coef(s_arr)
     nl = cf.shape[-1]
     cls = fit.classnames
-    y = F.when(F.col(label_col) == F.lit(cls[1]), 1.0).otherwise(0.0)
+    y = _binomial_y(label_col, cls)
 
     def _eta(i: int) -> F.Column:
         return eta_expr(cf[:, i], cols, offset_col)
@@ -145,6 +157,10 @@ def auc_path_distributed(
     # (2·nl cells) buys full bucket resolution at every path point.
     rng = df.agg(*[m for i in range(nl) for m in
                    (F.min(_eta(i)).alias(f"lo{i}"), F.max(_eta(i)).alias(f"hi{i}"))]).first()
+    if rng["lo0"] is None:
+        # empty frame or all-NULL predictors: AUC is undefined — return
+        # NaN like score_np/_auc rather than TypeError on float(None)
+        return np.full(nl, np.nan)
     entries = []
     for i in range(nl):
         lo, hi = float(rng[f"lo{i}"]), float(rng[f"hi{i}"])
@@ -298,8 +314,13 @@ def _score_multinomial_distributed(fit, df, cols, label_col, type_measure, s,
                 row_sum = term if row_sum is None else row_sum + term
             aggs.append(F.avg(row_sum).alias(f"m{i}"))
         else:  # class: misclassification rate via argmax over (eta, -class_idx)
+            # the tie-break field must be the NEGATED index, compared
+            # BEFORE the class string: struct ordering on (eta, cls)
+            # would break eta ties toward the lexicographically LAST
+            # class, diverging from score_np's argmax-first convention
             best = F.array(
-                *[F.struct(e.alias("eta"), F.lit(str(cls)).alias("cls")) for e, cls in zip(etas, classes)]
+                *[F.struct(e.alias("eta"), F.lit(-c).alias("ni"), F.lit(str(cl)).alias("cls"))
+                  for c, (e, cl) in enumerate(zip(etas, classes))]
             )
             pred = F.array_max(best)["cls"]
             aggs.append(F.avg((pred != F.col(label_col).cast("string")).cast("double")).alias(f"m{i}"))
@@ -399,6 +420,12 @@ def score(
                 "mgaussian offset_col must be a sequence of one column per "
                 f"response {fit.response_names}"
             )
+        if isinstance(label_col, str):
+            raise ValueError(
+                "mgaussian label_col must be a sequence of one column per "
+                f"response {fit.response_names} (a bare string would be "
+                "split into characters)"
+            )
         labels = fit.response_names if label_col is None else list(label_col)
         return _score_mgaussian_distributed(fit, df, cols, labels, type_measure, s,
                                             offset_cols=offset_col)
@@ -414,7 +441,7 @@ def score(
     nl = cf.shape[-1]
     cls = fit.classnames
     if fam == "binomial":
-        ycol = F.when(F.col(label_col) == F.lit(cls[1]), 1.0).otherwise(0.0)
+        ycol = _binomial_y(label_col, cls)
     else:
         ycol = F.col(label_col).cast("double")
 
@@ -424,7 +451,10 @@ def score(
         wcol = F.col(weights_col).cast("double")
 
         def _mean(t):
-            return F.sum(wcol * t) / F.sum(wcol)
+            # denominator counts only rows whose term is non-NULL: F.sum
+            # skips NULL terms in the numerator, so including their
+            # weights below would silently bias every weighted score low
+            return F.sum(wcol * t) / F.sum(F.when(t.isNotNull(), wcol))
 
     aggs = []
     for i in range(nl):

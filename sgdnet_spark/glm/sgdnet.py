@@ -266,8 +266,15 @@ class SgdnetFit:
                 out = out.withColumn(f"{prefix}_{name}", e / tot)
             return out
         if type == "class":
-            arr = F.array(*[F.struct(e.alias("eta"), F.lit(str(n)).alias("cls")) for e, n in zip(etas, names)])
-            best = F.array_max(arr)  # struct ordering: by eta then cls
+            # tie-break by NEGATED class index (compared before the
+            # string): plain (eta, cls) ordering would break eta ties
+            # toward the lexicographically last class, while the
+            # reference/np path (argmax) picks the FIRST
+            arr = F.array(*[
+                F.struct(e.alias("eta"), F.lit(-i).alias("ni"), F.lit(str(n)).alias("cls"))
+                for i, (e, n) in enumerate(zip(etas, names))
+            ])
+            best = F.array_max(arr)
             return out.withColumn(prefix, best["cls"])
         raise ValueError(f"unknown predict type: {type}")
 

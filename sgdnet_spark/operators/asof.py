@@ -30,7 +30,11 @@ def asof_join(
     with `suffix`. Left rows with no prior right row get NULLs.
     """
     lt = left.withColumn("__side", F.lit(1))
-    rt = right.select(
+    # a NULL time key never matches under ASOF semantics (NULL compares
+    # to nothing) — but Spark sorts NULL FIRST under asc, so an
+    # unfiltered NULL-ts right row would be carried into every left row
+    # that lacks a real prior match
+    rt = right.filter(F.col(on).isNotNull()).select(
         by, on, *[F.col(c).alias(c + suffix) for c in right_cols]
     ).withColumn("__side", F.lit(0))
     for c in left.columns:

@@ -92,15 +92,26 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode 16-bit mono PCM WAV -> (sample_rate, int16 samples)."""
-    riff, _, wave_, fmt, fmt_len, audio_fmt, n_ch, rate, _, _, bits, _, n_data = (
+    """Decode 16-bit mono PCM WAV -> (sample_rate, int16 samples).
+
+    Walks the RIFF chunk list to the ``data`` chunk rather than assuming
+    it sits at byte 36: real-world writers (ffmpeg, Windows recorders)
+    insert LIST/fact chunks after ``fmt ``, and blindly reading byte 36
+    would reinterpret such a chunk's bytes as PCM samples."""
+    riff, _, wave_, fmt, fmt_len, audio_fmt, n_ch, rate, _, _, bits, tag0, n0 = (
         _WAV_FMT.unpack_from(data, 0)
     )
     if riff != b"RIFF" or wave_ != b"WAVE" or fmt != b"fmt ":
         raise ValueError("not a WAV payload")
     if audio_fmt != 1 or n_ch != 1 or bits != 16 or fmt_len != 16:
         raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} ch={n_ch} bits={bits}")
-    samples = np.frombuffer(data, dtype="<i2", count=n_data // 2, offset=44)
+    off, tag, size = 36, tag0, n0
+    while tag != b"data":
+        off += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        if off + 8 > len(data):
+            raise ValueError("WAV payload has no data chunk")
+        tag, size = struct.unpack_from("<4sI", data, off)
+    samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=off + 8)
     return rate, samples
 
 

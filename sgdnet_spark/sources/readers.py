@@ -53,14 +53,30 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(format).save(path)
 
 
+def _is_missing_format(e: Exception) -> bool:
+    """True only when the error is the format being absent from the
+    classpath — a blanket except would relabel genuine errors (wrong
+    path, corrupt table) as a classpath problem and send the user
+    chasing jars that are already installed."""
+    s = str(e)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in s
+        or "ClassNotFoundException" in s
+        or "Failed to find data source" in s
+        or "Failed to find the data source" in s
+    )
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
     try:
         return spark.read.format("delta").load(path)
     except Exception as e:  # noqa: BLE001
-        raise NotImplementedError(
-            "delta-lake jars are not on the classpath in this environment; "
-            "add io.delta:delta-spark to spark.jars.packages"
-        ) from e
+        if _is_missing_format(e):
+            raise NotImplementedError(
+                "delta-lake jars are not on the classpath in this environment; "
+                "add io.delta:delta-spark to spark.jars.packages"
+            ) from e
+        raise
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
@@ -70,8 +86,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # noqa: BLE001
-        raise NotImplementedError(
-            "spark-avro is an external module not on the classpath in this "
-            "environment; add org.apache.spark:spark-avro to "
-            "spark.jars.packages"
-        ) from e
+        if _is_missing_format(e):
+            raise NotImplementedError(
+                "spark-avro is an external module not on the classpath in this "
+                "environment; add org.apache.spark:spark-avro to "
+                "spark.jars.packages"
+            ) from e
+        raise

@@ -116,3 +116,20 @@ def test_avro_reader_gated(spark, tmp_path):
     stack."""
     with pytest.raises(NotImplementedError, match="spark-avro"):
         readers.read_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_reader_gate_discriminates_errors():
+    """The delta/avro gating must fire ONLY on the-format-is-absent
+    errors; a wrong path or corrupt table must surface as-is, not be
+    relabeled as a classpath problem (sending the user chasing jars
+    that are already installed)."""
+    from sgdnet_spark.sources.readers import _is_missing_format
+
+    assert _is_missing_format(Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: delta."))
+    assert _is_missing_format(Exception(
+        "java.lang.ClassNotFoundException: delta.DefaultSource"))
+    assert not _is_missing_format(Exception(
+        "[PATH_NOT_FOUND] Path does not exist: file:/nope.avro"))
+    assert not _is_missing_format(Exception(
+        "Parquet file footer is corrupt"))

@@ -483,3 +483,44 @@ def test_hashed_features_null_text(spark):
     assert sum(row2[f"x{j}"] for j in range(8)) == 0.0
     sp = FT.hashed_token_features_sparse(df, n_features=8, keep_cols=["doc_id"]).collect()
     assert [r for r in sp if r["doc_id"] == 2][0]["indices"] == []
+
+
+def test_asof_null_time_key_never_matches(spark):
+    """A right row with a NULL time key must match NOTHING (ASOF
+    compares times; NULL compares to nothing). Spark sorts NULL FIRST
+    ascending, so an unfiltered NULL-ts row would become the carried
+    'prior' value for every left row without a real match."""
+    from sgdnet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3, "a"), (1, 10, "b")],
+                                 "u int, ts int, tag string")
+    right = spark.createDataFrame([(1, None, 999), (1, 5, 100)],
+                                  "u int, ts int, v int")
+    out = {r["ts"]: r for r in
+           asof_join(left, right, on="ts", by="u", right_cols=["v"]).collect()}
+    assert len(out) == 2
+    assert out[3]["v_r"] is None      # no prior real row — NOT the NULL-ts 999
+    assert out[10]["v_r"] == 100
+
+
+def test_wav_decode_walks_riff_chunks():
+    """Real-world writers (ffmpeg, Windows) insert LIST/fact chunks
+    between ``fmt `` and ``data``; the decoder must walk the chunk list
+    (honouring RIFF word-alignment for odd sizes) instead of
+    reinterpreting chunk metadata at byte 36 as PCM samples."""
+    import struct
+
+    from sgdnet_spark.operators import media_codec as mc
+
+    s = (np.arange(321) % 1997 - 998).astype(np.int16)
+    raw = mc.encode_wav(s, 8000)
+    for payload in (b"INFOhello!", b"INFOhello"):  # even and odd sizes
+        chunk = b"LIST" + struct.pack("<I", len(payload)) + payload
+        chunk += b"\x00" * (len(payload) & 1)  # RIFF pad byte
+        spliced = (raw[:4] + struct.pack("<I", len(raw) - 8 + len(chunk))
+                   + raw[8:36] + chunk + raw[36:])
+        rate, s2 = mc.decode_wav(spliced)
+        assert rate == 8000 and (s2 == s).all()
+    with pytest.raises(ValueError, match="no data chunk"):
+        # well-formed fmt, then a chunk whose size runs past the payload
+        mc.decode_wav(raw[:36] + b"LIST" + struct.pack("<I", 100) + b"xxxx")

@@ -236,3 +236,91 @@ def test_cv_predict_coef_reference_selector_semantics(gauss_df, spark):
     # refit must agree with the stored path point
     p_exact = col(cv.predict(df, s="lambda_min", exact=True, prefix="p"))
     assert np.allclose(p_exact, p_min, atol=1e-6)
+
+
+# ---- review-pass regressions: NULL labels, tie-breaks, empty frames ------
+
+
+def _flat_fit(family, classnames=None, k=3, p=2, **kw):
+    """Hand-built one-lambda fit with ZERO coefficients: every class eta
+    ties exactly, every prediction is the intercept — the degenerate
+    geometry that exposes tie-break and NULL-handling conventions."""
+    from sgdnet_spark.glm.sgdnet import SgdnetFit
+
+    multi = family in ("multinomial", "mgaussian")
+    return SgdnetFit(
+        family=family, alpha=1.0, lambdas=np.array([0.1]),
+        a0=np.zeros((k, 1)) if multi else np.zeros(1),
+        beta=np.zeros((k, p, 1)) if multi else np.zeros((p, 1)),
+        df=np.array([0]), dev_ratio=np.array([0.0]), nulldev=1.0,
+        npasses=0, nobs=4, feature_names=[f"x{i}" for i in range(p)],
+        classnames=classnames, standardize=False, **kw,
+    )
+
+
+def test_class_tie_breaks_to_first_class(spark):
+    """Exactly-tied etas must predict the FIRST class (numpy argmax
+    convention, score_np:263) on both predict(type='class') and the
+    distributed class-measure score — struct ordering on (eta, cls)
+    would silently pick the lexicographically LAST class name."""
+    fit = _flat_fit("multinomial", classnames=["a", "b", "z"])
+    df = spark.createDataFrame(
+        [(0.5, 1.0, "a"), (-1.0, 2.0, "a")], "x0 double, x1 double, y string"
+    )
+    pred = fit.predict(df, s=0.1, type="class", prefix="p")
+    assert [r["p"] for r in pred.collect()] == ["a", "a"]
+    # misclassification rate: labels are all the argmax-first class
+    assert float(score(fit, df, ["x0", "x1"], "y", "class")[0]) == 0.0
+
+
+def test_binomial_score_poisons_null_and_unseen_labels(spark):
+    """A NULL or out-of-class label must NaN-poison the binomial score,
+    not silently count as a genuine negative (training raises on such
+    rows; scoring must not invent a different convention)."""
+    fit = _flat_fit("binomial", classnames=[0, 1])
+    clean = spark.createDataFrame([(0.1, 0.2, 1), (0.3, 0.4, 0)],
+                                  "x0 double, x1 double, y int")
+    assert np.isfinite(score(fit, clean, ["x0", "x1"], "y", "mse")).all()
+    for bad in (None, 5):
+        df = clean.union(spark.createDataFrame([(0.5, 0.5, bad)], clean.schema))
+        assert np.isnan(score(fit, df, ["x0", "x1"], "y", "mse")).all()
+
+
+def test_weighted_score_skips_null_term_weights(spark, gauss_df):
+    """Rows whose score term is NULL (NULL label) contribute neither to
+    the numerator NOR the denominator: the weighted mean over the
+    remaining rows must equal the score on the frame with those rows
+    filtered out. Dividing by the TOTAL weight would bias every
+    weighted score low."""
+    df, cols, x, y = gauss_df
+    fit = sgdnet(df, cols, "y", nlambda=5)
+    wdf = df.withColumn("w", F.lit(1.0) + F.abs(F.col("x0"))).withColumn(
+        "y2", F.when(F.col("x1") > 0.5, None).otherwise(F.col("y"))
+    )
+    withnull = score(fit, wdf, cols, "y2", "mse", weights_col="w")
+    filtered = score(fit, wdf.filter(F.col("y2").isNotNull()), cols, "y2",
+                     "mse", weights_col="w")
+    assert np.allclose(withnull, filtered, rtol=1e-12)
+
+
+def test_mgaussian_score_rejects_string_label_col(spark):
+    fit = _flat_fit("mgaussian", k=2, response_names=["y1", "y2"])
+    df = spark.createDataFrame([(0.1, 0.2, 1.0, 2.0)],
+                               "x0 double, x1 double, y1 double, y2 double")
+    with pytest.raises(ValueError, match="sequence of one column per"):
+        score(fit, df, ["x0", "x1"], "y1", "mse")
+
+
+def test_auc_on_empty_frame_is_nan(spark, gauss_df):
+    """AUC over zero rows is undefined: the whole path must come back
+    NaN (score_np convention), not TypeError on float(None) from the
+    empty range aggregate."""
+    df, cols, x, y = gauss_df
+    ybin = (y > np.median(y)).astype(float)
+    bdf = spark.createDataFrame(
+        [(*map(float, xi), float(yi)) for xi, yi in zip(x, ybin)],
+        ", ".join(f"{c} double" for c in cols) + ", y double",
+    )
+    fit = sgdnet(bdf, cols, "y", family="binomial", nlambda=5)
+    out = score(fit, bdf.filter(F.col("y") > 99), cols, "y", "auc")
+    assert out.shape == (5,) and np.isnan(out).all()
