@@ -524,3 +524,45 @@ def test_wav_decode_walks_riff_chunks():
     with pytest.raises(ValueError, match="no data chunk"):
         # well-formed fmt, then a chunk whose size runs past the payload
         mc.decode_wav(raw[:36] + b"LIST" + struct.pack("<I", 100) + b"xxxx")
+
+
+def test_pii_detect_redact_and_engine_parity(spark):
+    """PII counts/redaction behave per spec AND agree exactly between
+    Spark (Java regex) and DuckDB (RE2) on boundary-adversarial
+    strings — the parity the text_pii oracle depends on."""
+    import duckdb
+
+    from sgdnet_spark.operators import pii
+
+    cases = [
+        "write a.b+x%y@c-d.co today",      # 1 email
+        "x@y.z",                           # tld too short: no email
+        "555-123-4567, 555 123 4567, 555.123.4567",  # 3 phones
+        "1.2.3.4 999.999.999.999",         # 2 syntactic ipv4
+        "ssn 123-45-6789 ok",              # 1 ssn
+        "pre555-123-4567post",             # no \b: no phone
+        "1.2.3.4.5",                       # leftmost quad only
+        "mail me@example.com or 10.0.0.1 x 123-45-678901",
+        "",                                # empty string
+    ]
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                                "i int, t string")
+    out = pii.redact(pii.pii_counts(sdf, "t"), "t", out_col="red")
+    got = {r["i"]: r for r in out.collect()}
+    assert [got[i][f"n_{k}"] for i, k in
+            [(0, "email"), (1, "email"), (2, "phone"), (3, "ipv4"),
+             (4, "ssn"), (5, "phone"), (6, "ipv4")]] == [1, 0, 3, 2, 1, 0, 1]
+    assert got[0]["red"] == "write <pii> today"
+    assert got[4]["red"] == "ssn <pii> ok"
+    assert got[8]["red"] == ""
+    # engine parity: identical counts AND identical redacted strings
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(cases)))
+    sql = ("SELECT i, "
+           + ", ".join(f"{pii.count_sql('t', k)} AS n_{k}" for k in pii.PII_PATTERNS)
+           + f", {pii.redact_sql('t')} AS red FROM c")
+    for row in con.execute(sql).fetchall():
+        i, *vals = row
+        cols = [f"n_{k}" for k in pii.PII_PATTERNS] + ["red"]
+        assert vals == [got[i][c] for c in cols], f"engine mismatch on row {i}"
