@@ -22,8 +22,59 @@ from pyspark.sql import functions as F
 
 
 def _collect_vec(df: DataFrame, id_col: str, vec_col: str, n: int) -> np.ndarray:
-    rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
+    rows = (df.filter(F.col(vec_col).isNotNull())
+            .orderBy(id_col).limit(n).select(vec_col).collect())
     return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def _vec_frame(df: DataFrame, vec_col: str, id_col: str | None = None) -> DataFrame:
+    """Project (id?, v) with NULL embeddings dropped: one NULL row would
+    otherwise np.stack-crash EVERY task that sees it (a NULL vector has
+    no nearest centroid — skipping is the only coherent semantic)."""
+    cols = ([F.col(id_col).alias("id")] if id_col else []) + [
+        F.col(vec_col).cast("array<double>").alias("v")
+    ]
+    return df.filter(F.col(vec_col).isNotNull()).select(*cols)
+
+
+def _build_probes(cents: np.ndarray, q_rows, nprobe: int) -> tuple[list, set[int]]:
+    """(query_id, list_id, qv) probe rows for the nprobe nearest lists
+    of each query; NULL query vectors are skipped (no meaningful probe)."""
+    probe_rows, probed = [], set()
+    for r in q_rows:
+        if r["qv"] is None:
+            continue
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d2 = ((cents - qv) ** 2).sum(1)
+        for lid in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in qv]))
+            probed.add(int(lid))
+    return probe_rows, probed
+
+
+def _cosine_topk(joined: DataFrame, k_neighbors: int) -> DataFrame:
+    """Arrow-batched cosine over (v, qv) pairs, then per-query top-k
+    with deterministic (cos desc, nbr_id asc) tie-breaks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Q = np.stack(pdf["qv"].to_numpy())
+            cos = (V * Q).sum(1) / (
+                np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+                * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+            )
+            yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
+
+    scored = joined.mapInPandas(run, schema="query_id long, nbr_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+    )
 
 
 def kmeans_fit(
@@ -47,7 +98,7 @@ def kmeans_fit(
     k = min(k, len(cents))
     cents = cents[:k]
     dim = cents.shape[1]
-    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    vecs = _vec_frame(df, vec_col)
 
     for _ in range(iters):
         c_bc = cents  # captured by closure, shipped with the task
@@ -89,7 +140,7 @@ def assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str = "embedding", i
             d2 = (V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]
             yield pd.DataFrame({"id": pdf["id"], "list_id": d2.argmin(1).astype(np.int64), "v": pdf["v"]})
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    base = _vec_frame(df, vec_col, id_col)
     return base.mapInPandas(run, schema="id long, list_id long, v array<double>")
 
 
@@ -108,36 +159,12 @@ def ivf_topk(
     lists = assign_lists(df, cents, vec_col, id_col)
 
     q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        d2 = ((cents - qv) ** 2).sum(1)
-        for lid in np.argsort(d2)[:nprobe]:
-            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in qv]))
+    probe_rows, _ = _build_probes(cents, q_rows, nprobe)
     spark = df.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qv array<double>")
 
     joined = lists.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy())
-            Q = np.stack(pdf["qv"].to_numpy())
-            cos = (V * Q).sum(1) / (
-                np.maximum(np.linalg.norm(V, axis=1), 1e-300)
-                * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
-            )
-            yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
-
-    scored = joined.mapInPandas(run, schema="query_id long, nbr_id long, cos double")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k_neighbors)
-        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
-    )
+    return _cosine_topk(joined, k_neighbors)
 
 
 def write_ivf_index(
@@ -191,14 +218,7 @@ def ivf_topk_indexed(
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     ).collect()
-    probe_rows = []
-    probed: set[int] = set()
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        d2 = ((cents - qv) ** 2).sum(1)
-        for lid in np.argsort(d2)[:nprobe]:
-            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in qv]))
-            probed.add(int(lid))
+    probe_rows, probed = _build_probes(cents, q_rows, nprobe)
     if not probe_rows:  # empty queries frame: zero-arg isin() would raise
         empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
         return empty, spark.read.parquet(f"{path}/vectors").limit(0)
@@ -208,24 +228,4 @@ def ivf_topk_indexed(
         F.col("list_id").isin(*[int(x) for x in sorted(probed)])
     )
     joined = vectors.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy())
-            Q = np.stack(pdf["qv"].to_numpy())
-            cos = (V * Q).sum(1) / (
-                np.maximum(np.linalg.norm(V, axis=1), 1e-300)
-                * np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
-            )
-            yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
-
-    scored = joined.mapInPandas(run, schema="query_id long, nbr_id long, cos double")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
-    out = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k_neighbors)
-        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
-    )
-    return out, vectors
+    return _cosine_topk(joined, k_neighbors), vectors

@@ -45,6 +45,11 @@ def pii_counts(df: DataFrame, text_col: str = "text",
                prefix: str = "n_") -> DataFrame:
     """Per-row match counts, one int column per kind (``n_email``, ...).
 
+    NULL text counts as 0 of everything (regexp_count would
+    NULL-propagate, and a NULL count silently escapes downstream
+    ``n_email == 0`` clean-doc filters). Redaction keeps NULL as NULL —
+    there is nothing to redact.
+
     One codegen'd projection — the regex automata run inside the same
     whole-stage pipeline as the scan, so at 100 TB this costs exactly
     one pass that Catalyst fuses with downstream filters.
@@ -53,9 +58,27 @@ def pii_counts(df: DataFrame, text_col: str = "text",
     for kind in kinds or PII_PATTERNS:
         out = out.withColumn(
             f"{prefix}{kind}",
-            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind])),
+            F.coalesce(
+                F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind])),
+                F.lit(0),
+            ),
         )
     return out
+
+
+def _java_replacement(token: str) -> str:
+    """Escape a literal replacement for Java's replaceAll semantics:
+    bare ``$`` is a group reference (token='$100' would throw
+    INVALID_REGEXP_REPLACE at runtime) and ``\\`` an escape."""
+    return token.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _re2_replacement(token: str) -> str:
+    """Escape a literal replacement for RE2 (DuckDB) semantics: only
+    ``\\`` is special (group refs are ``\\1``; ``$`` is literal — and
+    escaping it would be an RE2 rewrite ERROR, so the two engines need
+    different escapes)."""
+    return token.replace("\\", "\\\\")
 
 
 def redact(df: DataFrame, text_col: str = "text", out_col: str | None = None,
@@ -63,8 +86,9 @@ def redact(df: DataFrame, text_col: str = "text", out_col: str | None = None,
     """Replace every PII match with ``token`` (chained global
     regexp_replace — Spark's regexp_replace replaces ALL matches)."""
     expr = F.col(text_col)
+    rep = _java_replacement(token)
     for kind in kinds:
-        expr = F.regexp_replace(expr, PII_PATTERNS[kind], token)
+        expr = F.regexp_replace(expr, PII_PATTERNS[kind], rep)
     return df.withColumn(out_col or text_col, expr)
 
 
@@ -73,13 +97,14 @@ def redact_sql(text_expr: str, kinds: tuple[str, ...] = REDACT_ORDER,
     """DuckDB twin of :func:`redact` for oracle SQL: same patterns, same
     order; DuckDB needs the explicit ``'g'`` flag for replace-all."""
     expr = text_expr
+    rep = _re2_replacement(token).replace("'", "''")
     for kind in kinds:
         pat = PII_PATTERNS[kind].replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
     return expr
 
 
 def count_sql(text_expr: str, kind: str) -> str:
     """DuckDB twin of one :func:`pii_counts` column."""
     pat = PII_PATTERNS[kind].replace("'", "''")
-    return f"len(regexp_extract_all({text_expr}, '{pat}'))"
+    return f"COALESCE(len(regexp_extract_all({text_expr}, '{pat}')), 0)"

@@ -85,12 +85,12 @@ def split_assign(
     their hash fraction; weights must sum to ~1 (the last split absorbs
     any rounding remainder).
     """
+    if not weights:
+        raise ValueError("split_assign needs at least one split weight")
     names = list(weights)
-    cum = []
-    tot = 0.0
-    for k in names[:-1]:
-        tot = tot + float(weights[k])
-        cum.append(tot)
+    # the ONE cumulative-threshold derivation (shared with SQL twins):
+    # recomputing the float sum here would risk a drifted boundary
+    cum = split_thresholds(weights)
     u = hash_fraction(id_col, salt)
     expr = None
     for k, hi in zip(names[:-1], cum):
@@ -138,6 +138,7 @@ def mix_corpora(
     weight_col: str = "n_chars",
     id_col: str = "doc_id",
     salt: str = "mix",
+    on_missing: str = "error",
 ) -> tuple[DataFrame, dict[str, float]]:
     """Downsample sources to target mixture proportions.
 
@@ -147,6 +148,14 @@ def mix_corpora(
     expected post-sample weight shares equal ``weights``. Sources
     absent from ``weights`` are dropped. ONE aggregation for the
     per-source totals; rates are a driver-side dict (k entries).
+
+    A positively-weighted source with no usable rows makes the target
+    mixture infeasible: ``on_missing='error'`` (default) raises —
+    silently returning a corpus whose shares do NOT match ``weights``
+    is the worst failure mode a mixing step can have. Pass
+    ``on_missing='skip'`` to knowingly mix over the present sources
+    only (T and rates computed as if the missing sources had weight 0;
+    their keys are absent from the returned rates dict).
     """
     avail = {
         r[source_col]: r["t"]
@@ -155,9 +164,25 @@ def mix_corpora(
         # source has no usable weight — treat it as absent
         if r["t"] is not None and r["t"] > 0
     }
+    if on_missing not in ("error", "skip"):
+        raise ValueError(f"on_missing must be 'error' or 'skip', got {on_missing!r}")
+    missing = sorted(s for s, w in weights.items() if w > 0 and s not in avail)
+    if missing and on_missing == "error":
+        # a positively-weighted source with no usable rows makes the
+        # target mixture infeasible — silently renormalizing over the
+        # present sources would return a corpus whose shares do NOT
+        # match ``weights`` while claiming they do
+        # (str() the keys: a NULL source_col groups under key None,
+        # which would make sorted() raise and mask this diagnostic)
+        raise ValueError(
+            f"sources {missing} have positive mixture weight but no "
+            f"positive {weight_col} in the data (usable sources: "
+            f"{sorted(str(k) for k in avail)}); drop them from weights "
+            "or fix the corpus"
+        )
     if not any(s in avail and w > 0 for s, w in weights.items()):
-        # str() the keys: a NULL source_col groups under key None, which
-        # would make sorted() raise and mask this diagnostic
+        # nothing usable at all (every positively-weighted source is
+        # missing and on_missing='skip', or no weight is positive)
         raise ValueError(
             f"no source in weights {sorted(weights)} has positive "
             f"{weight_col} in the data (usable sources: "
@@ -192,7 +217,8 @@ def pack_sequences(
 
     - ``chunk_first``  = floor(start / budget)
     - ``chunk_offset`` = start % budget (position inside chunk_first)
-    - ``chunk_last``  = floor((start + n_tokens - 1) / budget)
+    - ``chunk_last``  = floor((start + max(n_tokens, 1) - 1) / budget)
+      (the max keeps a zero-token document pinned to its start chunk)
     - ``chunks_spanned`` = chunk_last - chunk_first + 1
 
     One window (running sum per group) is the only state. With a handful
@@ -247,7 +273,13 @@ def pack_sequences(
         "n_tokens",
         F.expr(f"_start DIV {b}").cast("bigint").alias("chunk_first"),
         (F.col("_start") % b).cast("bigint").alias("chunk_offset"),
-        F.expr(f"(_start + n_tokens - 1) DIV {b}").cast("bigint").alias("chunk_last"),
+        # greatest(n, 1): a ZERO-token doc occupies no tokens but still
+        # has a position — treat it as spanning its start chunk, so
+        # chunk_last >= chunk_first always holds (bare n_tokens - 1 at
+        # an exact chunk boundary gives _start - 1, whose truncating
+        # DIV lands one chunk EARLY and makes chunks_spanned 0)
+        F.expr(f"(_start + greatest(n_tokens, 1) - 1) DIV {b}")
+        .cast("bigint").alias("chunk_last"),
     )
     return placed.withColumn(
         "chunks_spanned",

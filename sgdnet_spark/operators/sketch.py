@@ -46,6 +46,21 @@ def approx_quantiles(
 # bit masks 1<<b as signed-64 literals (bit 63 wraps to the sign bit)
 _POW2 = [(1 << b) if b < 63 else (1 << 63) - (1 << 64) for b in range(64)]
 
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"}
+
+
+def _hash_key_type(df: DataFrame, col: str) -> str:
+    """Canonical type a sketch hashes its keys as. xxhash64 is
+    TYPE-sensitive: hash64(5 as int) != hash64(5 as bigint), so a filter
+    built on an INT column probed with a BIGINT column would silently
+    drop matching rows — a false NEGATIVE, the one failure mode a Bloom
+    filter promises away. Integral builds canonicalize to bigint (an
+    exact widening for every probe value that could possibly match);
+    other types keep the build column's own type and the probe side is
+    cast to it."""
+    t = df.schema[col].dataType.simpleString()
+    return "bigint" if t in _INTEGRALS else t
+
 
 class BloomFilter:
     """Packed-word bitset built by a distributed pass (pyspark 4 exposes
@@ -53,25 +68,71 @@ class BloomFilter:
     per-task packed bitsets, OR-merged — the driver only ever holds
     sketch-sized state, never per-row state. No false negatives.)"""
 
-    def __init__(self, words, m: int, k: int, seeds: list[int]):
+    #: widest bitset still embedded as a codegen literal (words; 4096
+    #: words = 32 KiB per plan). Beyond it the probe switches to an
+    #: Arrow-batched bit test against a SparkContext broadcast of the
+    #: numpy bitset — one torrent-broadcast copy per executor instead of
+    #: a multi-megabyte literal serialized into every task's plan.
+    LITERAL_WORDS_MAX = 4096
+
+    def __init__(self, words, m: int, k: int, seeds: list[int], key_type: str = "bigint"):
         self.words = words  # np.int64 array of m/64 packed words
         self.m = m
         self.k = k
         self.seeds = seeds
+        self.key_type = key_type  # canonical hash type (see _hash_key_type)
+        self._bc = None  # lazy SparkContext broadcast of the bitset
 
-    def might_contain_col(self, col: Column) -> Column:
-        """JVM-side membership test: O(1) word lookups in the broadcast
-        literal word array (element_at + bitmask), one per hash."""
-        words = F.lit([int(w) for w in self.words])
-        masks = F.lit(_POW2)
-        cond = None
-        for s in self.seeds:
-            pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(self.m))
-            word = F.element_at(words, (pos / 64).cast("int") + 1)
-            mask = F.element_at(masks, F.pmod(pos, 64).cast("int") + 1)
-            c = word.bitwiseAND(mask) != 0
-            cond = c if cond is None else cond & c
-        return cond
+    def _positions(self, col: Column) -> list[Column]:
+        c = col.cast(self.key_type)
+        return [F.pmod(F.xxhash64(c, F.lit(s)), F.lit(self.m)) for s in self.seeds]
+
+    def might_contain_col(self, col: Column, spark=None) -> Column:
+        """Membership test; the probe column is cast to the BUILD key
+        type first (xxhash64 is type-sensitive — an uncast int-vs-bigint
+        probe would produce false negatives, breaking the Bloom
+        contract).
+
+        Small bitsets (<= LITERAL_WORDS_MAX words) stay a pure-codegen
+        element_at + bitmask lookup. Larger ones hash JVM-side but test
+        bits in an Arrow-batched pandas_udf against a broadcast numpy
+        bitset — the billion-key build (m ~ 1.2 GB) ships once per
+        executor, never once per plan. ``spark`` is only needed for the
+        broadcast path."""
+        if len(self.words) <= self.LITERAL_WORDS_MAX:
+            words = F.lit([int(w) for w in self.words])
+            masks = F.lit(_POW2)
+            cond = None
+            for pos in self._positions(col):
+                word = F.element_at(words, (pos / 64).cast("int") + 1)
+                mask = F.element_at(masks, F.pmod(pos, 64).cast("int") + 1)
+                c = word.bitwiseAND(mask) != 0
+                cond = c if cond is None else cond & c
+            return cond
+        return self._might_contain_broadcast(col, spark)
+
+    def _might_contain_broadcast(self, col: Column, spark=None) -> Column:
+        import numpy as np
+        from pyspark.sql import SparkSession
+        from pyspark.sql.functions import pandas_udf
+
+        if self._bc is None:
+            sc = (spark or SparkSession.getActiveSession()).sparkContext
+            self._bc = sc.broadcast(np.asarray(self.words, dtype=np.int64).view(np.uint64))
+        bc = self._bc
+
+        @pandas_udf("boolean")
+        def probe(pos_lists):
+            import pandas as pd
+
+            w = bc.value
+            if len(pos_lists) == 0:
+                return pd.Series([], dtype=bool)
+            P = np.stack(pos_lists.to_numpy()).astype(np.uint64)  # (n, k)
+            hit = (w[P // np.uint64(64)] >> (P % np.uint64(64))) & np.uint64(1)
+            return pd.Series(hit.all(axis=1))
+
+        return probe(F.array(*self._positions(col)))
 
 
 def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> BloomFilter:
@@ -99,7 +160,9 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
     k = max(1, round(m / max(expected, 1) * math.log(2)))
     seeds = list(range(k))
     n_words = m // 64
-    pos_arr = F.array(*[F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m)) for s in seeds])
+    key_type = _hash_key_type(df, col)
+    key = F.col(col).cast(key_type)
+    pos_arr = F.array(*[F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m)) for s in seeds])
     positions = df.select(F.explode(pos_arr).alias("pos"))
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,15 +206,17 @@ def bloom_filter(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> B
         if merged
         else np.zeros(n_words, dtype=np.int64)
     )
-    return BloomFilter(acc, m, k, seeds)
+    return BloomFilter(acc, m, k, seeds, key_type=key_type)
 
 
 class CountMinSketch:
-    def __init__(self, spark, table, w: int, seeds: list[int], rel=None):
+    def __init__(self, spark, table, w: int, seeds: list[int], rel=None,
+                 key_type: str = "bigint"):
         self.spark = spark
         self.table = table  # dict[(seed, pos)] -> count (None in relation mode)
         self.w = w
         self.seeds = seeds
+        self.key_type = key_type  # canonical hash type (see _hash_key_type)
         # relation mode: the touched (s, p, c) cells stay a DataFrame —
         # never collected to the driver, never re-uploaded; ``cms_screen``
         # broadcasts it straight into the probe join. This is the scale
@@ -178,14 +243,15 @@ class CountMinSketch:
         est = None
         for s in self.seeds:
             dense = [self.table.get((s, p), 0) for p in range(self.w)]
-            pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(self.w))
+            pos = F.pmod(F.xxhash64(col.cast(self.key_type), F.lit(s)), F.lit(self.w))
             v = F.element_at(F.lit(dense), pos.cast("int") + 1)
             est = v if est is None else F.least(est, v)
         return est
 
     def estimate_count(self, value) -> int:
+        key = F.lit(value).cast(self.key_type)
         row = self.spark.range(1).select(
-            *[F.pmod(F.xxhash64(F.lit(value), F.lit(s)), F.lit(self.w)).alias(f"p{i}")
+            *[F.pmod(F.xxhash64(key, F.lit(s)), F.lit(self.w)).alias(f"p{i}")
               for i, s in enumerate(self.seeds)]
         ).first()
         probes = {(s, int(row[f"p{i}"])) for i, s in enumerate(self.seeds)}
@@ -230,7 +296,10 @@ def cms_screen(
                 *[
                     F.struct(
                         F.lit(s).alias("s"),
-                        F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(cms.w))
+                        F.pmod(
+                            F.xxhash64(F.col(col).cast(cms.key_type), F.lit(s)),
+                            F.lit(cms.w),
+                        )
                         .cast("int")
                         .alias("p"),
                     )
@@ -264,9 +333,11 @@ def count_min(
     w = int(math.ceil(math.e / eps))
     d = max(1, int(math.ceil(math.log(1.0 / max(1.0 - confidence, 1e-12)))))
     seeds = list(range(d))
+    key_type = _hash_key_type(df, col)
+    key = F.col(col).cast(key_type)
     cells = F.array(
         *[
-            F.struct(F.lit(s).alias("s"), F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(w)).alias("p"))
+            F.struct(F.lit(s).alias("s"), F.pmod(F.xxhash64(key, F.lit(s)), F.lit(w)).alias("p"))
             for s in seeds
         ]
     )
@@ -286,7 +357,8 @@ def count_min(
         # join, so the build pass runs exactly when (and once per time)
         # the screen is evaluated. Callers screening repeatedly should
         # persist() cms.rel themselves.
-        return CountMinSketch(df.sparkSession, None, w, seeds, rel=counted)
+        return CountMinSketch(df.sparkSession, None, w, seeds, rel=counted,
+                              key_type=key_type)
     rows = counted.collect()
     table = {(int(r["s"]), int(r["p"])): int(r["c"]) for r in rows}
-    return CountMinSketch(df.sparkSession, table, w, seeds)
+    return CountMinSketch(df.sparkSession, table, w, seeds, key_type=key_type)

@@ -77,3 +77,22 @@ def test_ivf_indexed_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # the pruned read touches only the probed lists
     lists_read = {r["list_id"] for r in pruned.select("list_id").distinct().collect()}
     assert len(lists_read) <= 8
+
+
+def test_ivf_null_embedding_rows_skipped(spark, clustered):
+    """A NULL embedding row must not crash the Arrow kernels (np.stack
+    over a batch containing None raises in every task that sees it) —
+    NULL vectors have no nearest centroid and are skipped; NULL query
+    vectors generate no probes."""
+    withnull = clustered.union(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<float>")
+    )
+    cents = ivf.kmeans_fit(withnull, k=4, iters=2)
+    assert cents.shape == (4, 8)
+    lists = ivf.assign_lists(withnull, cents)
+    assert lists.filter(F.col("id") == 999).count() == 0
+    q = withnull.filter(F.col("vec_id").isin(0, 999))
+    out = ivf.ivf_topk(withnull, q, k_neighbors=3, n_lists=4, kmeans_iters=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0}  # NULL query skipped
+    assert len([r for r in rows if r["query_id"] == 0]) == 3

@@ -566,3 +566,27 @@ def test_pii_detect_redact_and_engine_parity(spark):
         i, *vals = row
         cols = [f"n_{k}" for k in pii.PII_PATTERNS] + ["red"]
         assert vals == [got[i][c] for c in cols], f"engine mismatch on row {i}"
+
+
+def test_pii_null_text_and_token_escaping(spark):
+    """NULL text yields 0 counts (not NULL — which would escape
+    `n_x == 0` clean filters) and stays NULL under redaction; a '$'
+    or backslash token must neither throw (Java group-reference
+    semantics) nor diverge from the DuckDB twin."""
+    import duckdb
+
+    from sgdnet_spark.operators import pii
+
+    sdf = spark.createDataFrame([(0, None), (1, "pay a@b.co now")], "i int, t string")
+    out = pii.redact(pii.pii_counts(sdf, "t"), "t", out_col="red", token="$1\\x")
+    got = {r["i"]: r for r in out.collect()}
+    assert got[0]["n_email"] == 0 and got[0]["red"] is None
+    assert got[1]["n_email"] == 1 and got[1]["red"] == "pay $1\\x now"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i INT, t VARCHAR)")
+    con.execute("INSERT INTO c VALUES (0, NULL), (1, 'pay a@b.co now')")
+    sql = (f"SELECT i, {pii.count_sql('t', 'email')} AS n_email, "
+           + pii.redact_sql("t", token="$1\\x") + " AS red FROM c")
+    for i, n, red in con.execute(sql).fetchall():
+        assert n == got[i]["n_email"]
+        assert red == got[i]["red"]

@@ -103,7 +103,12 @@ def test_mix_corpora_null_and_zero_weight_sources(docs):
     d = df.withColumn(
         "n_chars", F.when(F.col("lang") == "fr", F.lit(None)).otherwise(F.col("n_chars"))
     )
-    out, rates = S.mix_corpora(d, "lang", {"en": 0.5, "fr": 0.5})
+    # default: an infeasible mixture (positively-weighted source with no
+    # usable rows) raises rather than silently returning 100% 'en'
+    with pytest.raises(ValueError, match="positive mixture weight"):
+        S.mix_corpora(d, "lang", {"en": 0.5, "fr": 0.5})
+    # explicit opt-in to mixing over the present sources only
+    out, rates = S.mix_corpora(d, "lang", {"en": 0.5, "fr": 0.5}, on_missing="skip")
     assert "fr" not in rates
     assert out.filter(F.col("lang") == "fr").count() == 0
     assert out.count() > 0
@@ -208,3 +213,26 @@ def test_pack_sequences_sharded(spark):
     )
     want = out[out.shard == 0].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(sub, want)
+
+
+def test_split_assign_empty_weights_raises(docs):
+    df, _ = docs
+    with pytest.raises(ValueError, match="at least one split"):
+        S.split_assign(df, {})
+
+
+def test_pack_sequences_zero_token_doc_invariants(spark):
+    """A zero-token document sitting EXACTLY on a chunk boundary must
+    still satisfy chunk_last >= chunk_first (spanning its start chunk),
+    like a zero-token doc anywhere else — the bare (start + n - 1) DIV b
+    formula lands one chunk early there and yields chunks_spanned 0."""
+    rows = [(0, "s", 128), (1, "s", 0), (2, "s", 10), (3, "s", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = {r["doc_id"]: r for r in
+           S.pack_sequences(df, budget=128, tokens_col="n").collect()}
+    b = {d: (r["chunk_first"], r["chunk_last"], r["chunks_spanned"])
+         for d, r in out.items()}
+    assert b[1] == (1, 1, 1)   # boundary empty doc: pinned to chunk 1
+    assert b[3] == (1, 1, 1)   # mid-chunk empty doc: same invariant
+    for d, (first, last, span) in b.items():
+        assert last >= first and span == last - first + 1 and span >= 1

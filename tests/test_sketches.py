@@ -101,3 +101,42 @@ def test_bloom_build_partitioning_independent(spark):
     # no false negatives
     missed = vals.filter(~a.might_contain_col(F.col("k"))).count()
     assert missed == 0
+
+
+def test_bloom_probe_type_canonicalization(spark):
+    """xxhash64 is type-sensitive (hash(5 as int) != hash(5 as bigint)):
+    a filter built on an INT column probed with a BIGINT column must
+    still find every build key — the build and probe sides canonicalize
+    to the same hash type, or the Bloom 'no false negatives' contract
+    silently breaks."""
+    build = spark.createDataFrame([(i,) for i in range(50)], "k int")
+    bf = sketch.bloom_filter(build, "k", expected=50)
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+    kept = {r["k"] for r in probe.filter(bf.might_contain_col(F.col("k"))).collect()}
+    assert set(range(50)) <= kept  # every true member survives
+
+
+def test_bloom_broadcast_probe_matches_literal(spark, monkeypatch):
+    """Above LITERAL_WORDS_MAX the probe switches from a plan-literal
+    bitset to an Arrow-batched test against a broadcast numpy array —
+    the two paths must accept/reject identically."""
+    build = spark.createDataFrame([(i * 3,) for i in range(200)], "k long")
+    bf = sketch.bloom_filter(build, "k", expected=200)
+    probe = spark.createDataFrame([(i,) for i in range(600)], "k long")
+    lit = {r["k"] for r in probe.filter(bf.might_contain_col(F.col("k"))).collect()}
+    monkeypatch.setattr(sketch.BloomFilter, "LITERAL_WORDS_MAX", 0)
+    bcast = {r["k"] for r in
+             probe.filter(bf.might_contain_col(F.col("k"), spark)).collect()}
+    assert lit == bcast
+    assert {i * 3 for i in range(200)} <= lit  # no false negatives
+
+
+def test_cms_estimate_count_int_build(spark):
+    """estimate_count hashes its literal at the BUILD key type: an int
+    build probed with a bare Python int literal (which Spark types as
+    INT or BIGINT depending on magnitude) must return the true count."""
+    rows = [(7,)] * 40 + [(i,) for i in range(100, 120)]
+    df = spark.createDataFrame(rows, "k int")
+    cms = sketch.count_min(df, "k", eps=0.01)
+    assert cms.estimate_count(7) >= 40
+    assert cms.estimate_count(999999) <= 2  # absent key, small collision noise
