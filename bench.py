@@ -204,11 +204,18 @@ def main() -> None:
                 if c0 is not None and c1 is not None:
                     best_cpu[name] = _cpu_delta(c0, c1)
     times = {name: round(best[name], 3) for name, _ in resolved}
-    cpu_times = {name: round(best_cpu[name], 3) for name, _ in resolved}
+    # -1.0 is the never-sampled sentinel (non-/proc platform): report
+    # those as null rather than summing garbage negatives into the
+    # artifact of record
+    cpu_times = {
+        name: (round(best_cpu[name], 3) if best_cpu[name] >= 0 else None)
+        for name, _ in resolved
+    }
     for name, _ in resolved:
+        cpu_s = f"{cpu_times[name]:.3f}s" if cpu_times[name] is not None else "n/a"
         print(
             f"# {name}: {times[name]:.3f}s wall / "
-            f"{cpu_times[name]:.3f}s cpu ({rows[name]} rows)",
+            f"{cpu_s} cpu ({rows[name]} rows)",
             file=sys.stderr,
         )
 
@@ -221,7 +228,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cpu_time_sec": cpu_times,
-                "cpu_time_total": round(sum(cpu_times.values()), 3),
+                "cpu_time_total": round(
+                    sum(v for v in cpu_times.values() if v is not None), 3
+                ),
                 # the r1 baseline total (BASELINE.md) covers only the
                 # original 17 workloads; this subtotal is the
                 # like-for-like comparison after the round-7 additions

@@ -107,12 +107,18 @@ def decode_media(payload: bytes) -> dict:
         }
     if kind == "wav":
         rate, samples = mc.decode_wav(payload)
+        # a zero-sample clip has ZERO frames (consistent with
+        # sample_frames, which emits no rows for it) and a 0.0 mean —
+        # max(1, ...) plus mean-of-empty would report 1 phantom frame
+        # with NaN content and desync the two surfaces
         return {
             "width": 0,
             "height": 0,
-            "n_frames": max(1, math.ceil(len(samples) / _WAV_FRAME)),
+            "n_frames": math.ceil(len(samples) / _WAV_FRAME),
             "sample_rate": rate,
-            "content_mean": float(np.abs(samples.astype(np.int64)).mean()),
+            "content_mean": (
+                float(np.abs(samples.astype(np.int64)).mean()) if len(samples) else 0.0
+            ),
         }
     raise NotImplementedError(
         "unsupported media container (only BMP/WAV have built-in pure-numpy "

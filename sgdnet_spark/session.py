@@ -109,26 +109,34 @@ TABLES = (
 ).split()
 
 
-def read_events(spark: SparkSession, sf_dir: str):
-    """events.parquet with ``ts`` normalized to TimestampType.
+def normalize_events_ts(df):
+    """``ts`` → TimestampType, whatever physical encoding shipped.
 
-    The table has shipped with two physical ts encodings: TIMESTAMP(NANOS)
-    — which Spark can only read as long (legacy conf) and we truncate to
-    micros with exact integer DIV (= DuckDB's view) — and plain micros,
-    which reads natively as TIMESTAMP_NTZ and is cast to TimestampType.
-    THE one events reader: queries._t and load_tables both route through
-    it so views and query frames can never disagree on the ts type."""
+    The table has shipped with two encodings: TIMESTAMP(NANOS) — which
+    Spark can only read as long (legacy conf) and we truncate to micros
+    with exact integer DIV (= DuckDB's view) — and plain micros, which
+    reads natively as TIMESTAMP_NTZ and is cast to TimestampType. THE
+    one normalization recipe, shared by the batch reader below AND the
+    streaming reader (streaming/events.py) so the two modes can never
+    disagree on a timestamp."""
     from pyspark.sql import functions as F
 
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if df.schema["ts"].dataType.simpleString() == "bigint":
         # integer DIV, not /1000: epoch nanos (~1.7e18) exceed double's
         # 2^53 exact range — float division can shift boundary
         # timestamps one microsecond off DuckDB's integer truncation
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """events.parquet with ``ts`` normalized to TimestampType.
+
+    THE one batch events reader: queries._t and load_tables both route
+    through it so views and query frames can never disagree on ts."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:

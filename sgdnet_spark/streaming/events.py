@@ -8,30 +8,45 @@ parquet files through the stream with ``processAllAvailable()``.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sgdnet_spark.session import normalize_events_ts
+
+# one staging dir per source path, removed at interpreter exit — a fresh
+# mkdtemp per call would leak a full events.parquet copy per call
+_STAGED: dict[str, str] = {}
+
+
+def _stage_dir(src: str) -> str:
+    stage = _STAGED.get(src)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(src, f"{stage}/events.parquet")
+        _STAGED[src] = stage
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return stage
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (ts normalized → timestamp).
 
     The file source wants a directory (it tails new files as they land —
     the local stand-in for a kafka topic), so the single test file is
-    staged into a temp dir. The ts column has shipped as both
-    TIMESTAMP(NANOS)-read-as-long and native micros (TIMESTAMP_NTZ); the
-    schema is sniffed from a batch read so both generations stream.
+    staged into a (cached, exit-cleaned) temp dir. ts normalization is
+    session.normalize_events_ts — the SAME recipe as the batch reader,
+    so the two modes can never disagree on a timestamp.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _stage_dir(f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(f"{stage}/events.parquet").schema
     raw = spark.readStream.schema(schema).format("parquet").load(stage)
-    if schema["ts"].dataType.simpleString() == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -7,10 +7,17 @@ EXACT full-data Gram and refit the entire lambda path after every batch:
 model-after-N-batches == batch fit on the union of those batches, to
 solver tolerance (asserted in tests). State is O(p²), independent of
 stream length.
+
+The iterative families (binomial / poisson / multinomial) take one
+damped IRLS step per batch. They only need the running feature
+mean/std — so their per-batch statistics pass is the O(p)
+``moments_diag``, never the O(p²) Gram (which nothing downstream of
+them reads).
 """
 
 from __future__ import annotations
 
+from types import SimpleNamespace
 from typing import Sequence
 
 import numpy as np
@@ -22,7 +29,92 @@ from sgdnet_spark.glm.providers import SparkXY
 from sgdnet_spark.glm.suffstats import Moments
 
 
-class OnlineBinomial:
+def merge_moments(a: Moments, b: Moments) -> Moments:
+    """Field-wise sum — Moments are additive across disjoint row sets
+    (works for full-Gram and diag-only moments alike; THE one merge,
+    shared by every online accumulator in this module)."""
+    return Moments(
+        n=a.n + b.n, sum_x=a.sum_x + b.sum_x, sum_y=a.sum_y + b.sum_y,
+        sum_xx=a.sum_xx + b.sum_xx, sum_xy=a.sum_xy + b.sum_xy,
+        sum_yy=a.sum_yy + b.sum_yy,
+    )
+
+
+class _OnlineIRLS:
+    """Shared machinery of the damped per-batch IRLS estimators: running
+    diag moments for standardization, one penalized WLS step per batch
+    against the batch's local quadratic, damped by ``step``. Subclasses
+    supply the IRLS kernel (and optionally a warm start)."""
+
+    def __init__(self, feature_cols: Sequence[str], label_col, lam: float = 0.0,
+                 alpha: float = 1.0, step: float = 0.7, intercept: bool = True):
+        self.feature_cols = list(feature_cols)
+        self.label_col = label_col
+        self.lam = lam
+        self.alpha = alpha
+        self.step = step
+        self.intercept = intercept
+        self.moments: Moments | None = None
+        p = len(self.feature_cols)
+        # null model + identity standardization until the first
+        # non-empty batch, so coefficients() is well-defined from the
+        # start
+        self.coef = np.zeros(p)
+        self.b0 = 0.0
+        self._x_mean = np.zeros(p)
+        self._x_std = np.ones(p)
+        self.n_batches = 0
+
+    # subclass hooks -------------------------------------------------------
+    def _irls(self, prov: SparkXY):
+        raise NotImplementedError
+
+    def _warm_start(self, mom: Moments) -> None:
+        """First-batch initialization (poisson seeds b0); default no-op."""
+
+    def update(self, batch_df: DataFrame) -> None:
+        from sgdnet_spark.glm.solvers import wls_enet_cd
+
+        p = len(self.feature_cols)
+        xy = suffstats.assemble(batch_df, self.feature_cols, [self.label_col])
+        prov = SparkXY(xy, p, 1)
+        try:
+            # diag moments: this path only ever reads mean/std — the
+            # O(p²) Gram would be built and thrown away every batch
+            mom = prov.moments_diag()
+        except ValueError:  # empty batch
+            return
+        if self.moments is None:
+            self.moments = mom
+            self.coef = np.zeros(p)
+            self._warm_start(mom)
+        else:
+            self.moments = merge_moments(self.moments, mom)
+        m = self.moments
+        x_mean = m.x_mean
+        x_std = np.where(m.x_std() > 0, m.x_std(), 1.0)
+        prov.set_standardization(x_mean, 1.0 / x_std)
+        sw, swx, swxx, swxz, swz, _ = self._irls(prov)
+        new_coef, new_b0, _ = wls_enet_cd(
+            sw, swx, swxx, swxz, swz, mom.n, self.lam, self.alpha,
+            self.coef, self.b0, self.intercept,
+        )
+        self.coef = self.coef + self.step * (new_coef - self.coef)
+        self.b0 = self.b0 + self.step * (new_b0 - self.b0)
+        self._x_mean, self._x_std = x_mean, x_std
+        self.n_batches += 1
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.update(batch_df)
+
+    def coefficients(self):
+        """(intercept, coef) on the ORIGINAL feature scale."""
+        b = self.coef / self._x_std
+        a0 = self.b0 - float(self._x_mean @ b) if self.intercept else 0.0
+        return a0, b
+
+
+class OnlineBinomial(_OnlineIRLS):
     """Streaming logistic regression: one damped IRLS step per micro-batch.
 
     The micro-batch reincarnation of the reference's incremental-gradient
@@ -34,155 +126,32 @@ class OnlineBinomial:
     statistics come from a pilot batch or accumulate online.
     """
 
-    def __init__(self, feature_cols: Sequence[str], label_col, lam: float = 0.0,
-                 alpha: float = 1.0, step: float = 0.7, intercept: bool = True):
-        self.feature_cols = list(feature_cols)
-        self.label_col = label_col
-        self.lam = lam
-        self.alpha = alpha
-        self.step = step
-        self.intercept = intercept
-        self.moments: Moments | None = None
-        p = len(self.feature_cols)
-        # null model + identity standardization until the first
-        # non-empty batch, so coefficients() is well-defined from the
-        # start (OnlineMultinomial already guards this; the univariate
-        # estimators previously crashed on an empty-stream read)
-        self.coef = np.zeros(p)
-        self.b0 = 0.0
-        self._x_mean = np.zeros(p)
-        self._x_std = np.ones(p)
-        self.n_batches = 0
-
-    def update(self, batch_df: DataFrame) -> None:
-        import numpy as np
-
-        from sgdnet_spark.glm.solvers import wls_enet_cd
-
-        p = len(self.feature_cols)
-        xy = suffstats.assemble(batch_df, self.feature_cols, [self.label_col])
-        prov = SparkXY(xy, p, 1)
-        try:
-            mom = prov.moments()
-        except ValueError:
-            return
-        # accumulate standardization stats across all batches seen
-        if self.moments is None:
-            self.moments = mom
-            self.coef = np.zeros(p)
-        else:
-            a = self.moments
-            self.moments = Moments(
-                n=a.n + mom.n, sum_x=a.sum_x + mom.sum_x, sum_y=a.sum_y + mom.sum_y,
-                sum_xx=a.sum_xx + mom.sum_xx, sum_xy=a.sum_xy + mom.sum_xy,
-                sum_yy=a.sum_yy + mom.sum_yy,
-            )
-        m = self.moments
-        x_mean = m.x_mean
-        x_std = np.where(m.x_std() > 0, m.x_std(), 1.0)
-        prov.set_standardization(x_mean, 1.0 / x_std)
-        sw, swx, swxx, swxz, swz, _ = prov.irls_binomial(self.coef, self.b0)
-        new_coef, new_b0, _ = wls_enet_cd(
-            sw, swx, swxx, swxz, swz, mom.n, self.lam, self.alpha,
-            self.coef, self.b0, self.intercept,
-        )
-        self.coef = self.coef + self.step * (new_coef - self.coef)
-        self.b0 = self.b0 + self.step * (new_b0 - self.b0)
-        self._x_mean, self._x_std = x_mean, x_std
-        self.n_batches += 1
-
-    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        self.update(batch_df)
-
-    def coefficients(self):
-        """(intercept, coef) on the ORIGINAL feature scale."""
-        import numpy as np
-
-        b = self.coef / self._x_std
-        a0 = self.b0 - float(self._x_mean @ b) if self.intercept else 0.0
-        return a0, b
+    def _irls(self, prov: SparkXY):
+        return prov.irls_binomial(self.coef, self.b0)
 
 
-class OnlinePoisson:
+class OnlinePoisson(_OnlineIRLS):
     """Streaming poisson regression (log link): one damped IRLS step per
     micro-batch — the poisson sibling of OnlineBinomial, completing the
     online estimators for every iterative family the batch engine fits
     (poisson itself being a round-5 extension beyond the reference)."""
 
-    def __init__(self, feature_cols: Sequence[str], label_col, lam: float = 0.0,
-                 alpha: float = 1.0, step: float = 0.7, intercept: bool = True):
-        self.feature_cols = list(feature_cols)
-        self.label_col = label_col
-        self.lam = lam
-        self.alpha = alpha
-        self.step = step
-        self.intercept = intercept
-        self.moments: Moments | None = None
-        p = len(self.feature_cols)
-        # null model + identity standardization until the first
-        # non-empty batch, so coefficients() is well-defined from the
-        # start (OnlineMultinomial already guards this; the univariate
-        # estimators previously crashed on an empty-stream read)
-        self.coef = np.zeros(p)
-        self.b0 = 0.0
-        self._x_mean = np.zeros(p)
-        self._x_std = np.ones(p)
-        self.n_batches = 0
+    def _warm_start(self, mom: Moments) -> None:
+        # start at the intercept-only MLE of the first batch so the
+        # exp() link never sees a wild eta on step one
+        if self.intercept:
+            self.b0 = float(np.log(max(float(mom.y_mean[0]), 1e-300)))
 
-    def update(self, batch_df: DataFrame) -> None:
-        import numpy as np
-
-        from sgdnet_spark.glm.solvers import wls_enet_cd
-
-        p = len(self.feature_cols)
-        xy = suffstats.assemble(batch_df, self.feature_cols, [self.label_col])
-        prov = SparkXY(xy, p, 1)
-        try:
-            mom = prov.moments()
-        except ValueError:
-            return
-        if self.moments is None:
-            self.moments = mom
-            self.coef = np.zeros(p)
-            # start at the intercept-only MLE of the first batch so the
-            # exp() link never sees a wild eta on step one
-            if self.intercept:
-                self.b0 = float(np.log(max(float(mom.y_mean[0]), 1e-300)))
-        else:
-            a = self.moments
-            self.moments = Moments(
-                n=a.n + mom.n, sum_x=a.sum_x + mom.sum_x, sum_y=a.sum_y + mom.sum_y,
-                sum_xx=a.sum_xx + mom.sum_xx, sum_xy=a.sum_xy + mom.sum_xy,
-                sum_yy=a.sum_yy + mom.sum_yy,
-            )
-        m = self.moments
-        x_mean = m.x_mean
-        x_std = np.where(m.x_std() > 0, m.x_std(), 1.0)
-        prov.set_standardization(x_mean, 1.0 / x_std)
-        sw, swx, swxx, swxz, swz, _ = prov.irls_poisson(self.coef, self.b0)
-        new_coef, new_b0, _ = wls_enet_cd(
-            sw, swx, swxx, swxz, swz, mom.n, self.lam, self.alpha,
-            self.coef, self.b0, self.intercept,
-        )
-        self.coef = self.coef + self.step * (new_coef - self.coef)
-        self.b0 = self.b0 + self.step * (new_b0 - self.b0)
-        self._x_mean, self._x_std = x_mean, x_std
-        self.n_batches += 1
-
-    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        self.update(batch_df)
-
-    def coefficients(self):
-        """(intercept, coef) on the ORIGINAL feature scale."""
-        import numpy as np
-
-        b = self.coef / self._x_std
-        a0 = self.b0 - float(self._x_mean @ b) if self.intercept else 0.0
-        return a0, b
+    def _irls(self, prov: SparkXY):
+        return prov.irls_poisson(self.coef, self.b0)
 
 
 class OnlineGaussianPath:
-    """Accumulates moments batch-by-batch; refit() is driver-side only."""
+    """Accumulates moments batch-by-batch; refit() is driver-side only.
+
+    The one online estimator that DOES need the full Gram (the lambda
+    path refit solves against C), so moments() here is the O(p²) pass.
+    """
 
     def __init__(self, feature_cols: Sequence[str], label_col: str, alpha: float = 1.0,
                  nlambda: int = 20, lambda_min_ratio: float = 1e-3):
@@ -201,18 +170,7 @@ class OnlineGaussianPath:
             mom = SparkXY(xy, p, k).moments()
         except ValueError:  # empty batch
             return
-        if self.moments is None:
-            self.moments = mom
-        else:
-            a, b = self.moments, mom
-            self.moments = Moments(
-                n=a.n + b.n,
-                sum_x=a.sum_x + b.sum_x,
-                sum_y=a.sum_y + b.sum_y,
-                sum_xx=a.sum_xx + b.sum_xx,
-                sum_xy=a.sum_xy + b.sum_xy,
-                sum_yy=a.sum_yy + b.sum_yy,
-            )
+        self.moments = mom if self.moments is None else merge_moments(self.moments, mom)
         self.n_batches += 1
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -221,16 +179,11 @@ class OnlineGaussianPath:
     def fit(self) -> path_mod.PathResult:
         if self.moments is None:
             raise ValueError("no data seen yet")
-
-        class _MomOnly:
-            passes = 0
-
-            @staticmethod
-            def moments():
-                return self.moments
-
+        # mom= short-circuits provider.moments(); the namespace only
+        # feeds npasses — one statistics pass per batch seen
+        provider = SimpleNamespace(passes=self.n_batches)
         return path_mod.gaussian_path(
-            _MomOnly, self.alpha, nlambda=self.nlambda,
+            provider, self.alpha, nlambda=self.nlambda,
             lambda_min_ratio=self.lambda_min_ratio, mom=self.moments,
         )
 
@@ -249,8 +202,6 @@ class OnlineMultinomial:
     def __init__(self, feature_cols: Sequence[str], label_col: str, classes: Sequence,
                  lam: float = 0.0, alpha: float = 1.0, step: float = 0.7,
                  intercept: bool = True):
-        import numpy as np
-
         self.feature_cols = list(feature_cols)
         self.label_col = label_col
         self.classes = list(classes)
@@ -269,7 +220,6 @@ class OnlineMultinomial:
         self._x_std = np.ones(p)
 
     def update(self, batch_df: DataFrame) -> None:
-        import numpy as np
         from pyspark.sql import functions as F
 
         from sgdnet_spark.glm.solvers import wls_enet_cd
@@ -281,18 +231,10 @@ class OnlineMultinomial:
         xy = suffstats.assemble(batch_df, self.feature_cols, onehot)
         prov = SparkXY(xy, p, k)
         try:
-            mom = prov.moments()
+            mom = prov.moments_diag()  # mean/std only — never the Gram
         except ValueError:  # empty batch
             return
-        if self.moments is None:
-            self.moments = mom
-        else:
-            a = self.moments
-            self.moments = Moments(
-                n=a.n + mom.n, sum_x=a.sum_x + mom.sum_x, sum_y=a.sum_y + mom.sum_y,
-                sum_xx=a.sum_xx + mom.sum_xx, sum_xy=a.sum_xy + mom.sum_xy,
-                sum_yy=a.sum_yy + mom.sum_yy,
-            )
+        self.moments = mom if self.moments is None else merge_moments(self.moments, mom)
         m = self.moments
         x_mean = m.x_mean
         x_std = np.where(m.x_std() > 0, m.x_std(), 1.0)
@@ -315,8 +257,6 @@ class OnlineMultinomial:
     def coefficients(self):
         """(a0s (k,), coefs (k, p)) on the ORIGINAL feature scale,
         intercepts recentred to sum to zero (reference R/sgdnet.R:409)."""
-        import numpy as np
-
         B = self.coefs / self._x_std[None, :]
         a0 = self.b0s - B @ self._x_mean if self.intercept else np.zeros(len(self.classes))
         if self.intercept:
@@ -324,8 +264,6 @@ class OnlineMultinomial:
         return a0, B
 
     def predict_class_np(self, x) -> list:
-        import numpy as np
-
         a0, B = self.coefficients()
         eta = np.asarray(x, dtype=float) @ B.T + a0
         return [self.classes[i] for i in eta.argmax(axis=1)]

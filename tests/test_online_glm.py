@@ -150,3 +150,20 @@ def test_online_multinomial_converges_to_batch(spark):
     pred_b = np.asarray(batch_fit.predict_np(x, s=0.01, type="class")).reshape(-1)
     agree = (pred_o == pred_b).mean()
     assert agree > 0.95
+
+
+def test_online_gaussian_npasses_counts_batches(spark):
+    """The refit PathResult reports one statistics pass per batch seen —
+    a dead provider stub previously pinned npasses to 0."""
+    import numpy as np
+
+    from sgdnet_spark.streaming.online_glm import OnlineGaussianPath
+
+    rng = np.random.default_rng(3)
+    est = OnlineGaussianPath(["x0", "x1"], "y", nlambda=5)
+    for _ in range(3):
+        x = rng.normal(size=(50, 2))
+        y = x @ [1.0, -1.0] + rng.normal(scale=0.1, size=50)
+        rows = [(float(a), float(b), float(c)) for (a, b), c in zip(x, y)]
+        est.update(spark.createDataFrame(rows, "x0 double, x1 double, y double"))
+    assert est.fit().npasses == 3

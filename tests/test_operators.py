@@ -590,3 +590,16 @@ def test_pii_null_text_and_token_escaping(spark):
     for i, n, red in con.execute(sql).fetchall():
         assert n == got[i]["n_email"]
         assert red == got[i]["red"]
+
+
+def test_multimodal_zero_sample_wav_consistent():
+    """A zero-sample WAV clip reports 0 frames and 0.0 content mean —
+    consistent with sample_frames, which emits no rows for it (the old
+    max(1, ...) reported 1 phantom frame with NaN content)."""
+    from sgdnet_spark.operators import media_codec as mc
+    from sgdnet_spark.operators.multimodal import decode_media
+
+    empty = mc.encode_wav(np.array([], dtype=np.int16), 8000)
+    meta = decode_media(empty)
+    assert meta["n_frames"] == 0
+    assert meta["content_mean"] == 0.0

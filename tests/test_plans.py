@@ -101,3 +101,34 @@ def test_text_ops_zero_shuffle(spark, sf_dir):
     for fn in (text_quality, text_token_count):
         assert I.shuffle_count(fn(spark, sf_dir)) == 0, fn.__name__
     assert I.shuffle_count(text_fingerprint(spark, sf_dir)) <= 1
+
+
+def test_shuffle_count_excludes_broadcast_exchange(spark):
+    """The regression this module guards against — a broadcast join
+    degrading to sort-merge — swaps BroadcastExchange for a shuffle
+    exchange 1:1; counting the bare 'Exchange' substring could NEVER
+    catch it."""
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    bcast = a.join(F.broadcast(b), "k")
+    assert I.shuffle_count(bcast) == 0
+    assert I.broadcast_join_count(bcast) == 1
+    merged = a.join(b.hint("merge"), "k")
+    assert I.shuffle_count(merged) >= 2  # both sides shuffle
+
+
+def test_scan_read_schema_nested_and_wide(spark, tmp_path):
+    """Nested struct fields must not be reported as top-level scanned
+    columns, and a wide schema must not be silently truncated at
+    Spark's 100-char metadata default."""
+    wide = spark.range(5).select(
+        "id",
+        F.struct(F.lit(1).alias("x"), F.lit(2).alias("y")).alias("s"),
+        *[F.lit(i).alias(f"very_long_column_name_number_{i}") for i in range(8)],
+    )
+    p = str(tmp_path / "wide")
+    wide.write.parquet(p)
+    back = spark.read.parquet(p)
+    cols = I.scan_read_schema(back)
+    assert "y" not in cols and "s" in cols
+    assert f"very_long_column_name_number_7" in cols  # past 100-char cutoff
