@@ -299,12 +299,19 @@ class SgdnetClassificationModel(_SgdnetModelBase, HasProbabilityCol, HasRawPredi
                 .drop("__eta")
             )
             return out.drop(_FEATURES_ARR)
-        # multinomial: per-class response columns in class order
-        out = fit.predict(ds, s=s, type="response", prefix="__p")
+        # multinomial: per-class link (eta) AND response columns in class
+        # order — rawPrediction must carry the LINEAR predictors (its
+        # contract): softmax values are per-row normalized, so using them
+        # as raw scores changes cross-row rankings for a fixed class
+        # (each row's value depends on the OTHER classes' etas)
+        out = fit.predict(ds, s=s, type="link", prefix="__e")
+        out = fit.predict(out, s=s, type="response", prefix="__p")
         # backticks: MLlib double labels produce class names like "0.0",
         # and an unquoted F.col("__p_0.0") parses the dot as a
         # struct-field access (UNRESOLVED_COLUMN `__p_0`.`0`)
-        probs = [F.col(f"`__p_{c}`") for c in (fit.classnames or [])]
+        classes = fit.classnames or []
+        probs = [F.col(f"`__p_{c}`") for c in classes]
+        etas = [F.col(f"`__e_{c}`") for c in classes]
         # argmax with lowest-index tie-break: maximize (prob, -idx)
         best = F.array_max(F.array(*[
             F.struct(p.alias("p"), F.lit(-i).alias("ni"))
@@ -312,10 +319,14 @@ class SgdnetClassificationModel(_SgdnetModelBase, HasProbabilityCol, HasRawPredi
         ]))
         out = (
             out.withColumn(prob_col, array_to_vector(F.array(*probs)))
-            .withColumn(raw_col, array_to_vector(F.array(*probs)))
+            .withColumn(raw_col, array_to_vector(F.array(*etas)))
             .withColumn(pred_col, (-best["ni"]).cast("double"))
         )
-        return out.drop(_FEATURES_ARR, *[f"__p_{c}" for c in (fit.classnames or [])])
+        return out.drop(
+            _FEATURES_ARR,
+            *[f"__p_{c}" for c in classes],
+            *[f"__e_{c}" for c in classes],
+        )
 
 
 __all__ = [

@@ -484,7 +484,11 @@ def simhash_blocked(
         sim = sim + F.shiftleft(bit_exprs[b], b)
     from sgdnet_spark.session import spread_small_input
 
-    sh = spread_small_input(df).select(
+    # NULL/empty texts have no tokens — every bit's majority falls to
+    # otherwise(0), so ALL such rows would share simhash 0 and the
+    # self-join would emit m*(m-1)/2 hamming-0 "duplicate" pairs for m
+    # failed-extraction rows (same guard as band_keys' size>0 filter)
+    sh = spread_small_input(df).filter(F.size(tokens(text_col)) > 0).select(
         F.col(id_col).alias("id"), _once(sim, streaming=df.isStreaming).alias("simhash")
     )
     # block boundaries: distribute 64 bits as evenly as possible

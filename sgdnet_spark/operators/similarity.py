@@ -87,7 +87,17 @@ def brute_force_topk(
         .limit(max_inline_queries + 1)
         .collect()
     )
-    if len(q_rows) <= max_inline_queries:
+    id_type = queries.schema[id_col].dataType.simpleString()
+    if not q_rows:
+        # empty query set: a well-typed empty result, not a numpy
+        # AxisError from norm() over a zero-row array
+        return df.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, nbr_id {id_type}, cos double"
+        )
+    integral_ids = id_type in ("tinyint", "smallint", "int", "bigint")
+    if len(q_rows) <= max_inline_queries and integral_ids:
+        # (non-integral id columns use the join branch below at ANY
+        # query count — the Arrow batch schema here is typed long)
         # Arrow-batched BLAS path: broadcast the query block to every
         # partition, one (batch x dim) @ (dim x q) matmul per batch, keep
         # only each batch's per-query top-k — the shuffle carries
@@ -144,6 +154,23 @@ def brute_force_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail loudly when the embedding width differs from the planes'
+    ``dim``: zip_with NULL-pads a mismatched product, the dot aggregate
+    goes NULL, every sign bit falls to otherwise(0), and EVERY vector
+    lands in bucket 0 — the candidate join silently degrades to a full
+    O(n²) cross product. One limit(1) probe per call is cheap insurance
+    against a scale path that quietly stops being one."""
+    row = df.select(F.size(_as_double(vec_col)).alias("d")).filter(
+        F.col("d") >= 0
+    ).limit(1).collect()
+    if row and row[0]["d"] != dim:
+        raise ValueError(
+            f"{vec_col} has dimension {row[0]['d']} but the hyperplanes "
+            f"were drawn for dim={dim}; pass dim={row[0]['d']}"
+        )
 
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
@@ -210,32 +237,38 @@ def lsh_topk(
     planes = random_hyperplanes(dim, n_planes * n_tables, seed).reshape(
         n_tables, n_planes, dim
     )
-    corpus = df.select(
+    _check_dim(df, vec_col, dim)
+    # candidates carry IDS ONLY through the bucket join (the
+    # cosine_pairs_lsh discipline): exploding (tbl, bk) keys next to the
+    # full vector would shuffle every embedding n_tables times and drag
+    # L-duplicated vectors through the dedup groupBy
+    ckeys = df.select(
         F.col(id_col).alias("nbr_id"),
-        _as_double(vec_col).alias("cv"),
-        norm(_as_double(vec_col)).alias("cn"),
         F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
-    ).select("nbr_id", "cv", "cn", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
-    q = queries.select(
+    ).select("nbr_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
+    qkeys = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        norm(_as_double(vec_col)).alias("qn"),
         F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
-    ).select("query_id", "qv", "qn", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
+    ).select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
     cand = (
-        corpus.alias("c")
+        ckeys.alias("c")
         .join(
-            F.broadcast(q).alias("q"),
+            F.broadcast(qkeys).alias("q"),
             (F.col("c.tbl") == F.col("q.tbl"))
             & (F.col("c.bk") == F.col("q.bk"))
             & (F.col("c.nbr_id") != F.col("q.query_id")),
         )
         # union of candidates across tables: dedup BEFORE the exact rerank
-        .groupBy("query_id", "nbr_id")
-        .agg(
-            F.first("qv").alias("qv"), F.first("qn").alias("qn"),
-            F.first("cv").alias("cv"), F.first("cn").alias("cn"),
-        )
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    cv = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"),
+                   norm(_as_double(vec_col)).alias("cn"))
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
+                        norm(_as_double(vec_col)).alias("qn"))
+    scored = (
+        cand.join(cv, "nbr_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "nbr_id",
@@ -244,7 +277,7 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
     )
@@ -279,6 +312,7 @@ def cosine_pairs_lsh(
     planes = random_hyperplanes(dim, n_planes * n_tables, seed).reshape(
         n_tables, n_planes, dim
     )
+    _check_dim(df, vec_col, dim)
     v0 = df.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
