@@ -367,3 +367,87 @@ def hash_score(
         F.size(t).cast("bigint").alias("n_tokens"),
         F.aggregate(F.transform(t, wexpr), F.lit(0.0), lambda a, x: a + x).alias("score"),
     )
+
+
+def lm_score(
+    df: DataFrame,
+    k_smooth: float = 0.1,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model fluency scoring — the KenLM-style
+    perplexity filter stage of a training-data pipeline (CCNet / Gopher
+    / RefinedWeb all gate documents on LM log-probability; this is the
+    n-gram analog with the model trained on the corpus itself).
+
+    Model: add-k smoothed bigram LM. For each in-document bigram
+    (w1, w2), lp = ln((c(w1,w2) + k) / (c(w1.) + k*V)) with c(w1,w2)
+    the corpus bigram count, c(w1.) the context count (sum of w1's
+    bigram counts), V the corpus vocabulary size. A document's score is
+    its mean lp over bigram instances (higher = more fluent under the
+    corpus distribution); docs with < 2 tokens have no bigrams and are
+    dropped, like repetition_stats.
+
+    Shape at 100 TB: training is TWO count shuffles over the bigram
+    stream (bigram counts, then context counts off the already-reduced
+    bigram relation — never a second pass over the data); scoring is
+    one equi-join of the bigram stream against the (w1, w2, cb, cw)
+    model relation, partial-aggregated per doc. The model relation is
+    distinct-bigram-sized (Zipf: far smaller than the stream); AQE
+    handles the head-token join skew. ``min_count`` prunes rare
+    bigrams from the model — unseen/pruned pairs fall to the smoothed
+    floor via left join + coalesce(cb, 0), so pruning trades model
+    size for score resolution without changing the plan. V rides in as
+    a broadcast scalar.
+
+    Returns (id, n_bigrams, avg_logp) — avg_logp rounded to 4 via rpos
+    (F.log at fixed rounding hash-matches DuckDB's ln; the tfidf entry
+    set the precedent).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    k = float(k_smooth)
+    if not (k > 0.0):
+        raise ValueError(f"k_smooth must be > 0 (unseen bigrams need mass), got {k_smooth}")
+    t = tokens(text_col)
+    toks = df.select(F.col(id_col).alias("id"), t.alias("t")).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("id", "p.w1", "p.w2")
+    bgc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    # context counts BEFORE pruning: c(w1.) is the true denominator
+    ctx = bgc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    if min_count > 1:
+        bgc = bgc.filter(F.col("cb") >= min_count)
+    voc = toks.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    scored = (
+        pairs.join(bgc, ["w1", "w2"], "left")
+        # inner: every context in `pairs` is in ctx by construction
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
+                / (F.col("cw") + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        rpos(F.avg("lp"), 4).alias("avg_logp"),
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "avg_logp",
+    )
