@@ -80,6 +80,13 @@ HEADLINERS_R7: list[str] = [
     "decontaminate",     # benchmark k-gram scrub (sub-entry of text_scrub)
 ]
 
+# round-8 additions: the most expensive registered umbrellas, previously
+# absent from the artifact of record. Also outside the r1-comparable set.
+HEADLINERS_R8: list[str] = [
+    "tpch_deep",   # 17 TPC-H join trees melted to one long-format frame
+    "glm_eval",    # predict/class/score/cv GLM evaluation surface
+]
+
 
 def _tree_cpu_sample() -> dict[int, float] | None:
     """Per-PID CPU seconds (utime+stime) of this process and every live
@@ -133,6 +140,28 @@ def _cpu_delta(c0: dict[int, float], c1: dict[int, float]) -> float:
     return total
 
 
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
+    Deltas of two samples give the hypervisor-steal share of the window —
+    the signal that distinguishes a slow query from a noisy host.
+    Returns None on non-/proc platforms or kernels without the field."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        vals = [int(x) for x in parts[1:]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(s0, s1) -> float | None:
+    if s0 is None or s1 is None or s1[1] <= s0[1]:
+        return None
+    return round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # parse (and validate) the scale factor BEFORE the multi-minute run:
@@ -168,7 +197,7 @@ def main() -> None:
     # otherwise stall all 32 tasks for seconds and leak into min-of-N
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for item in HEADLINERS + HEADLINERS_R7:
+        for item in HEADLINERS + HEADLINERS_R7 + HEADLINERS_R8:
             name, fn = item if isinstance(item, tuple) else (item, _resolve(item))
             try:
                 fn(spark, warm_dir).count()
@@ -186,23 +215,42 @@ def main() -> None:
     # windows; the cpu_time_sec twin is the contention-robust cross-check
     resolved = [
         (item if isinstance(item, tuple) else (item, _resolve(item)))
-        for item in HEADLINERS + HEADLINERS_R7
+        for item in HEADLINERS + HEADLINERS_R7 + HEADLINERS_R8
     ]
     r1_names = {item if isinstance(item, str) else item[0] for item in HEADLINERS}
     best: dict[str, float] = {name: float("inf") for name, _ in resolved}
     best_cpu: dict[str, float] = {name: -1.0 for name, _ in resolved}
     rows: dict[str, int] = {}
-    for _pass in range(4):
-        for name, fn in resolved:
-            c0 = _tree_cpu_sample()
-            t0 = time.perf_counter()
-            rows[name] = fn(spark, sf_dir).count()
-            wall = time.perf_counter() - t0
-            c1 = _tree_cpu_sample()
-            if wall < best[name]:
-                best[name] = wall
-                if c0 is not None and c1 is not None:
-                    best_cpu[name] = _cpu_delta(c0, c1)
+
+    def run_passes(n: int) -> None:
+        for _pass in range(n):
+            for name, fn in resolved:
+                c0 = _tree_cpu_sample()
+                t0 = time.perf_counter()
+                rows[name] = fn(spark, sf_dir).count()
+                wall = time.perf_counter() - t0
+                c1 = _tree_cpu_sample()
+                if wall < best[name]:
+                    best[name] = wall
+                    if c0 is not None and c1 is not None:
+                        best_cpu[name] = _cpu_delta(c0, c1)
+
+    # steal-aware measurement: BASELINE.md documents multi-round windows
+    # where 5-8% hypervisor steal inflated the committed artifact ~15%
+    # while the quiet-run twin sat at the previous round's level. Sample
+    # /proc/stat around the timed section; if the window was dirty
+    # (>1% steal), run two more round-robin passes — min-merging means
+    # extra passes only ever improve — and record both windows' steal so
+    # the artifact of record carries its own weather report.
+    s0 = _steal_sample()
+    run_passes(4)
+    steal = _steal_pct(s0, _steal_sample())
+    steal_retry = None
+    if steal is not None and steal > 1.0:
+        print(f"# dirty window ({steal}% steal): 2 extra passes", file=sys.stderr)
+        s2 = _steal_sample()
+        run_passes(2)
+        steal_retry = _steal_pct(s2, _steal_sample())
     times = {name: round(best[name], 3) for name, _ in resolved}
     # -1.0 is the never-sampled sentinel (non-/proc platform): report
     # those as null rather than summing garbage negatives into the
@@ -237,6 +285,10 @@ def main() -> None:
                 "value_r1_comparable": round(
                     sum(v for k, v in times.items() if k in r1_names), 3
                 ),
+                # hypervisor steal%% over the timed window(s); >1 marks a
+                # noisy-neighbor window (see BASELINE.md environment notes)
+                "steal_pct": steal,
+                "steal_pct_retry": steal_retry,
                 "sf": sf,
             }
         )

@@ -77,7 +77,7 @@ def _once(col: F.Column, streaming: bool = False) -> F.Column:
 
 
 def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
-                  eval_once: bool = True) -> DataFrame:
+                  eval_once: bool = True, prehash_tokens: bool = False) -> DataFrame:
     """(id, shingles array<bigint>) — the distinct word-k-grams of each
     document, HASHED per-gram to 64 bits (pure per-row expressions, no
     shuffle).
@@ -102,10 +102,27 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     measured at sf0.1 — element_at inside a transform lambda pays a
     bounds-checked array access per token per offset, while slicing
     copies each shift once and the zip walks them linearly.
+
+    ``prehash_tokens=True`` hashes every TOKEN to int64 once up front
+    and builds each gram hash from k longs instead of k strings — the
+    per-gram xxhash64 then folds k fixed 8-byte lanes instead of
+    re-walking k variable-length strings, cutting gram CPU roughly with
+    k. Gram VALUES change (xxhash64 of token-hashes, not of tokens), so
+    it suits identity-only consumers — set membership / intersection
+    (decontamination, exact Jaccard) — and must stay OFF for consumers
+    whose downstream math is a function of the hash value itself
+    (minhash signatures: re-rolling values re-rolls banding recall).
+    Both sides of a membership test must use the same setting.
+    Collision odds gain a token-level term but stay ~1e-9 at millions
+    of distinct tokens/grams.
     """
     from sgdnet_spark.session import spread_small_input
 
     toks = spread_small_input(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    if prehash_tokens:
+        # non-cheap expression used k times below: CollapseProject keeps
+        # it materialized, so each token hashes exactly once per row
+        toks = toks.select("id", F.transform("t", lambda tok: F.xxhash64(tok)).alias("t"))
     t = F.col("t")
     n_sh = F.size(t) - (k - 1)
     z = F.arrays_zip(*[F.slice(t, j + 1, n_sh).alias(f"w{j}") for j in range(k)])
@@ -126,9 +143,10 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return toks.select("id", col.alias("shingles"))
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+                 prehash_tokens: bool = False) -> DataFrame:
     """(id, shingle) distinct word-k-gram pairs (exploded long form)."""
-    return shingle_array(df, text_col, id_col, k).select(
+    return shingle_array(df, text_col, id_col, k, prehash_tokens=prehash_tokens).select(
         "id", F.explode("shingles").alias("shingle")
     )
 
@@ -576,6 +594,10 @@ def contamination_flags(
     shuffles text — one broadcast semi-join plus one id-keyed count.
     Set broadcast_bench=False for an unusually large benchmark side.
     """
+    # membership is identity-only, so shingle_array's prehash_tokens
+    # gram hash would be output-identical here — A/B'd and REJECTED at
+    # sf0.1: the extra per-token hash array materialization costs more
+    # than folding longs saves (docs/BENCH_NOTES.md round 8)
     d = shingle_sets(df, text_col, id_col, k)
     b = (
         shingle_sets(bench, bench_text_col or text_col, bench_id_col or id_col, k)

@@ -369,80 +369,163 @@ def hash_score(
     )
 
 
-def lm_score(
+def _bigram_pairs(t: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs via zip-shift — two
+    slices of the already-split token array, no posexplode self-join
+    (the repetition_stats precedent: 3.3x less CPU than explode+lead)."""
+    return F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def fit_lm(
     df: DataFrame,
     k_smooth: float = 0.1,
     min_count: int = 1,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Bigram language-model fluency scoring — the KenLM-style
-    perplexity filter stage of a training-data pipeline (CCNet / Gopher
-    / RefinedWeb all gate documents on LM log-probability; this is the
-    n-gram analog with the model trained on the corpus itself).
+    """Fit an add-k smoothed bigram LM; return it as a per-context model
+    relation ready for single-join scoring (lm_score ``model=``).
 
-    Model: add-k smoothed bigram LM. For each in-document bigram
-    (w1, w2), lp = ln((c(w1,w2) + k) / (c(w1.) + k*V)) with c(w1,w2)
-    the corpus bigram count, c(w1.) the context count (sum of w1's
-    bigram counts), V the corpus vocabulary size. A document's score is
-    its mean lp over bigram instances (higher = more fluent under the
-    corpus distribution); docs with < 2 tokens have no bigrams and are
-    dropped, like repetition_stats.
+    Schema: (w1 string, succ map<string,double>, lp_floor double).
+      - w1 NOT NULL rows: ``succ`` maps each kept successor w2 to
+        lp = ln((c(w1,w2)+k) / (c(w1.)+k*V)); ``lp_floor`` =
+        ln(k / (c(w1.)+k*V)) is the smoothed mass for unseen or
+        min_count-pruned successors of w1.
+      - ONE sentinel row with w1 NULL: ``lp_floor`` = ln(1/V) = -ln(V),
+        the floor for contexts absent from the training corpus entirely
+        (c(w1.)=0). lm_score peels it off; it never joins (NULL keys
+        don't match).
 
-    Shape at 100 TB: training is TWO count shuffles over the bigram
-    stream (bigram counts, then context counts off the already-reduced
-    bigram relation — never a second pass over the data); scoring is
-    one equi-join of the bigram stream against the (w1, w2, cb, cw)
-    model relation, partial-aggregated per doc. The model relation is
-    distinct-bigram-sized (Zipf: far smaller than the stream); AQE
-    handles the head-token join skew. ``min_count`` prunes rare
-    bigrams from the model — unseen/pruned pairs fall to the smoothed
-    floor via left join + coalesce(cb, 0), so pruning trades model
-    size for score resolution without changing the plan. V rides in as
-    a broadcast scalar.
+    Why maps-per-context instead of a flat (w1,w2,lp) relation: scoring
+    then needs ONE equi-join on w1 (broadcastable) instead of a join on
+    (w1,w2) followed by a second on w1 — the flat shape exchanges the
+    full O(tokens) bigram stream twice; this shape exchanges it zero
+    times when the model broadcasts. The model is vocab-rows /
+    distinct-bigram-cells sized (Zipf: far below the stream), and
+    ``min_count`` pruning shrinks ``succ`` without changing scores'
+    plan — pruned pairs fall to lp_floor.
 
-    Returns (id, n_bigrams, avg_logp) — avg_logp rounded to 4 via rpos
-    (F.log at fixed rounding hash-matches DuckDB's ln; the tfidf entry
-    set the precedent).
+    Train cost: one map-side-combined count shuffle over the bigram
+    stream (distinct bigrams per partition, not raw pairs), one
+    model-sized regroup to per-w1 maps, one global distinct-count for V.
+    c(w1.) sums over ALL of w1's bigrams BEFORE pruning — the true
+    denominator.
     """
+    rows, voc = _lm_model_rows(df, k_smooth, min_count, text_col)
+    sentinel = voc.select(
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("map<string,double>").alias("succ"),
+        (-F.log(F.col("v").cast("double"))).alias("lp_floor"),
+    )
+    return rows.unionByName(sentinel)
+
+
+def _lm_model_rows(
+    df: DataFrame, k_smooth: float, min_count: int, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(model rows sans sentinel, one-row vocab-size relation)."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     k = float(k_smooth)
     if not (k > 0.0):
         raise ValueError(f"k_smooth must be > 0 (unseen bigrams need mass), got {k_smooth}")
     t = tokens(text_col)
+    toks = df.select(t.alias("t")).filter(F.size("t") >= 2)
+    pairs = toks.select(F.explode(_bigram_pairs(F.col("t"))).alias("p")).select("p.w1", "p.w2")
+    bgc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    entry = F.struct(F.col("w2"), F.col("cb"))
+    if min_count > 1:
+        # collect_list drops NULLs, so pruned successors simply vanish
+        # from the map while still counting toward cw below
+        entry = F.when(F.col("cb") >= min_count, entry)
+    per_ctx = bgc.groupBy("w1").agg(
+        F.sum("cb").alias("cw"),
+        F.map_from_entries(F.collect_list(entry)).alias("cbm"),
+    )
+    voc = toks.select(F.explode("t").alias("w")).agg(F.count_distinct("w").alias("v"))
+    kk = F.lit(k)
+    denom = F.col("cw") + kk * F.col("v")
+    rows = per_ctx.crossJoin(F.broadcast(voc)).select(
+        "w1",
+        F.transform_values("cbm", lambda _w2, cb: F.log((cb + kk) / denom)).alias("succ"),
+        F.log(kk / denom).alias("lp_floor"),
+    )
+    return rows, voc
+
+
+def lm_score(
+    df: DataFrame,
+    k_smooth: float = 0.1,
+    min_count: int = 1,
+    model: DataFrame | None = None,
+    broadcast_model: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model fluency scoring — the KenLM-style
+    perplexity filter stage of a training-data pipeline (CCNet / Gopher
+    / RefinedWeb all gate documents on LM log-probability; this is the
+    n-gram analog).
+
+    With ``model=None`` the LM is fit on ``df`` itself (fit_lm with
+    ``k_smooth``/``min_count``); pass a fit_lm() relation to train once
+    and score many corpora — the 100 TB shape, mirroring hash_score's
+    ``weights=``. When ``model`` is given, ``k_smooth``/``min_count``
+    are ignored (they are baked into the model's log-probs).
+
+    A document's score is its mean lp over bigram instances (higher =
+    more fluent under the corpus distribution); docs with < 2 tokens
+    have no bigrams and are dropped, like repetition_stats. Per bigram:
+    lp = succ[w2] if kept, else the context's smoothed lp_floor, else
+    (context unseen in training) the model's global -ln(V) sentinel.
+
+    Scale shape: scoring is ONE left equi-join of the bigram stream
+    against the per-context model — broadcast by default
+    (``broadcast_model=True``; post-pruning the model is Zipf-small),
+    making scoring a zero-shuffle codegen map like hash_score. Set
+    ``broadcast_model=False`` when a giant unpruned model exceeds
+    executor memory and AQE picks the strategy from its runtime size.
+    The final per-doc mean partial-aggregates map-side, so the only
+    stream-sized exchange carries O(docs) partials, not O(bigrams).
+
+    Returns (id, n_bigrams, avg_logp) — avg_logp rounded to 4 via rpos
+    (F.log at fixed rounding hash-matches DuckDB's ln; the tfidf entry
+    set the precedent).
+    """
+    if model is None:
+        # self-scoring: every context in the stream is in the model by
+        # construction, so the unseen-context sentinel can never fire —
+        # skip it entirely. (Deriving it from the model DataFrame would
+        # reference the model subtree twice with different column sets,
+        # defeating ReuseExchange and re-counting the corpus.)
+        mrel, _voc = _lm_model_rows(df, k_smooth, min_count, text_col)
+        unseen = None
+    else:
+        # two references to `model` below — persist/write the fitted
+        # relation (it is model-sized) or a lazy chain recomputes it
+        mrel = model.where(F.col("w1").isNotNull()).select("w1", "succ", "lp_floor")
+        # the unseen-context floor rides in as a one-row broadcast;
+        # aggregate (not filter) so a sentinel-less model yields NULL,
+        # never 0 rows
+        unseen = model.agg(
+            F.min(F.when(F.col("w1").isNull(), F.col("lp_floor"))).alias("lp_unseen")
+        )
+    if broadcast_model:
+        mrel = F.broadcast(mrel)
+    t = tokens(text_col)
     toks = df.select(F.col(id_col).alias("id"), t.alias("t")).filter(F.size("t") >= 2)
     pairs = toks.select(
-        "id",
-        F.explode(
-            F.zip_with(
-                F.slice("t", 1, F.size("t") - 1),
-                F.slice("t", 2, F.size("t") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
+        "id", F.explode(_bigram_pairs(F.col("t"))).alias("p")
     ).select("id", "p.w1", "p.w2")
-    bgc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    # context counts BEFORE pruning: c(w1.) is the true denominator
-    ctx = bgc.groupBy("w1").agg(F.sum("cb").alias("cw"))
-    if min_count > 1:
-        bgc = bgc.filter(F.col("cb") >= min_count)
-    voc = toks.select(F.explode("t").alias("w")).agg(
-        F.count_distinct("w").alias("v")
-    )
-    scored = (
-        pairs.join(bgc, ["w1", "w2"], "left")
-        # inner: every context in `pairs` is in ctx by construction
-        .join(ctx, "w1")
-        .crossJoin(F.broadcast(voc))
-        .select(
-            "id",
-            F.log(
-                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
-                / (F.col("cw") + F.lit(k) * F.col("v"))
-            ).alias("lp"),
-        )
-    )
+    joined = pairs.join(mrel, "w1", "left")
+    lp_fallbacks = [F.element_at("succ", F.col("w2")), F.col("lp_floor")]
+    if unseen is not None:
+        joined = joined.crossJoin(F.broadcast(unseen))
+        lp_fallbacks.append(F.col("lp_unseen"))
+    scored = joined.select("id", F.coalesce(*lp_fallbacks).alias("lp"))
     return scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
         rpos(F.avg("lp"), 4).alias("avg_logp"),

@@ -603,3 +603,155 @@ def test_multimodal_zero_sample_wav_consistent():
     meta = decode_media(empty)
     assert meta["n_frames"] == 0
     assert meta["content_mean"] == 0.0
+
+
+def _lm_replay(docs, k=0.1, min_count=1):
+    """Pure-python add-k bigram LM self-scoring replay (text.lm_score):
+    per-doc (n_bigrams, avg_logp at the rpos-4 grid)."""
+    import math
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in docs}
+    toks = {i: t for i, t in toks.items() if len(t) >= 2}
+    bgc, cw = Counter(), Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            bgc[(a, b)] += 1
+    for (a, _b), c in bgc.items():
+        cw[a] += c
+    v = len({w for t in toks.values() for w in t})
+    out = {}
+    for i, t in toks.items():
+        lps = []
+        for a, b in zip(t, t[1:]):
+            cb = bgc[(a, b)] if bgc[(a, b)] >= min_count else 0
+            lps.append(math.log((cb + k) / (cw[a] + k * v)))
+        avg = sum(lps) / len(lps)
+        out[i] = (len(lps), math.floor(avg * 1e4 + 0.5) / 1e4)
+    return out
+
+
+def test_lm_score_python_replay(spark):
+    """lm_score self-scoring equals the pure-python add-k bigram LM:
+    repeated bigrams score higher than hapax ones, <2-token docs drop."""
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat again and again"),
+        (3, "a totally different sentence here"),
+        (4, "solo"),          # 1 token -> no bigrams -> dropped
+        (5, "the cat"),       # exactly one bigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in text.lm_score(df).collect()}
+    assert got == _lm_replay(docs)
+    assert 4 not in got
+    # ("the","cat") appears 3x in the corpus: doc 5's single-bigram score
+    # must beat doc 3's all-hapax average
+    assert got[5][1] > got[3][1]
+
+
+def test_lm_score_min_count_pruning_floor(spark):
+    """min_count=2 prunes hapax bigrams from the model; pruned pairs
+    fall to the smoothed floor ln(k/(cw+kV)) with cw still counting the
+    pruned mass (denominator is pre-pruning by design)."""
+    docs = [
+        (1, "x y x y x y"),   # (x,y) 3x, (y,x) 2x -- both kept
+        (2, "x z q z"),       # (x,z) (z,q) (q,z) hapax -> pruned
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for mc in (1, 2):
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+               for r in text.lm_score(df, min_count=mc).collect()}
+        assert got == _lm_replay(docs, min_count=mc)
+    with pytest.raises(ValueError):
+        text.lm_score(df, min_count=0)
+    with pytest.raises(ValueError):
+        text.lm_score(df, k_smooth=0.0)
+
+
+def test_lm_score_single_doc_corpus(spark):
+    df = spark.createDataFrame([(7, "a b a b")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in text.lm_score(df).collect()}
+    assert got == _lm_replay([(7, "a b a b")])
+
+
+def test_lm_fit_once_score_twice(spark):
+    """fit_lm + lm_score(model=) equals the self-scoring path on the
+    training corpus, and scoring a DIFFERENT corpus routes unseen
+    contexts to the -ln(V) sentinel — the train-once/score-many 100 TB
+    shape (hash_score's weights= analog)."""
+    import math
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat again"),
+        (3, "a mat on the floor"),
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    model = fit = text.fit_lm(tdf, k_smooth=0.5, min_count=1)
+    self_scored = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                   for r in text.lm_score(tdf, k_smooth=0.5).collect()}
+    with_model = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                  for r in text.lm_score(tdf, model=model).collect()}
+    assert with_model == self_scored
+    # broadcast off: AQE picks the strategy, values identical
+    no_bcast = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                for r in text.lm_score(tdf, model=fit, broadcast_model=False).collect()}
+    assert no_bcast == self_scored
+
+    # cross-corpus: "zz qq" has a context never seen in training
+    score = [(10, "the cat sat"), (11, "zz qq")]
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+          for r in text.lm_score(sdf, model=model).collect()}
+    # python replay against the TRAINED model
+    from collections import Counter
+    k = 0.5
+    toks = [t.split(" ") for _, t in train]
+    bgc, cw = Counter(), Counter()
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            bgc[(a, b)] += 1
+    for (a, _b), c in bgc.items():
+        cw[a] += c
+    v = len({w for t in toks for w in t})
+    for did, txt in score:
+        t = txt.split(" ")
+        lps = []
+        for a, b in zip(t, t[1:]):
+            if a not in cw:
+                lps.append(-math.log(v))
+            elif (a, b) in bgc:
+                lps.append(math.log((bgc[(a, b)] + k) / (cw[a] + k * v)))
+            else:
+                lps.append(math.log(k / (cw[a] + k * v)))
+        want = (len(lps), math.floor(sum(lps) / len(lps) * 1e4 + 0.5) / 1e4)
+        assert got[did] == want
+
+
+def test_shingle_prehash_tokens_identity_consumers_match(spark):
+    """prehash_tokens changes gram VALUES (xxhash64 of token-hashes)
+    but not gram IDENTITY: membership/intersection consumers —
+    contamination counts here — produce identical output either way.
+    (A/B'd and rejected for the registered decontaminate at k=4:
+    docs/BENCH_NOTES.md round 8; the option stays for larger-k
+    identity-only consumers.)"""
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),      # shares the 4-gram "a b c d" with 1
+        (3, "totally disjoint words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 1)
+    corpus = df.filter(F.col("doc_id") != 1)
+
+    def flags(prehash):
+        d = dedup.shingle_sets(corpus, k=4, prehash_tokens=prehash)
+        b = dedup.shingle_sets(bench, k=4, prehash_tokens=prehash).select("shingle").distinct()
+        return {(r["id"], r["n_overlap"])
+                for r in d.join(F.broadcast(b), "shingle")
+                          .groupBy("id").agg(F.count("*").alias("n_overlap")).collect()}
+
+    assert flags(True) == flags(False) == {(2, 1)}

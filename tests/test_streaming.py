@@ -186,3 +186,59 @@ def test_streaming_scrub_matches_batch(spark, sf_dir):
                  docs_static.filter(F.col("doc_id") % 20 != 0), bench_static, k=4
              ).collect()}
     assert got2 == want2 and len(got2) > 0
+
+
+def test_streaming_pii_and_lm_score_match_batch(spark, sf_dir):
+    """The two remaining scrub stages on a document stream: PII
+    count+redact is a stateless per-row regex map (append mode), and
+    LM fluency scoring is a stream-static join against a fit_lm() model
+    relation plus a per-doc mean that completes within the batch (all
+    of a doc's bigrams arrive in its one row) — both must make exactly
+    the batch decisions."""
+    import shutil
+    import tempfile
+
+    from sgdnet_spark.operators import pii
+    from sgdnet_spark.operators import text as T
+
+    # PII: plant adversarial strings (synthetic docs carry no digits)
+    planted = [
+        (1, "mail a.b@c.org or 555-867-5309 from 10.0.0.1"),
+        (2, "ssn 123-45-6789; backup ssn 987-65-4321"),
+        (3, "nothing sensitive here at all"),
+        (4, None),
+    ]
+    pdir = tempfile.mkdtemp(prefix="pii_stream_")
+    pii_static = spark.createDataFrame(planted, "doc_id long, text string")
+    pii_static.write.mode("overwrite").parquet(f"{pdir}/docs.parquet")
+    pii_static = spark.read.parquet(f"{pdir}/docs.parquet")
+    pstream = (spark.readStream.schema(pii_static.schema)
+               .format("parquet").load(f"{pdir}/docs.parquet"))
+    out = pii.redact(pii.pii_counts(pstream), "text", out_col="red")
+    q = out.writeStream.outputMode("append").format("memory").queryName("pii_s").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pii_s").collect()}
+    want = {tuple(r) for r in
+            pii.redact(pii.pii_counts(pii_static), "text", out_col="red").collect()}
+    assert got == want and len(got) == 4
+
+    # LM scoring: fit ONCE on the static corpus, score the stream with
+    # model= (stream-static left join + within-batch per-doc mean)
+    stage = tempfile.mkdtemp(prefix="docs_lm_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    docs_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_static.schema).format("parquet").load(stage)
+    model = T.fit_lm(docs_static, k_smooth=0.1)
+    scored = T.lm_score(stream, model=model)
+    q2 = (scored.writeStream.outputMode("complete").format("memory")
+          .queryName("lm_s").start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {tuple(r) for r in spark.sql("SELECT * FROM lm_s").collect()}
+    want2 = {tuple(r) for r in T.lm_score(docs_static, k_smooth=0.1).collect()}
+    assert got2 == want2 and len(got2) > 0
