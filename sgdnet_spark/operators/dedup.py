@@ -624,3 +624,124 @@ def decontaminate(
         F.col("id").alias(id_col)
     )
     return df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def _line_arrays(df: DataFrame, line_sep: str, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), line_sep).alias("ls")
+    )
+
+
+def fit_boilerplate(
+    df: DataFrame,
+    min_docs: int = 2,
+    line_sep: str = r"\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit the boilerplate-line set for line_scrub's ``flagged=``: the
+    64-bit hashes of normalized lines appearing in at least ``min_docs``
+    DISTINCT documents. Fit once on a corpus (or a representative
+    sample — boilerplate is by definition frequent, so a sample sees
+    it), persist the relation (it is boilerplate-sized), and scrub many
+    corpora/streams against it — the hash_score ``weights=`` /
+    fit_lm ``model=`` shape. The doc-distinct line hashes are computed
+    IN-ROW (array_distinct before explode), so the frequency count is
+    one map-side-combined groupBy carrying distinct lines per
+    partition, never a (line, id) expand."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (1 would flag every line), got {min_docs}")
+    base = _line_arrays(df, line_sep, text_col, id_col)
+    keys = base.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter("ls", lambda l: norm_text(l) != ""),
+                    lambda l: F.xxhash64(norm_text(l)),
+                )
+            )
+        ).alias("lh")
+    )
+    return (
+        keys.groupBy("lh").agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+
+
+def line_scrub(
+    df: DataFrame,
+    min_docs: int = 2,
+    line_sep: str = r"\n",
+    join_sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_flagged: bool = True,
+    flagged: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level line deduplication — the CCNet/RefinedWeb/Dolma
+    boilerplate-removal stage: a (normalized) line that appears in at
+    least ``min_docs`` DISTINCT documents is boilerplate (headers,
+    nav bars, cookie banners, license blurbs) and is removed from every
+    document; document order of the surviving lines is preserved.
+
+    Within-document repetition is deliberately NOT this operator's job
+    (text.repetition_stats covers it): a line repeated only inside one
+    document never reaches ``min_docs`` distinct docs and is kept.
+
+    Returns (id, n_lines, n_dup_lines, text_clean): non-blank line
+    count, removed-line count, and the surviving lines re-joined with
+    ``join_sep`` ("" when every line was boilerplate). Lines blank
+    after normalization are dropped from counts and reconstruction;
+    documents with NULL text or no non-blank lines are dropped (the
+    lm_score/repetition precedent). ``line_sep`` is a Java regex.
+
+    Scale shape at 100 TB: the doc-distinct normalized lines are
+    computed IN-ROW (array_distinct over the line array — never a
+    (line, id) distinct shuffle), so the frequency count is one
+    map-side-combined groupBy on 64-bit line hashes (distinct lines per
+    partition, not the stream). The flagged relation is
+    boilerplate-sized (lines seen in >= min_docs docs) and broadcasts
+    by default — set ``broadcast_flagged=False`` on corpora whose
+    duplicate-line universe exceeds executor memory and AQE picks the
+    join. Reconstruction is one per-doc regroup (the pack_sequences
+    shape): posexplode -> broadcast flag join -> collect/sort by
+    position — the only stream-sized exchange, carried as per-doc
+    partial lists.
+
+    ``flagged=`` takes a fit_boilerplate() relation (one ``lh`` column)
+    to scrub against a boilerplate set fit on another corpus — the
+    train-once/scrub-many 100 TB shape, and what makes the operator run
+    on a STREAM (stream-static join; the self-fit path needs the whole
+    corpus). ``min_docs`` is ignored when ``flagged`` is given.
+    """
+    if flagged is None:
+        flagged = fit_boilerplate(df, min_docs, line_sep, text_col, id_col)
+    base = _line_arrays(df, line_sep, text_col, id_col)
+    flagged = flagged.select("lh", F.lit(True).alias("dup"))
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    lines = (
+        base.select("id", F.posexplode("ls").alias("pos", "line"))
+        .withColumn("lnorm", norm_text(F.col("line")))
+        .filter(F.col("lnorm") != "")
+    )
+    j = lines.select("id", "pos", "line", F.xxhash64("lnorm").alias("lh")).join(
+        flagged, "lh", "left"
+    )
+    out = j.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("dup").isNull(), F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+            join_sep,
+        ).alias("text_clean"),
+    )
+    return out.select(
+        F.col("id").alias(id_col), "n_lines", "n_dup_lines", "text_clean"
+    )

@@ -755,3 +755,64 @@ def test_shingle_prehash_tokens_identity_consumers_match(spark):
                           .groupBy("id").agg(F.count("*").alias("n_overlap")).collect()}
 
     assert flags(True) == flags(False) == {(2, 1)}
+
+
+def test_line_scrub_boilerplate_removal(spark):
+    """Corpus-level line dedup: a line in >= min_docs DISTINCT docs is
+    removed everywhere, order preserved; within-doc repeats survive;
+    blank lines drop from counts; all-boilerplate docs clean to ''."""
+    hdr = "standard cookie banner"
+    docs = [
+        (1, f"{hdr}\nunique alpha one\nunique alpha two"),
+        (2, f"{hdr}\n\n  \nunique beta"),               # blank lines dropped
+        (3, f"{hdr}"),                                   # all boilerplate
+        (4, "solo line\nsolo line\nother text"),         # within-doc repeat kept
+        (5, None),                                       # NULL text dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"], r["text_clean"])
+           for r in dedup.line_scrub(df, min_docs=2).collect()}
+    assert got[1] == (3, 1, "unique alpha one\nunique alpha two")
+    assert got[2] == (2, 1, "unique beta")
+    assert got[3] == (1, 1, "")
+    assert got[4] == (3, 0, "solo line\nsolo line\nother text")
+    assert 5 not in got
+    # raising min_docs above the dup count keeps everything
+    got4 = {r["doc_id"]: r["n_dup_lines"]
+            for r in dedup.line_scrub(df, min_docs=4).collect()}
+    assert set(got4.values()) == {0}
+    with pytest.raises(ValueError):
+        dedup.line_scrub(df, min_docs=1)
+    # normalization drives matching: case/whitespace variants of the
+    # banner still count as the same line
+    df2 = spark.createDataFrame(
+        [(1, "Standard   Cookie Banner\nkeep a"), (2, "standard cookie banner\nkeep b")],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: (r["n_dup_lines"], r["text_clean"])
+            for r in dedup.line_scrub(df2, min_docs=2).collect()}
+    assert got2 == {1: (1, "keep a"), 2: (1, "keep b")}
+
+
+def test_line_scrub_fit_once_flagged_reuse(spark):
+    """fit_boilerplate + line_scrub(flagged=) equals the self-fit path
+    on the training corpus, and scrubs an UNSEEN corpus against the
+    fitted set (lines flagged on train are removed from new docs; new
+    cross-doc dups in the scored corpus alone are NOT — the model, not
+    the target, defines boilerplate)."""
+    hdr = "standard cookie banner"
+    train = [(1, f"{hdr}\nalpha"), (2, f"{hdr}\nbeta"), (3, "gamma\ndelta")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    fset = dedup.fit_boilerplate(tdf, min_docs=2)
+    self_fit = {tuple(r) for r in dedup.line_scrub(tdf, min_docs=2).collect()}
+    with_fit = {tuple(r) for r in dedup.line_scrub(tdf, flagged=fset).collect()}
+    assert with_fit == self_fit
+
+    score = [(10, f"{hdr}\nnovel text"), (11, "same new line\nx"),
+             (12, "same new line\ny")]
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_dup_lines"], r["text_clean"])
+           for r in dedup.line_scrub(sdf, flagged=fset).collect()}
+    assert got[10] == (1, "novel text")          # trained boilerplate removed
+    assert got[11] == (0, "same new line\nx")    # new dup NOT in the model: kept
+    assert got[12] == (0, "same new line\ny")

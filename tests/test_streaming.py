@@ -242,3 +242,49 @@ def test_streaming_pii_and_lm_score_match_batch(spark, sf_dir):
     got2 = {tuple(r) for r in spark.sql("SELECT * FROM lm_s").collect()}
     want2 = {tuple(r) for r in T.lm_score(docs_static, k_smooth=0.1).collect()}
     assert got2 == want2 and len(got2) > 0
+
+
+def test_streaming_line_scrub_matches_batch(spark, sf_dir):
+    """Line-level boilerplate removal on a document stream: the flagged
+    set is fit ONCE on the static corpus (fit_boilerplate) and the
+    stream scrubs against it via a stream-static broadcast join plus a
+    within-batch per-doc regroup (all of a doc's lines arrive in its
+    one row) — exactly the batch decisions."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import dedup
+
+    stage = tempfile.mkdtemp(prefix="docs_line_stream_")
+    # synthesize lines: every 5th token becomes a newline so cross-doc
+    # duplicate lines exist (shared small vocabulary)
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.split(F.lower(F.col("text")), " ")
+    lined = docs0.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest((F.size(t) / 5).cast("int"), F.lit(1)) - 1),
+                lambda i: F.array_join(F.slice(t, i * 5 + 1, 5), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    lined.write.mode("overwrite").parquet(f"{stage}/lined.parquet")
+    static = spark.read.parquet(f"{stage}/lined.parquet")
+    stream = spark.readStream.schema(static.schema).format("parquet").load(f"{stage}/lined.parquet")
+
+    fset = dedup.fit_boilerplate(static, min_docs=2)
+    out = dedup.line_scrub(stream, flagged=fset)
+    q = out.writeStream.outputMode("complete").format("memory").queryName("line_s").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM line_s").collect()}
+    want = {tuple(r) for r in dedup.line_scrub(static, flagged=fset).collect()}
+    assert got == want and len(got) > 0
+    # sanity: the synthetic corpus actually contains removed boilerplate
+    assert any(r[2] > 0 for r in got)
