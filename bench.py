@@ -215,16 +215,23 @@ def main() -> None:
     # windows; the cpu_time_sec twin is the contention-robust cross-check
     resolved = [
         (item if isinstance(item, tuple) else (item, _resolve(item)))
-        for item in HEADLINERS + HEADLINERS_R7 + HEADLINERS_R8
+        for item in HEADLINERS + HEADLINERS_R7
     ]
+    # the round-8 umbrellas (~10 s/pass of join trees and CV fits) are
+    # metered in their OWN round-robin AFTER the comparable set: folding
+    # them into the same loop measurably inflated the original entries'
+    # min-of-4 (r1-comparable 9.84 s vs 8.9-9.4 quiet, CPU twins up
+    # 15-20% on a 0.04%-steal window — cache/JIT pollution between
+    # samples), which would have broken cross-round comparability
+    resolved_r8 = [(n, _resolve(n)) for n in HEADLINERS_R8]
     r1_names = {item if isinstance(item, str) else item[0] for item in HEADLINERS}
-    best: dict[str, float] = {name: float("inf") for name, _ in resolved}
-    best_cpu: dict[str, float] = {name: -1.0 for name, _ in resolved}
+    best: dict[str, float] = {n: float("inf") for n, _ in resolved + resolved_r8}
+    best_cpu: dict[str, float] = {n: -1.0 for n, _ in resolved + resolved_r8}
     rows: dict[str, int] = {}
 
-    def run_passes(n: int) -> None:
+    def run_passes(n: int, entries) -> None:
         for _pass in range(n):
-            for name, fn in resolved:
+            for name, fn in entries:
                 c0 = _tree_cpu_sample()
                 t0 = time.perf_counter()
                 rows[name] = fn(spark, sf_dir).count()
@@ -243,14 +250,17 @@ def main() -> None:
     # extra passes only ever improve — and record both windows' steal so
     # the artifact of record carries its own weather report.
     s0 = _steal_sample()
-    run_passes(4)
+    run_passes(4, resolved)
+    run_passes(4, resolved_r8)
     steal = _steal_pct(s0, _steal_sample())
     steal_retry = None
     if steal is not None and steal > 1.0:
         print(f"# dirty window ({steal}% steal): 2 extra passes", file=sys.stderr)
         s2 = _steal_sample()
-        run_passes(2)
+        run_passes(2, resolved)
+        run_passes(2, resolved_r8)
         steal_retry = _steal_pct(s2, _steal_sample())
+    resolved = resolved + resolved_r8
     times = {name: round(best[name], 3) for name, _ in resolved}
     # -1.0 is the never-sampled sentinel (non-/proc platform): report
     # those as null rather than summing garbage negatives into the

@@ -345,3 +345,75 @@ def cosine_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+def semdedup(
+    df: DataFrame,
+    eps: float = 0.05,
+    k_clusters: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication for web-scale training data: k-means cluster the
+    embeddings, then within each cluster treat points with pairwise
+    cosine >= 1-eps as semantic duplicates and keep one representative.
+    Unlike the near-dup pair operators (cosine_pairs/_lsh), this is a
+    KEEP/DROP decision per document, the form a pipeline consumes.
+
+    Representative rule (deterministic, one parallel pass): a point is
+    DROPPED iff some SMALLER-id point in its cluster is >= 1-eps
+    similar — the keep-min-id domination rule, exact_dedup's analog.
+    (The paper keeps a random or low-centroid-similarity member per
+    duplicate group; a greedy sequential sweep inside each cluster is
+    order-dependent and unparallelizable, while domination is a pure
+    pairwise predicate. On chains a-b-c where sim(a,c) < 1-eps this
+    drops c too — slightly more aggressive than greedy, never less.)
+
+    Returns (id, cluster, kept 0/1, nn_sim): nn_sim is the max cosine
+    to any OTHER point of the same cluster (rounded 4; NULL for
+    singleton clusters).
+
+    Scale shape at 100 TB: k-means is the IVF coarse quantizer
+    (operators/ivf.py — deterministic first-k-by-id init, one narrow
+    Arrow pass per Lloyd iteration, driver state k×(dim+1) partials);
+    assignment is one mapInPandas pass; the quadratic is CONFINED to
+    clusters by the (list_id, id!=id) self-join — k_clusters must scale
+    like n/target_cluster_size (the paper uses ~0.1% of n) so each
+    cluster's pair block stays executor-sized; AQE splits skewed
+    clusters. Work scales with sum of cluster sizes squared, not n².
+    """
+    if not (0.0 < eps < 1.0):
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
+
+    cents = kmeans_fit(df, k=k_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
+    x = assign_lists(df, cents, vec_col, id_col).select(
+        "id", "list_id", F.col("v").cast("array<double>").alias("v")
+    )
+    p = (
+        x.alias("l")
+        .join(
+            x.alias("r"),
+            (F.col("l.list_id") == F.col("r.list_id")) & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id"),
+            F.col("r.id").alias("oid"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("sim"),
+        )
+    )
+    agg = p.groupBy("id").agg(
+        F.max("sim").alias("sim_raw"),
+        F.max(
+            F.when((F.col("oid") < F.col("id")) & (F.col("sim") >= 1.0 - eps), 1).otherwise(0)
+        ).alias("dom"),
+    )
+    out = x.select("id", "list_id").join(agg, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("list_id").cast("int").alias("cluster"),
+        (1 - F.coalesce(F.col("dom"), F.lit(0))).cast("int").alias("kept"),
+        (F.floor(F.col("sim_raw") * 10000.0 + F.lit(0.5)) / 10000.0).alias("nn_sim"),
+    )
