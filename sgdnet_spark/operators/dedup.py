@@ -627,7 +627,13 @@ def decontaminate(
 
 
 def _line_arrays(df: DataFrame, line_sep: str, text_col: str, id_col: str) -> DataFrame:
-    return df.select(
+    # spread BEFORE the split/normalize/hash pipeline: a single-file
+    # scan otherwise serializes the whole line tier onto 1-2 tasks
+    # (measured at sf1: wall 16.5 s at ~1.8x parallelism on 32 cores;
+    # a no-op on well-partitioned big scans — see spread_small_input)
+    from sgdnet_spark.session import spread_small_input
+
+    return spread_small_input(df).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), line_sep).alias("ls")
     )
 

@@ -96,3 +96,51 @@ def test_ivf_null_embedding_rows_skipped(spark, clustered):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == {0}  # NULL query skipped
     assert len([r for r in rows if r["query_id"] == 0]) == 3
+
+
+def test_semdedup_numpy_replay_and_planted_dup(spark):
+    """semdedup == an exact numpy replay given the SAME centroids
+    (kmeans_fit is deterministic): assignment by argmin distance,
+    within-cluster cosines, the keep-min-id domination rule, nn_sim at
+    the 1e-4 grid. A planted exact duplicate (same vector, higher id)
+    must land in the same cluster and be dropped."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import similarity
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup_src = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(dup_src)
+    EPS, K = 0.2, 8
+    got = {r["vec_id"]: (r["cluster"], r["kept"], r["nn_sim"])
+           for r in similarity.semdedup(df, eps=EPS, k_clusters=K, iters=3).collect()}
+
+    cents = kmeans_fit(df, k=K, iters=3)
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    d2 = (V.astype(np.float64)**2).sum(1)[:, None] - 2 * V.astype(np.float64) @ cents.T + (cents**2).sum(1)[None, :]
+    assign = d2.argmin(1)
+    Vd = V.astype(np.float64)
+    norms = np.maximum(np.sqrt((Vd**2).sum(1)), 1e-150)
+    for i, vid in enumerate(ids):
+        same = [j for j in range(len(ids)) if assign[j] == assign[i] and j != i]
+        if same:
+            sims = [float(Vd[i] @ Vd[j] / (norms[i] * norms[j])) for j in same]
+            nn = math.floor(max(sims) * 1e4 + 0.5) / 1e4
+            dom = any(ids[j] < vid and s >= 1.0 - EPS for j, s in zip(same, sims))
+        else:
+            nn, dom = None, False
+        assert got[int(vid)] == (int(assign[i]), 0 if dom else 1, nn), f"vec {vid}"
+    # the planted duplicate: same cluster as its source, dropped, sim 1.0
+    c3, k3, _ = got[3]
+    cd, kd, sd = got[100000]
+    assert cd == c3 and k3 == 1 and kd == 0 and sd == 1.0
+    with pytest.raises(ValueError):
+        similarity.semdedup(df, eps=0.0)
