@@ -658,12 +658,18 @@ def fit_boilerplate(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2 (1 would flag every line), got {min_docs}")
     base = _line_arrays(df, line_sep, text_col, id_col)
+    # normalize each line ONCE (transform → filter → hash), not once in
+    # the blank filter and again in the hash — the regex collapse is the
+    # dominant per-line cost on the fit pass
     keys = base.select(
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.filter("ls", lambda l: norm_text(l) != ""),
-                    lambda l: F.xxhash64(norm_text(l)),
+                    F.filter(
+                        F.transform("ls", lambda l: norm_text(l)),
+                        lambda s: s != "",
+                    ),
+                    lambda s: F.xxhash64(s),
                 )
             )
         ).alias("lh")

@@ -389,9 +389,14 @@ def semdedup(
     from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
 
     cents = kmeans_fit(df, k=k_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
+    # persisted: the assignment frame is referenced by both sides of the
+    # pair self-join (one exchange, reused) AND the final singleton-
+    # preserving left join — without the persist that last reference
+    # re-scans the corpus and re-assigns every vector through the Arrow
+    # pass a second time (the GLM assembled-frame precedent)
     x = assign_lists(df, cents, vec_col, id_col).select(
         "id", "list_id", F.col("v").cast("array<double>").alias("v")
-    )
+    ).persist()
     p = (
         x.alias("l")
         .join(
@@ -410,10 +415,12 @@ def semdedup(
             F.when((F.col("oid") < F.col("id")) & (F.col("sim") >= 1.0 - eps), 1).otherwise(0)
         ).alias("dom"),
     )
+    from sgdnet_spark.operators.text import rpos
+
     out = x.select("id", "list_id").join(agg, "id", "left")
     return out.select(
         F.col("id").alias(id_col),
         F.col("list_id").cast("int").alias("cluster"),
         (1 - F.coalesce(F.col("dom"), F.lit(0))).cast("int").alias("kept"),
-        (F.floor(F.col("sim_raw") * 10000.0 + F.lit(0.5)) / 10000.0).alias("nn_sim"),
+        rpos(F.col("sim_raw"), 4).alias("nn_sim"),
     )

@@ -525,7 +525,22 @@ def lm_score(
     if unseen is not None:
         joined = joined.crossJoin(F.broadcast(unseen))
         lp_fallbacks.append(F.col("lp_unseen"))
-    scored = joined.select("id", F.coalesce(*lp_fallbacks).alias("lp"))
+    lp = F.coalesce(*lp_fallbacks)
+    if unseen is not None:
+        # a hand-built model missing the sentinel would leave lp NULL for
+        # unseen contexts; F.avg would silently SKIP those bigrams while
+        # n_bigrams counts them — an inflated score, not an error. Fail
+        # loudly instead (assert_true returns NULL, so the when() is an
+        # identity the optimizer cannot prune away from the result).
+        lp = F.when(
+            F.assert_true(
+                lp.isNotNull(),
+                F.lit("lm_score: model has no unseen-context sentinel row "
+                      "(w1 NULL) — build it with fit_lm()"),
+            ).isNull(),
+            lp,
+        )
+    scored = joined.select("id", lp.alias("lp"))
     return scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
         rpos(F.avg("lp"), 4).alias("avg_logp"),

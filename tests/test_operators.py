@@ -816,3 +816,19 @@ def test_line_scrub_fit_once_flagged_reuse(spark):
     assert got[10] == (1, "novel text")          # trained boilerplate removed
     assert got[11] == (0, "same new line\nx")    # new dup NOT in the model: kept
     assert got[12] == (0, "same new line\ny")
+
+
+def test_lm_score_sentinelless_model_raises(spark):
+    """A hand-built model missing the w1-NULL sentinel must FAIL LOUDLY
+    on unseen contexts, not silently average only the seen bigrams
+    (F.avg skips NULL while n_bigrams counts every bigram)."""
+    train = [(1, "the cat sat"), (2, "the cat ran")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    broken = text.fit_lm(tdf).where(F.col("w1").isNotNull())  # sentinel stripped
+    sdf = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
+    with pytest.raises(Exception, match="sentinel"):
+        text.lm_score(sdf, model=broken).collect()
+    # seen-context docs still score fine against the same broken model
+    ok = text.lm_score(spark.createDataFrame([(8, "the cat")], "doc_id long, text string"),
+                       model=broken).collect()
+    assert len(ok) == 1
