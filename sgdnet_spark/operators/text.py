@@ -549,3 +549,66 @@ def lm_score(
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         "avg_logp",
     )
+
+
+def lm_buckets(
+    df: DataFrame,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    k_smooth: float = 0.1,
+    min_count: int = 1,
+    model: DataFrame | None = None,
+    broadcast_model: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    documents with the bigram LM, compute the corpus quantile cutoffs
+    of avg_logp, and bucket each document — 0 = head (most fluent,
+    highest log-prob), 1 = middle, 2 = tail. CCNet trains only on the
+    head/middle of each language; this is the gate that follows
+    lm_score in the pipeline.
+
+    Returns (id, n_bigrams, avg_logp, bucket).
+
+    Scale shape: one extra exact-interpolated percentile aggregation
+    over the PER-DOCUMENT scores (F.percentile == DuckDB quantile_cont,
+    the quantile_prices precedent) and a broadcast of the two cutoffs;
+    bucketing is a codegen comparison. Because avg_logp is floor-rounded
+    to the 1e-4 grid, the percentile's internal value map is bounded by
+    the grid size (~1e5 distinct values over the useful ln range), not
+    by document count — the aggregation stays executor-sized at 100 TB.
+    Cutoffs are rounded to the same grid before comparing, so grid-
+    valued scores never straddle an unrounded cutoff differently across
+    engines. Bucket boundaries use strict '>': a doc exactly AT a
+    cutoff falls into the lower bucket in both engines.
+    """
+    lo, hi = cuts
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    # persisted: the scored frame feeds BOTH the cutoff aggregation and
+    # the final comparison — without the cache the second reference
+    # re-runs the whole LM pipeline over the corpus (column pruning
+    # makes the two subtrees non-identical, so ReuseExchange cannot
+    # help). The cache is per-DOCUMENT sized (id, n_bigrams, avg_logp),
+    # not corpus-sized.
+    scored = lm_score(
+        df, k_smooth=k_smooth, min_count=min_count, model=model,
+        broadcast_model=broadcast_model, text_col=text_col, id_col=id_col,
+    ).persist()
+    cut = scored.agg(
+        rpos(F.percentile("avg_logp", F.lit(lo)), 4).alias("c_lo"),
+        rpos(F.percentile("avg_logp", F.lit(hi)), 4).alias("c_hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            id_col,
+            "n_bigrams",
+            "avg_logp",
+            F.when(F.col("avg_logp") > F.col("c_hi"), 0)
+            .when(F.col("avg_logp") > F.col("c_lo"), 1)
+            .otherwise(2)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )

@@ -832,3 +832,91 @@ def test_lm_score_sentinelless_model_raises(spark):
     ok = text.lm_score(spark.createDataFrame([(8, "the cat")], "doc_id long, text string"),
                        model=broken).collect()
     assert len(ok) == 1
+
+
+def test_lm_buckets_python_replay(spark):
+    """lm_buckets == python replay: numpy 'linear' percentile matches
+    F.percentile/quantile_cont; cutoffs round to the score grid; strict
+    '>' puts an at-cutoff doc in the lower bucket."""
+    import math
+
+    import numpy as np
+
+    docs = [(i, " ".join(["the cat"] * (i + 1)) + f" tail{i}") for i in range(9)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["avg_logp"], r["bucket"])
+           for r in text.lm_buckets(df).collect()}
+    scores = _lm_replay(docs)
+    vals = np.array([scores[i][1] for i in sorted(scores)])
+    c_lo = math.floor(np.percentile(vals, 100.0 / 3.0) * 1e4 + 0.5) / 1e4
+    c_hi = math.floor(np.percentile(vals, 200.0 / 3.0) * 1e4 + 0.5) / 1e4
+    for i, (_n, lp) in scores.items():
+        want = 0 if lp > c_hi else (1 if lp > c_lo else 2)
+        assert got[i] == (lp, want), f"doc {i}"
+    assert {b for _, b in got.values()} == {0, 1, 2}
+    with pytest.raises(ValueError):
+        text.lm_buckets(df, cuts=(0.7, 0.3))
+
+
+def _bpe_replay(freqs, n_merges, min_freq=2):
+    """Classic BPE merge loop in python: zip-adjacent pair counts
+    weighted by word freq, (count DESC, left ASC, right ASC) argmax,
+    greedy-left merge apply."""
+    from collections import Counter
+
+    reps = {w: list(w) for w in freqs}
+    merges = []
+
+    def apply_one(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(syms[i]); i += 1
+        return out
+
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, f in freqs.items():
+            s = reps[w]
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        if c < min_freq:
+            break
+        merges.append((rank, a, b, c))
+        reps = {w: apply_one(s, a, b) for w, s in reps.items()}
+    return merges, reps
+
+
+def test_bpe_learn_and_apply_python_replay(spark):
+    """bpe_learn == the classic python merge loop (exact counts, exact
+    tie-breaks, greedy-left overlap semantics: 'aaaa' + (a,a) -> 2
+    tokens), and apply_bpe re-encodes text to the replay's symbols."""
+    from collections import Counter
+
+    from sgdnet_spark.operators import bpe
+
+    docs = [
+        (1, "lower lower lowest low low low"),
+        (2, "newer newest new new lower"),
+        (3, "aaaa aa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    freqs = Counter(w for _, t in docs for w in t.split(" "))
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe.bpe_learn(df, n_merges=8, min_freq=2).orderBy("rank").collect()]
+    want, reps = _bpe_replay(freqs, 8, 2)
+    assert got == want and len(got) > 0
+    # apply: every word re-encodes to the replay's final symbols
+    enc = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.apply_bpe(df, bpe.bpe_learn(df, n_merges=8, min_freq=2)).collect()}
+    for did, txt in docs:
+        expect = [s for w in txt.split(" ") for s in reps[w]]
+        assert enc[did] == expect, f"doc {did}"
+    with pytest.raises(ValueError):
+        bpe.bpe_learn(df, n_merges=0)
