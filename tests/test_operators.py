@@ -912,11 +912,24 @@ def test_bpe_learn_and_apply_python_replay(spark):
            for r in bpe.bpe_learn(df, n_merges=8, min_freq=2).orderBy("rank").collect()]
     want, reps = _bpe_replay(freqs, 8, 2)
     assert got == want and len(got) > 0
+    # the distributed per-merge path produces the IDENTICAL table (the
+    # auto path collected the vocab and ran the incremental driver loop)
+    dist = [(r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in bpe.bpe_learn(df, n_merges=8, min_freq=2,
+                                   solver="distributed").orderBy("rank").collect()]
+    assert dist == want
     # apply: every word re-encodes to the replay's final symbols
+    # (apply_bpe accepts the already-verified merge list directly)
     enc = {r["doc_id"]: r["bpe_tokens"]
-           for r in bpe.apply_bpe(df, bpe.bpe_learn(df, n_merges=8, min_freq=2)).collect()}
+           for r in bpe.apply_bpe(df, want).collect()}
     for did, txt in docs:
         expect = [s for w in txt.split(" ") for s in reps[w]]
         assert enc[did] == expect, f"doc {did}"
+    # non-long id columns keep their type through the Arrow pass
+    sdf = spark.createDataFrame([("u1", "lower low")], "url string, text string")
+    srow = bpe.apply_bpe(sdf, want, id_col="url").collect()[0]
+    assert srow["url"] == "u1" and srow["n_bpe"] == len(reps["lower"]) + len(reps["low"])
     with pytest.raises(ValueError):
         bpe.bpe_learn(df, n_merges=0)
+    with pytest.raises(ValueError):
+        bpe.bpe_learn(df, solver="magic")
