@@ -1,0 +1,86 @@
+"""Property tests for the round-8 text/scrub operators: random corpora
+vs pure-python replays.
+
+The corpus alphabet is printable ASCII with {space, tab, newline}
+whitespace only — the subset where Java's \\s (norm_text) and python's
+str.split() agree, so the replay is exact by construction. Unicode
+whitespace classes differ between the engines and are out of the
+operators' normalization contract (documents normalize through
+norm_text on BOTH the Spark side and the DuckDB oracle, which agree;
+the python replay here is a third implementation kept deliberately in
+the common subset).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from sgdnet_spark.operators import dedup, text
+
+_WORD = st.text(alphabet="abcXY", min_size=1, max_size=3)
+_WS = st.sampled_from([" ", "  ", "\t", " \t "])
+
+
+@st.composite
+def _doc(draw):
+    words = draw(st.lists(_WORD, min_size=0, max_size=8))
+    seps = [draw(_WS) for _ in words]
+    return "".join(w + s for w, s in zip(words, seps))
+
+
+def _norm(t: str) -> str:
+    return " ".join(t.lower().split())
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_doc(), min_size=1, max_size=12), k=st.sampled_from([0.1, 0.7]))
+def test_lm_score_random_corpora_match_replay(spark, docs, k):
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in text.lm_score(df, k_smooth=k).collect()}
+
+    toks = {i: _norm(d).split(" ") for i, d in rows}
+    toks = {i: t for i, t in toks.items() if t != [""] and len(t) >= 2}
+    bgc, cw = Counter(), Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            bgc[(a, b)] += 1
+    for (a, _b), c in bgc.items():
+        cw[a] += c
+    v = len({w for t in toks.values() for w in t})
+    want = {}
+    for i, t in toks.items():
+        lps = [math.log((bgc[(a, b)] + k) / (cw[a] + k * v)) for a, b in zip(t, t[1:])]
+        want[i] = (len(lps), math.floor(sum(lps) / len(lps) * 1e4 + 0.5) / 1e4)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(st.lists(_doc(), min_size=0, max_size=4), min_size=1, max_size=8),
+    min_docs=st.sampled_from([2, 3]),
+)
+def test_line_scrub_random_corpora_match_replay(spark, docs, min_docs):
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"], r["text_clean"])
+           for r in dedup.line_scrub(df, min_docs=min_docs).collect()}
+
+    norm_lines = {i: [(ln, _norm(ln)) for ln in t.split("\n") if _norm(ln) != ""]
+                  for i, t in rows}
+    freq = Counter()
+    for ls in norm_lines.values():
+        for n in {n for _, n in ls}:
+            freq[n] += 1
+    flagged = {n for n, c in freq.items() if c >= min_docs}
+    want = {}
+    for i, ls in norm_lines.items():
+        if not ls:
+            continue
+        kept = [raw for raw, n in ls if n not in flagged]
+        want[i] = (len(ls), sum(1 for _, n in ls if n in flagged), "\n".join(kept))
+    assert got == want
