@@ -362,3 +362,52 @@ def count_min(
     rows = counted.collect()
     table = {(int(r["s"]), int(r["p"])): int(r["c"]) for r in rows}
     return CountMinSketch(df.sparkSession, table, w, seeds, key_type=key_type)
+
+
+def theta_distinct(df, key_col: str, by: str | None = None):
+    """Approximate distinct counts via Datasketches Theta sketches
+    (Spark-native theta_sketch_agg): mergeable across partitions and
+    groups, and — unlike the HLL twin below — the estimate is
+    PARTITIONING-INDEPENDENT (measured: identical at 1/7/32 input
+    partitions; HLL's estimate shifts a few parts in 10^4 with the
+    merge structure because union promotes between sparse/dense
+    register modes). That determinism is what lets a theta estimate be
+    pinned by the driver's golden gate. Returns (by?, n_distinct_est).
+
+    At 100 TB: one narrow scan, k-bounded sketch state per group
+    partial, no exact shuffle of the key universe — the screening
+    companion to an exact countDistinct, with ~1.6% typical error at
+    the default k."""
+    est = F.theta_sketch_estimate(F.theta_sketch_agg(key_col)).cast("bigint").alias(
+        "n_distinct_est"
+    )
+    return df.groupBy(by).agg(est) if by else df.agg(est)
+
+
+def hll_distinct(df, key_col: str, by: str | None = None, lgk: int = 12):
+    """Approximate distinct counts via HLL sketches (hll_sketch_agg,
+    lgConfigK=lgk → rsd ≈ 1.04/sqrt(2^lgk)). Mergeable (hll_union_agg
+    of per-group sketches == a direct global sketch — asserted in
+    tests), but the ESTIMATE is merge-structure sensitive at the
+    margin, so tests bound it against the exact count rather than
+    pinning values. Returns (by?, n_distinct_est)."""
+    est = F.hll_sketch_estimate(
+        F.hll_sketch_agg(key_col, F.lit(lgk))
+    ).cast("bigint").alias("n_distinct_est")
+    return df.groupBy(by).agg(est) if by else df.agg(est)
+
+
+def kll_quantiles(df, col: str, qs: list[float], by: str | None = None):
+    """Approximate quantiles via KLL sketches (kll_sketch_agg_double):
+    mergeable rank sketches with guaranteed rank error (vs the exact
+    but sort-heavy F.percentile). KLL compaction is randomized by
+    design, so outputs are tested within rank tolerance, never pinned.
+    Returns (by?, q_<q> ...)."""
+    sk = F.kll_sketch_agg_double(F.col(col).cast("double"))
+    aggs = [
+        F.kll_sketch_get_quantile_double(sk, F.lit(float(q))).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)

@@ -140,3 +140,49 @@ def test_cms_estimate_count_int_build(spark):
     cms = sketch.count_min(df, "k", eps=0.01)
     assert cms.estimate_count(7) >= 40
     assert cms.estimate_count(999999) <= 2  # absent key, small collision noise
+
+
+def test_datasketches_distinct_and_quantiles(spark, sf_dir):
+    """The Spark-native Datasketches tier (round 8):
+    - theta estimates are PARTITIONING-INDEPENDENT (the property that
+      lets the driver pin them as golden constants) and close to exact;
+    - HLL sketches are mergeable — hll_union_agg of per-group sketches
+      estimates the global cardinality like a direct global sketch —
+      and close to exact within the lgk=12 rsd band;
+    - KLL quantiles land within rank tolerance of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import sketch as SK
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    exact = li.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+
+    ests = {
+        rep: SK.theta_distinct(li.repartition(rep) if rep > 1 else li, "l_orderkey")
+        .collect()[0]["n_distinct_est"]
+        for rep in (1, 7, 32)
+    }
+    assert len(set(ests.values())) == 1, f"theta not partition-independent: {ests}"
+    assert abs(next(iter(ests.values())) - exact) / exact < 0.05
+
+    hll = SK.hll_distinct(li, "l_orderkey").collect()[0]["n_distinct_est"]
+    assert abs(hll - exact) / exact < 0.05  # ~3x the lgk=12 rsd (1.6%)
+    # mergeability: union of per-group sketches vs direct global
+    grouped = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    merged = grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(merged - exact) / exact < 0.05
+
+    q = SK.kll_quantiles(li, "l_quantity", [0.5, 0.9]).collect()[0]
+    p50, p90 = (
+        li.agg(F.percentile("l_quantity", F.lit(0.5)),
+               F.percentile("l_quantity", F.lit(0.9))).collect()[0]
+    )
+    # rank tolerance: quantities are small ints, so value tolerance of
+    # one step covers the KLL rank-error band at this n
+    assert abs(q["q_0_5"] - p50) <= 1.0 and abs(q["q_0_9"] - p90) <= 1.0
