@@ -397,6 +397,37 @@ def hll_distinct(df, key_col: str, by: str | None = None, lgk: int = 12):
     return df.groupBy(by).agg(est) if by else df.agg(est)
 
 
+def theta_overlap(df_a, col_a: str, df_b, col_b: str | None = None):
+    """Set-relationship estimates between two key sets via theta-sketch
+    set operations (theta_union / theta_intersection / theta_difference)
+    — the one sketch family with a NATIVE intersection. Returns ONE row
+    (n_a, n_b, n_union, n_intersection, n_a_not_b).
+
+    This is the sketch-tier screen for decontaminate-style corpus
+    overlap: estimate |train-grams ∩ benchmark-grams| WITHOUT any join —
+    each side is one narrow scan folding to a k-bounded sketch, and the
+    set algebra runs on two sketch values joined 1×1 (the scalar
+    cross-join pattern). At 100 TB you run this first; only if the
+    estimate is material do you pay the exact broadcast gram join.
+    Like theta_distinct, every estimate here is partitioning-independent
+    (the retained set of k smallest hashes is order-free), so the values
+    are golden-pinnable; exactness below k and partition independence
+    are asserted in tests/test_sketches.py."""
+    col_b = col_b or col_a
+    a = df_a.agg(F.theta_sketch_agg(col_a).alias("sk_a"))
+    b = df_b.agg(F.theta_sketch_agg(col_b).alias("sk_b"))
+    est = F.theta_sketch_estimate
+    return a.crossJoin(b).select(
+        est("sk_a").cast("bigint").alias("n_a"),
+        est("sk_b").cast("bigint").alias("n_b"),
+        est(F.theta_union("sk_a", "sk_b")).cast("bigint").alias("n_union"),
+        est(F.theta_intersection("sk_a", "sk_b")).cast("bigint").alias(
+            "n_intersection"
+        ),
+        est(F.theta_difference("sk_a", "sk_b")).cast("bigint").alias("n_a_not_b"),
+    )
+
+
 def kll_quantiles(df, col: str, qs: list[float], by: str | None = None):
     """Approximate quantiles via KLL sketches (kll_sketch_agg_double):
     mergeable rank sketches with guaranteed rank error (vs the exact

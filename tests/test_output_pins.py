@@ -54,7 +54,11 @@ def test_rows_only_output_matches_pin(spark, name):
 
 # entries whose golden tables cover only part of the output (the rest is
 # derived in SQL by the driver oracle): filter current rows the same way
-_GOLDEN_ROW_FILTERS = {"glm_predict_class": lambda row: row["s"] != 0}
+# the generator does — import its map so the two can never drift apart
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from gen_constant_oracles import GOLDEN_ENTRIES as _GOLDEN_ROW_FILTERS  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))

@@ -178,6 +178,29 @@ def test_datasketches_distinct_and_quantiles(spark, sf_dir):
     ).collect()[0]["e"]
     assert abs(merged - exact) / exact < 0.05
 
+    # theta set ops: below sketch-k the sketch holds every hash, so
+    # union/intersection/difference estimates are EXACT — assert against
+    # the true set algebra on the flag-sliced orderkey sets
+    A = li.filter(F.col("l_returnflag") == "A")
+    R = li.filter(F.col("l_returnflag") == "R")
+    ov = SK.theta_overlap(A, "l_orderkey", R).collect()[0]
+    sa = {r[0] for r in A.select("l_orderkey").distinct().collect()}
+    sr = {r[0] for r in R.select("l_orderkey").distinct().collect()}
+    if max(len(sa), len(sr), len(sa | sr)) <= 4096:  # default theta k
+        assert (ov["n_a"], ov["n_b"]) == (len(sa), len(sr))
+        assert ov["n_union"] == len(sa | sr)
+        assert ov["n_intersection"] == len(sa & sr)
+        assert ov["n_a_not_b"] == len(sa - sr)
+    else:  # above k: within the theta error band
+        for got, want in [
+            (ov["n_union"], len(sa | sr)),
+            (ov["n_intersection"], len(sa & sr)),
+        ]:
+            assert abs(got - want) / max(want, 1) < 0.1
+    # partition independence (the golden-pinnability property)
+    ov2 = SK.theta_overlap(A.repartition(13), "l_orderkey", R.repartition(3))
+    assert tuple(ov2.collect()[0]) == tuple(ov)
+
     q = SK.kll_quantiles(li, "l_quantity", [0.5, 0.9]).collect()[0]
     p50, p90 = (
         li.agg(F.percentile("l_quantity", F.lit(0.5)),
