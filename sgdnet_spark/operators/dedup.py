@@ -757,3 +757,90 @@ def line_scrub(
     return out.select(
         F.col("id").alias(id_col), "n_lines", "n_dup_lines", "text_clean"
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 32,
+    mod_p: int = 4,
+    min_count: int = 2,
+    salt: str = "xs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): find character spans that occur >= ``min_count``
+    times ANYWHERE in the corpus (across or within documents) — the
+    substring-granularity complement of the document-level near-dup
+    tier. The reference implementation builds a corpus-wide suffix
+    array (inherently single-machine); the distributed re-expression:
+
+    1. Per doc, hash every k-char window of the normalized text and keep
+       windows whose md5-u32 ≡ 0 (mod ``mod_p``). Selection is
+       CONTENT-defined, so two occurrences of the same substring at
+       different offsets select the same windows — no stride/phase
+       problem — and the filter runs in-row BEFORE the explode, cutting
+       exploded volume by mod_p. mod_p=1 is the exhaustive/exact mode;
+       larger mod_p is the 100 TB knob (a repeated span of length m
+       contains ~(m-k+1)/mod_p selected windows).
+    2. One map-side-combined count over the full 128-bit window hash
+       (u32 would birthday-collide at corpus scale); hashes with
+       count >= min_count form the dup-rate-sized flagged relation —
+       joined back ids-only (AQE broadcasts it when small).
+    3. Per-doc gaps-and-islands merge of hit windows [pos, pos+k-1]
+       into maximal spans: one doc-keyed shuffle, two window passes
+       (running max end -> island break flag -> island id), both
+       ANSI-expressible so the DuckDB twin replays the merge exactly.
+
+    Returns one row per merged span: (id, s_start, s_end), 1-based
+    inclusive char offsets into the NORMALIZED text.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if mod_p < 1:
+        raise ValueError(f"mod_p must be >= 1, got {mod_p}")
+    t = norm_text(text_col)
+    n = F.length(t)
+    positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sel = F.filter(
+        F.transform(
+            positions,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat(F.substring(t, i, k), F.lit(salt))).alias("h"),
+            ),
+        ),
+        lambda s: F.conv(F.substring(s["h"], 1, 8), 16, 10).cast("long")
+        % mod_p
+        == 0,
+    )
+    g = (
+        df.select(F.col(id_col).alias("id"), F.explode(sel).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    rep = g.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
+    hits = g.join(rep, "h").select("id", "pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        Window.partitionBy("id").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1, 1).otherwise(0)
+    gid = F.sum("brk").over(
+        Window.partitionBy("id").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        hits.withColumn("brk", brk)
+        .withColumn("gid", gid)
+        .groupBy("id", "gid")
+        .agg(
+            F.min("pos").cast("bigint").alias("s_start"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("s_end"),
+        )
+        .select(F.col("id").alias(id_col), "s_start", "s_end")
+    )

@@ -1,0 +1,158 @@
+"""DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+NeurIPS — arXiv:2302.03169), the public method for selecting raw-corpus
+documents that look like a target corpus (e.g. "select web pages that
+look like Wikipedia") by importance weighting on hashed n-gram features.
+
+Pipeline shape (all three stages are the right shape for 100 TB):
+
+1. ``fit_dsir`` — per-corpus hashed-token bucket counts: one
+   map-side-combined count shuffle per corpus whose output is
+   B-sized (B = n_buckets, default 4096), NOT corpus-sized. The add-α
+   smoothed log-ratio vector lr_j = ln p_target(j) - ln p_raw(j) is
+   computed driver-side from the two B-sized count relations (the
+   sketch-collect precedent: driver state bounded by B, never by n).
+2. ``dsir_score`` — per-document log importance weight
+   log w(doc) = Σ_tokens lr_{hash(token)}: the vector rides into the
+   plan as ONE broadcast literal array and the sum folds per token
+   exactly like text.hash_score — zero shuffle, O(tokens) codegen,
+   embarrassingly parallel.
+3. ``dsir_resample`` — sample k docs WITHOUT replacement with
+   probability ∝ exp(log w) via Gumbel-top-k: key = log w + g where
+   g = -ln(-ln(u)) and u is the deterministic md5-fraction of the doc
+   id (sampling.hash_fraction), so the draw is reproducible across
+   runs/partitionings and exactly replayable in ANSI SQL — the same
+   determinism contract as the whole sampling tier. Top-k runs as
+   Spark's distributed TakeOrderedAndProject (per-partition top-k,
+   driver merges k rows); for budget-sized k at 100 TB pass
+   ``threshold=`` instead and selection becomes a pure map filter.
+
+Tokenization and bucketing reuse text.tokens / text.hash_bucket (the
+one md5-u32 recipe), so the DuckDB oracle replays bucket counts,
+log-ratios, scores, Gumbel keys, and the top-k rank identically;
+scores/keys are rounded to 4 dp on both sides (the lm_score precedent:
+sum-order float drift is ~1e-14 against a 5e-5 rounding quantum).
+
+Reference scope: jolars/sgdnet has no data-selection tier; this extends
+the training-pipeline surface the same way dedup/sampling/scrub do.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators.sampling import hash_u32
+from sgdnet_spark.operators.text import hash_bucket, tokens
+
+_U32 = float(1 << 32)
+
+
+def _bucket_counts(df: DataFrame, n_buckets: int, salt: str, text_col: str):
+    """(j, c) hashed-token bucket counts: explode + map-side-combined
+    count, output B-sized."""
+    t = tokens(text_col)
+    return (
+        df.select(F.explode(t).alias("w"))
+        .select(hash_bucket(F.col("w"), n_buckets, salt).alias("j"))
+        .groupBy("j")
+        .count()
+    )
+
+
+def fit_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "ds",
+    text_col: str = "text",
+) -> list[float]:
+    """Fit the bucket log-importance-ratio vector lr (length n_buckets):
+
+        lr_j = ln((c_target_j + α) / (N_target + αB))
+             - ln((c_raw_j + α) / (N_raw + αB))
+
+    i.e. the log ratio of add-α smoothed hashed-unigram probabilities.
+    Two B-sized count aggregations; the vector itself is driver-sized
+    (B doubles) and broadcasts into scoring as a literal array.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    lr = [0.0] * n_buckets
+    consts = []
+    for df, sign in ((target, 1.0), (raw, -1.0)):
+        counts = dict(
+            _bucket_counts(df, n_buckets, salt, text_col).collect()
+        )
+        n_total = sum(counts.values())
+        consts.append((counts, sign, math.log(n_total + alpha * n_buckets)))
+    for counts, sign, log_denom in consts:
+        for j in range(n_buckets):
+            lr[j] += sign * (math.log(counts.get(j, 0) + alpha) - log_denom)
+    return lr
+
+
+def dsir_score(
+    df: DataFrame,
+    logratios: list[float],
+    salt: str = "ds",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rpos: int = 4,
+) -> DataFrame:
+    """Per-document log importance weight: Σ_tokens lr_{hash(token)} —
+    one zero-shuffle codegen fold (the hash_score shape). Returns
+    (id, n_tokens, logw) with logw rounded to ``rpos`` dp."""
+    n_buckets = len(logratios)
+    arr = F.lit([float(v) for v in logratios])
+    t = tokens(text_col)
+
+    def lr(tok: Column) -> Column:
+        return F.element_at(arr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
+
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.aggregate(F.transform(t, lr), F.lit(0.0), lambda a, x: a + x), rpos
+        ).alias("logw"),
+    )
+
+
+def gumbel_key(logw: Column, id_col: Column | str, salt: str = "dg") -> Column:
+    """Deterministic Gumbel-perturbed key: logw + (-ln(-ln(u))) with
+    u = (hash_u32(id) + 0.5) / 2^32 ∈ (0, 1) — the +0.5 keeps u off both
+    endpoints so the double log never hits ±inf. Taking the top-k keys
+    samples k items without replacement ∝ exp(logw) (the Gumbel-top-k
+    identity), but reproducibly: u is a pure md5 function of the id."""
+    u = (hash_u32(id_col, salt) + F.lit(0.5)) / F.lit(_U32)
+    return logw + (-F.log(-F.log(u)))
+
+
+def dsir_resample(
+    df: DataFrame,
+    logratios: list[float],
+    k: int | None = None,
+    threshold: float | None = None,
+    salt: str = "ds",
+    gumbel_salt: str = "dg",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rpos: int = 4,
+) -> DataFrame:
+    """DSIR selection: score, Gumbel-perturb, keep the top ``k`` (or,
+    for budget-sized selections at scale, every row with key >=
+    ``threshold`` — a pure map filter, no ordering anywhere). Returns
+    (id, n_tokens, logw, key) with key rounded to ``rpos`` dp; ties on
+    the rounded key break by id so the selection is total-order
+    deterministic cross-engine."""
+    if (k is None) == (threshold is None):
+        raise ValueError("exactly one of k / threshold must be given")
+    scored = dsir_score(df, logratios, salt, text_col, id_col, rpos)
+    key = F.round(gumbel_key(F.col("logw"), id_col, gumbel_salt), rpos)
+    scored = scored.withColumn("key", key)
+    if threshold is not None:
+        return scored.filter(F.col("key") >= threshold)
+    return scored.orderBy(F.desc("key"), F.col(id_col)).limit(k)

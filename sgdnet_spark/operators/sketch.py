@@ -416,8 +416,30 @@ def theta_overlap(df_a, col_a: str, df_b, col_b: str | None = None):
     col_b = col_b or col_a
     a = df_a.agg(F.theta_sketch_agg(col_a).alias("sk_a"))
     b = df_b.agg(F.theta_sketch_agg(col_b).alias("sk_b"))
+    return _theta_setops(a.crossJoin(b))
+
+
+def theta_overlap_cond(df, key_col: str, cond_a, cond_b):
+    """One-pass same-relation variant of ``theta_overlap``: when both
+    key sets are slices of the SAME relation (e.g. lineitem orderkeys
+    under two return flags), sketch them in a SINGLE scan via
+    conditional aggregation — theta_sketch_agg ignores NULLs, so
+    ``CASE WHEN cond THEN key END`` feeds each sketch only its slice.
+    At 100 TB this halves the scan work of the two-frame form and drops
+    its 1×1 join entirely; the estimates are IDENTICAL (each side
+    retains exactly the same k smallest hashes as a filtered scan
+    would — asserted in tests/test_sketches.py)."""
+    row = df.agg(
+        F.theta_sketch_agg(F.when(cond_a, F.col(key_col))).alias("sk_a"),
+        F.theta_sketch_agg(F.when(cond_b, F.col(key_col))).alias("sk_b"),
+    )
+    return _theta_setops(row)
+
+
+def _theta_setops(row):
+    """(sk_a, sk_b) 1-row frame -> the five set-relationship estimates."""
     est = F.theta_sketch_estimate
-    return a.crossJoin(b).select(
+    return row.select(
         est("sk_a").cast("bigint").alias("n_a"),
         est("sk_b").cast("bigint").alias("n_b"),
         est(F.theta_union("sk_a", "sk_b")).cast("bigint").alias("n_union"),

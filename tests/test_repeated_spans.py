@@ -1,0 +1,97 @@
+"""ExactSubstr repeated-span detection (dedup.repeated_spans): planted
+duplicates at different offsets (phase independence of content-defined
+selection), exhaustive-mode exactness, island merging, and validation."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators.dedup import repeated_spans
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_spans(rows, k, mod_p, salt="xs"):
+    """Pure-python replay of the same algorithm on normalized text."""
+    import re
+    from collections import Counter
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows}
+    sel = {}
+    cnt = Counter()
+    for i, t in norm.items():
+        ps = []
+        for p in range(len(t) - k + 1):
+            h = hashlib.md5((t[p : p + k] + salt).encode()).hexdigest()
+            if int(h[:8], 16) % mod_p == 0:
+                ps.append((p + 1, h))
+                cnt[h] += 1
+        sel[i] = ps
+    spans = {}
+    for i, ps in sel.items():
+        hits = sorted(p for p, h in ps if cnt[h] >= 2)
+        out, cur = [], None
+        for p in hits:
+            if cur and p <= cur[1] + 1:
+                cur[1] = max(cur[1], p + k - 1)
+            else:
+                cur = [p, p + k - 1]
+                out.append(cur)
+        spans[i] = [tuple(s) for s in out]
+    return spans
+
+
+def test_planted_duplicate_found_at_any_offset(spark):
+    # the same 60-char passage planted at DIFFERENT offsets in two
+    # otherwise-distinct docs: content-defined selection has no phase,
+    # so the span is flagged in both docs (mod_p=1 exhaustive mode)
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "alpha beta gamma " + dup + " delta epsilon zeta eta theta"),
+        (2, "one two " + dup + " three four five six seven eight nine ten"),
+        (3, "totally unrelated filler content with no repeats anywhere at all"),
+    ]
+    sp = repeated_spans(_mk(spark, rows), k=24, mod_p=1).collect()
+    by_doc = {}
+    for r in sp:
+        by_doc.setdefault(r["doc_id"], []).append((r["s_start"], r["s_end"]))
+    assert 1 in by_doc and 2 in by_doc and 3 not in by_doc
+    # in exhaustive mode the merged span COVERS the planted passage
+    # (it may extend by the flanking spaces both docs share, which are
+    # genuinely part of the maximal repeated substring)
+    for doc_rows, (i, raw) in zip((by_doc[1], by_doc[2]), rows[:2]):
+        start = raw.index(dup) + 1
+        (s, e), = doc_rows
+        assert s <= start and e >= start + len(dup) - 1
+        assert s >= start - 1 and e <= start + len(dup)  # at most the spaces
+
+
+def test_matches_pure_python_replay_with_sampling(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    got = {}
+    for r in repeated_spans(_mk(spark, rows), k=32, mod_p=4).collect():
+        got.setdefault(r["doc_id"], []).append((r["s_start"], r["s_end"]))
+    want = {i: sp for i, sp in _py_spans(rows, 32, 4).items() if sp}
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+
+def test_within_doc_repetition_counts(spark):
+    # min_count occurrences may live in ONE doc (Lee et al. count all
+    # occurrences corpus-wide, including self-repeats)
+    seg = "repeat me repeat me repeat me xyz"
+    rows = [(1, seg + " filler words here " + seg)]
+    sp = repeated_spans(_mk(spark, rows), k=16, mod_p=1).collect()
+    assert len(sp) >= 1
+
+
+def test_short_docs_and_validation(spark):
+    rows = [(1, "tiny"), (2, "tiny")]
+    assert repeated_spans(_mk(spark, rows), k=32, mod_p=1).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        repeated_spans(_mk(spark, rows), k=1)
+    with pytest.raises(ValueError, match="mod_p"):
+        repeated_spans(_mk(spark, rows), mod_p=0)

@@ -200,6 +200,15 @@ def test_datasketches_distinct_and_quantiles(spark, sf_dir):
     # partition independence (the golden-pinnability property)
     ov2 = SK.theta_overlap(A.repartition(13), "l_orderkey", R.repartition(3))
     assert tuple(ov2.collect()[0]) == tuple(ov)
+    # the one-pass conditional form (single scan, no 1x1 join) retains
+    # exactly the same hash sets as two filtered scans -> identical row
+    ov3 = SK.theta_overlap_cond(
+        li,
+        "l_orderkey",
+        F.col("l_returnflag") == "A",
+        F.col("l_returnflag") == "R",
+    )
+    assert tuple(ov3.collect()[0]) == tuple(ov)
 
     q = SK.kll_quantiles(li, "l_quantity", [0.5, 0.9]).collect()[0]
     p50, p90 = (
