@@ -759,6 +759,149 @@ def line_scrub(
     )
 
 
+def _window_grams(
+    df: DataFrame, k: int, mod_p: int, salt: str, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, h): content-defined mod-p selected k-char window hashes
+    of the normalized text — the filter runs IN-ROW before the explode,
+    cutting exploded volume by mod_p."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if mod_p < 1:
+        raise ValueError(f"mod_p must be >= 1, got {mod_p}")
+    t = norm_text(text_col)
+    n = F.length(t)
+    positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sel = F.filter(
+        F.transform(
+            positions,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat(F.substring(t, i, k), F.lit(salt))).alias("h"),
+            ),
+        ),
+        lambda s: F.conv(F.substring(s["h"], 1, 8), 16, 10).cast("long")
+        % mod_p
+        == 0,
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sel).alias("s"))
+        .select("id", F.col("s.pos").cast("long").alias("pos"), F.col("s.h").alias("h"))
+    )
+
+
+def fit_repeated_hashes(
+    df: DataFrame,
+    k: int = 32,
+    mod_p: int = 4,
+    min_count: int = 2,
+    salt: str = "xs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The fit half of repeated-span detection: the corpus-wide flagged
+    window-hash relation (h) with >= min_count occurrences — dup-rate-
+    sized. Fit once on the static corpus, scrub many (batch or a
+    document stream via repeated_span_stats(flagged=...)): the
+    fit_boilerplate/fit_lm/hash_score(weights=) split, so a 100 TB
+    scoring pass never recounts the corpus."""
+    g = _window_grams(df, k, mod_p, salt, text_col, id_col)
+    return g.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    k: int = 32,
+    mod_p: int = 4,
+    min_count: int = 2,
+    salt: str = "xs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flagged: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc repeated-span statistics (id, n_spans, dup_chars,
+    longest) for docs with >= 1 hit, via an IN-ROW gaps-and-islands
+    fold instead of window functions: hits group to a sorted position
+    array per doc and one F.aggregate pass merges islands and counts —
+    no analytic window anywhere, so with a pre-fit ``flagged`` relation
+    this runs on a STREAMING DataFrame (stream-static join + complete-
+    mode agg), mirroring line_scrub. Batch output equals aggregating
+    repeated_spans() (asserted in tests)."""
+    if flagged is None:
+        flagged = fit_repeated_hashes(df, k, mod_p, min_count, salt, text_col, id_col)
+    g = _window_grams(df, k, mod_p, salt, text_col, id_col)
+    hits = g.join(flagged, "h").select("id", "pos")
+    kl = F.lit(k - 1).cast("long")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("longest"),
+        F.lit(None).cast("long").alias("cs"),
+        F.lit(None).cast("long").alias("ce"),
+    )
+
+    def step(acc, pos):
+        closed = acc["ce"] - acc["cs"] + 1
+        return (
+            F.when(
+                acc["cs"].isNull(),
+                F.struct(
+                    acc["n"].alias("n"),
+                    acc["dup"].alias("dup"),
+                    acc["longest"].alias("longest"),
+                    pos.alias("cs"),
+                    (pos + kl).alias("ce"),
+                ),
+            )
+            .when(
+                pos <= acc["ce"] + 1,
+                F.struct(
+                    acc["n"].alias("n"),
+                    acc["dup"].alias("dup"),
+                    acc["longest"].alias("longest"),
+                    acc["cs"].alias("cs"),
+                    F.greatest(acc["ce"], pos + kl).alias("ce"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (acc["n"] + 1).alias("n"),
+                    (acc["dup"] + closed).alias("dup"),
+                    F.greatest(acc["longest"], closed).alias("longest"),
+                    pos.alias("cs"),
+                    (pos + kl).alias("ce"),
+                )
+            )
+        )
+
+    def finish(acc):
+        closed = acc["ce"] - acc["cs"] + 1
+        return F.when(acc["cs"].isNull(), F.struct(
+            acc["n"].alias("n"), acc["dup"].alias("dup"),
+            acc["longest"].alias("longest"),
+        )).otherwise(F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["dup"] + closed).alias("dup"),
+            F.greatest(acc["longest"], closed).alias("longest"),
+        ))
+
+    stats = F.aggregate(
+        F.array_sort(F.collect_list("pos")), zero, step, finish
+    ).alias("st")
+    return (
+        hits.groupBy("id")
+        .agg(stats)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("st.n").alias("n_spans"),
+            F.col("st.dup").alias("dup_chars"),
+            F.col("st.longest").alias("longest"),
+        )
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     k: int = 32,
@@ -767,6 +910,7 @@ def repeated_spans(
     salt: str = "xs",
     text_col: str = "text",
     id_col: str = "doc_id",
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -794,35 +938,15 @@ def repeated_spans(
        ANSI-expressible so the DuckDB twin replays the merge exactly.
 
     Returns one row per merged span: (id, s_start, s_end), 1-based
-    inclusive char offsets into the NORMALIZED text.
+    inclusive char offsets into the NORMALIZED text. ``flagged=`` reuses
+    a fit_repeated_hashes() relation (fit-once/scrub-many).
     """
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    if mod_p < 1:
-        raise ValueError(f"mod_p must be >= 1, got {mod_p}")
-    t = norm_text(text_col)
-    n = F.length(t)
-    positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sel = F.filter(
-        F.transform(
-            positions,
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat(F.substring(t, i, k), F.lit(salt))).alias("h"),
-            ),
-        ),
-        lambda s: F.conv(F.substring(s["h"], 1, 8), 16, 10).cast("long")
-        % mod_p
-        == 0,
-    )
-    g = (
-        df.select(F.col(id_col).alias("id"), F.explode(sel).alias("s"))
-        .select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    )
-    rep = g.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
-    hits = g.join(rep, "h").select("id", "pos")
+    g = _window_grams(df, k, mod_p, salt, text_col, id_col)
+    if flagged is None:
+        flagged = (
+            g.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
+        )
+    hits = g.join(flagged, "h").select("id", "pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         Window.partitionBy("id").orderBy("pos").rowsBetween(
             Window.unboundedPreceding, -1

@@ -95,3 +95,32 @@ def test_short_docs_and_validation(spark):
         repeated_spans(_mk(spark, rows), k=1)
     with pytest.raises(ValueError, match="mod_p"):
         repeated_spans(_mk(spark, rows), mod_p=0)
+
+
+def test_span_stats_fold_equals_window_merge(spark, sf_dir):
+    # the in-row gaps-and-islands fold (streaming-safe) must equal
+    # aggregating the window-merge spans, and flagged= must reuse a
+    # pre-fit hash relation without changing anything
+    from sgdnet_spark.operators.dedup import (
+        fit_repeated_hashes,
+        repeated_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fl = fit_repeated_hashes(docs, k=32, mod_p=4)
+    sp = repeated_spans(docs, k=32, mod_p=4, flagged=fl)
+    want = {
+        (r["doc_id"], r["n"], r["dup"], r["lg"])
+        for r in sp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("s_end") - F.col("s_start") + 1).alias("dup"),
+            F.max(F.col("s_end") - F.col("s_start") + 1).alias("lg"),
+        )
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in repeated_span_stats(docs, k=32, mod_p=4, flagged=fl).collect()
+    }
+    assert got == want and len(got) > 0

@@ -288,3 +288,71 @@ def test_streaming_line_scrub_matches_batch(spark, sf_dir):
     assert got == want and len(got) > 0
     # sanity: the synthetic corpus actually contains removed boilerplate
     assert any(r[2] > 0 for r in got)
+
+
+def test_streaming_dsir_and_repeated_spans_match_batch(spark, sf_dir):
+    """Round-8 scrub/selection stages on a document stream: DSIR
+    scoring is a stateless per-row fold over a broadcast literal
+    log-ratio vector (append mode, zero state), and repeated-span
+    stats run against a fit_repeated_hashes() static relation via a
+    stream-static join plus a complete-mode per-doc agg whose island
+    merge is an IN-ROW fold (no window functions) — both must make
+    exactly the batch decisions."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import dsir as D
+    from sgdnet_spark.operators.dedup import (
+        fit_repeated_hashes,
+        repeated_span_stats,
+    )
+
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="docs_dsir_stream_")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/docs.parquet")
+    static = spark.read.parquet(f"{stage}/docs.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(f"{stage}/docs.parquet")
+    )
+
+    # DSIR scoring: fit on the static corpus, score the stream
+    lr = D.fit_dsir(static.filter(F.col("lang") == "en"), static,
+                    n_buckets=256)
+    q = (
+        D.dsir_score(stream, lr)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dsir_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM dsir_s").collect()}
+    want = {tuple(r) for r in D.dsir_score(static, lr).collect()}
+    assert got == want and len(got) > 0
+
+    # repeated-span stats: flagged hashes fit once on the static corpus
+    fl = fit_repeated_hashes(static, k=32, mod_p=4)
+    q2 = (
+        repeated_span_stats(stream, k=32, mod_p=4, flagged=fl)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("xs_s")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {tuple(r) for r in spark.sql("SELECT * FROM xs_s").collect()}
+    want2 = {
+        tuple(r)
+        for r in repeated_span_stats(static, k=32, mod_p=4, flagged=fl).collect()
+    }
+    assert got2 == want2 and len(got2) > 0
