@@ -764,12 +764,27 @@ def _window_grams(
 ) -> DataFrame:
     """(id, pos, h): content-defined mod-p selected k-char window hashes
     of the normalized text — the filter runs IN-ROW before the explode,
-    cutting exploded volume by mod_p."""
+    cutting exploded volume by mod_p.
+
+    Normalization is STAGED into its own projection and the window
+    array sits behind the ``_once`` evaluate-once barrier (the
+    winnow_fingerprints precedent): without both, CollapseProject
+    inlines the regex normalization into the transform lambda and every
+    window re-lowercases + re-collapses the WHOLE document — profiled
+    at ~20µs/window vs ~1µs staged. spread_small_input parallelizes the
+    CPU-heavy per-row pass when a small local file arrives as 1-2
+    splits (a no-op on a well-partitioned 100 TB scan)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if mod_p < 1:
         raise ValueError(f"mod_p must be >= 1, got {mod_p}")
-    t = norm_text(text_col)
+    from sgdnet_spark.session import spread_small_input
+
+    streaming = df.isStreaming
+    staged = spread_small_input(df).select(
+        F.col(id_col).alias("id"), norm_text(text_col).alias("__norm")
+    )
+    t = F.col("__norm")
     n = F.length(t)
     positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
         F.array().cast("array<int>")
@@ -787,7 +802,7 @@ def _window_grams(
         == 0,
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sel).alias("s"))
+        staged.select("id", F.explode(_once(sel, streaming)).alias("s"))
         .select("id", F.col("s.pos").cast("long").alias("pos"), F.col("s.h").alias("h"))
     )
 
