@@ -35,6 +35,8 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 15,
     nodes: DataFrame | None = None,
+    solver: str = "auto",
+    local_budget_edges: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution.
 
@@ -46,11 +48,22 @@ def pagerank(
 
     rank_{t+1}(v) = (1-d)/N + d * (Σ_u w(u,v)/W(u) · rank_t(u)
                                    + dangling_mass_t / N)
+
+    ``solver``: 'auto' (the BPE/GLM collect-budget precedent) counts the
+    AGGREGATED edge relation once — when it fits ``local_budget_edges``
+    the power iteration runs driver-side in numpy (a 20-host graph costs
+    microseconds per iteration; the distributed loop's fixed ~0.5 s
+    checkpoint cost per iteration is pure overhead there), otherwise the
+    distributed edge⋈rank loop runs. 'local'/'distributed' force a path.
+    Both solvers apply the identical update; equality is asserted in
+    tests/test_graph.py.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if solver not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown solver {solver!r}")
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight:
         cols.append(F.col(weight).cast("double").alias("w"))
@@ -65,6 +78,14 @@ def pagerank(
         .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if solver != "distributed":
+        ew = ew.localCheckpoint(eager=True)
+        n_edges = ew.count()
+        if solver == "local" or n_edges <= local_budget_edges:
+            return _pagerank_local(
+                edges.sparkSession, ew, node_df, damping, n_iter
+            )
+
     node_df = node_df.localCheckpoint(eager=True)
     n = node_df.count()
     # normalized transition weights: one small self-join, reused by
@@ -108,3 +129,43 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def _pagerank_local(spark, ew: DataFrame, node_df: DataFrame, damping: float,
+                    n_iter: int) -> DataFrame:
+    """Driver-side numpy power iteration on a collected (src, dst, w)
+    edge relation — the exact same fixed-iteration update as the
+    distributed loop (asserted equal in tests). Used when the AGGREGATED
+    edge relation fits the collect budget: iterations on a Zipf-small
+    entity graph are vocabulary-sized, so per-iteration JVM job overhead
+    dominates the distributed loop at any corpus scale."""
+    import numpy as np
+
+    edges = ew.collect()
+    node_rows = [r[0] for r in node_df.collect()]
+    idx = {v: i for i, v in enumerate(sorted(node_rows, key=str))}
+    n = len(idx)
+    if n == 0:
+        return node_df.select("node", F.lit(0.0).alias("rank"))
+    # sparse matvec over edge arrays — O(edges) memory and per-iteration
+    # work (a dense n x n matrix would be quadratic in nodes, which the
+    # edge budget does NOT bound)
+    si = np.array([idx[r_["src"]] for r_ in edges], dtype=np.int64)
+    ti = np.array([idx[r_["dst"]] for r_ in edges], dtype=np.int64)
+    w = np.array([r_["w"] for r_ in edges], dtype=np.float64)
+    outw = np.zeros(n)
+    np.add.at(outw, si, w)
+    dangling = outw == 0
+    p = w / outw[si]
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, ti, p * r[si])
+        r = (1.0 - damping) / n + damping * (contrib + r[dangling].sum() / n)
+    rows = [(v, float(r[i])) for v, i in idx.items()]
+    out_df = spark.createDataFrame(rows, ["node", "rank"])
+    # preserve the distributed path's node column type (createDataFrame
+    # would otherwise infer e.g. string for ids that were int upstream)
+    return out_df.select(
+        F.col("node").cast(dict(node_df.dtypes)["node"]).alias("node"), "rank"
+    )

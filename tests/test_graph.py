@@ -75,3 +75,19 @@ def test_source_rank_entry_shape(spark, sf_dir):
     total = sum(r["rank"] for r in rows)
     assert total == pytest.approx(1.0, abs=1e-4)  # ranks rounded to 6dp
     assert sum(r["in_w"] for r in rows) > 0
+
+
+def test_local_and_distributed_solvers_agree(spark):
+    # a 40-node hash-derived digraph with parallel edges, weights, and
+    # a few dangling nodes: both solver paths apply the same update
+    edges = [
+        (i % 40, (i * 7 + 3) % 37, float(1 + i % 5)) for i in range(300)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    loc = _ranks(G.pagerank(e, weight="w", n_iter=8, solver="local"))
+    dist = _ranks(G.pagerank(e, weight="w", n_iter=8, solver="distributed"))
+    assert set(loc) == set(dist)
+    for k in loc:
+        assert loc[k] == pytest.approx(dist[k], abs=1e-12), f"node {k}"
+    with pytest.raises(ValueError, match="solver"):
+        G.pagerank(e, solver="bogus")
