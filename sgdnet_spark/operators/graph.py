@@ -71,15 +71,23 @@ def pagerank(
     else:
         agg = F.count("*").cast("double")
     ew = edges.select(*cols).groupBy("src", "dst").agg(agg.alias("w"))
-    node_df = (
-        nodes.toDF("node").distinct()
-        if nodes is not None
-        else ew.select(F.col("src").alias("node"))
-        .unionByName(ew.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     if solver != "distributed":
+        # checkpoint BEFORE deriving node_df / counting, so the edge
+        # aggregation runs once (node_df built from the raw plan would
+        # silently re-run the whole upstream corpus pass)
         ew = ew.localCheckpoint(eager=True)
+    # nodes= WIDENS the universe (docstring contract): union with edge
+    # endpoints rather than replacing them — a nodes frame that omitted
+    # an endpoint would otherwise crash the local solver (missing index)
+    # and silently leak rank mass out of the distributed one
+    endpoints = (
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
+    )
+    if nodes is not None:
+        endpoints = endpoints.unionByName(nodes.toDF("node"))
+    node_df = endpoints.distinct()
+    if solver != "distributed":
         n_edges = ew.count()
         if solver == "local" or n_edges <= local_budget_edges:
             return _pagerank_local(

@@ -91,3 +91,16 @@ def test_local_and_distributed_solvers_agree(spark):
         assert loc[k] == pytest.approx(dist[k], abs=1e-12), f"node {k}"
     with pytest.raises(ValueError, match="solver"):
         G.pagerank(e, solver="bogus")
+
+
+def test_nodes_param_unions_with_endpoints(spark):
+    # nodes= WIDENS the universe: a frame omitting an edge endpoint must
+    # not crash the local solver or leak rank mass from the distributed
+    # one — endpoints are unioned in, and sum(rank) == 1 on both paths
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                              ["src", "dst"])
+    nodes = spark.createDataFrame([("a",), ("b",)], ["node"])  # omits c
+    for solver in ("local", "distributed"):
+        r = _ranks(G.pagerank(e, n_iter=4, nodes=nodes, solver=solver))
+        assert set(r) == {"a", "b", "c"}, solver
+        assert sum(r.values()) == pytest.approx(1.0, abs=1e-12), solver
