@@ -983,3 +983,64 @@ def repeated_spans(
         )
         .select(F.col("id").alias(id_col), "s_start", "s_end")
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 32,
+    mod_p: int = 4,
+    min_count: int = 2,
+    salt: str = "xs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al. 2022 cut every
+    occurrence of a duplicated substring): splice the detected repeated
+    spans OUT of the normalized text. ``spans`` is a repeated_spans()
+    relation (computed from df when omitted — pass a precomputed one to
+    reuse the detection pass across stages).
+
+    One doc-keyed aggregation collects each doc's spans; the splice is
+    an IN-ROW fold over the sorted span list (out += norm[pos:s), pos =
+    e+1 per span, plus the tail) — no per-span explode of text, no
+    window functions. Docs with no spans pass through with their full
+    normalized text. Returns (id, text_clean, n_cut_chars).
+    """
+    if spans is None:
+        spans = repeated_spans(df, k, mod_p, min_count, salt, text_col, id_col)
+    sp = (
+        spans.groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s_start").alias("s"),
+                                        F.col("s_end").alias("e")))
+            ).alias("sp")
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), norm_text(text_col).alias("__norm")
+    )
+    j = base.join(sp, "id", "left")
+    t = F.col("__norm")
+    zero = F.struct(F.lit(1).cast("long").alias("pos"), F.lit("").alias("out"))
+
+    def step(acc, s):
+        return F.struct(
+            (s["e"] + 1).alias("pos"),
+            F.concat(
+                acc["out"], F.substring(t, acc["pos"], (s["s"] - acc["pos"]).cast("int"))
+            ).alias("out"),
+        )
+
+    def finish(acc):
+        return F.concat(acc["out"], F.substring(t, acc["pos"], F.length(t)))
+
+    clean = F.when(F.col("sp").isNull(), t).otherwise(
+        F.aggregate(F.col("sp"), zero, step, finish)
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        clean.alias("text_clean"),
+        (F.length(t) - F.length(clean)).cast("bigint").alias("n_cut_chars"),
+    )

@@ -124,3 +124,38 @@ def test_span_stats_fold_equals_window_merge(spark, sf_dir):
         for r in repeated_span_stats(docs, k=32, mod_p=4, flagged=fl).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_scrub_spans_removes_planted_duplicates(spark):
+    from sgdnet_spark.operators.dedup import repeated_spans, scrub_spans
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "alpha beta gamma " + dup + " delta epsilon zeta eta theta"),
+        (2, "one two " + dup + " three four five six seven eight nine ten"),
+        (3, "totally unrelated filler content with no repeats anywhere at all"),
+    ]
+    df = _mk(spark, rows)
+    sp = repeated_spans(df, k=24, mod_p=1)
+    out = {r["doc_id"]: r for r in scrub_spans(df, spans=sp, k=24, mod_p=1).collect()}
+    # python replay of the splice on the same spans
+    spans_by_doc = {}
+    for r in sp.collect():
+        spans_by_doc.setdefault(r["doc_id"], []).append((r["s_start"], r["s_end"]))
+    for i, raw in rows:
+        want, pos = "", 1
+        for s, e in sorted(spans_by_doc.get(i, [])):
+            want += raw[pos - 1 : s - 1]
+            pos = e + 1
+        want += raw[pos - 1 :]
+        assert out[i]["text_clean"] == want, i
+        assert out[i]["n_cut_chars"] == len(raw) - len(want)
+    # every occurrence of the duplicated passage is gone
+    assert dup not in out[1]["text_clean"] and dup not in out[2]["text_clean"]
+    # the untouched doc passes through whole
+    assert out[3]["text_clean"] == rows[2][1] and out[3]["n_cut_chars"] == 0
+    # and re-detection on the scrubbed corpus finds nothing at this k
+    clean = spark.createDataFrame(
+        [(i, r["text_clean"]) for i, r in out.items()], ["doc_id", "text"]
+    )
+    assert repeated_spans(clean, k=24, mod_p=1).count() == 0

@@ -84,3 +84,59 @@ def test_line_scrub_random_corpora_match_replay(spark, docs, min_docs):
         kept = [raw for raw, n in ls if n not in flagged]
         want[i] = (len(ls), sum(1 for _, n in ls if n in flagged), "\n".join(kept))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(_doc(), min_size=1, max_size=10),
+    k=st.sampled_from([3, 5]),
+    mod_p=st.sampled_from([1, 2]),
+)
+def test_repeated_spans_random_corpora_match_replay(spark, docs, k, mod_p):
+    """repeated_spans + scrub_spans on random corpora == the pure-python
+    replay of window selection, global counting, island merge, and the
+    splice (small k so short random docs actually produce windows)."""
+    import hashlib
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sp = dedup.repeated_spans(df, k=k, mod_p=mod_p)
+    got = {}
+    for r in sp.collect():
+        got.setdefault(r["doc_id"], []).append((r["s_start"], r["s_end"]))
+    got = {i: sorted(v) for i, v in got.items()}
+
+    norm = {i: _norm(d) for i, d in rows}
+    sel, cnt = {}, Counter()
+    for i, t in norm.items():
+        ps = []
+        for p in range(len(t) - k + 1):
+            h = hashlib.md5((t[p : p + k] + "xs").encode()).hexdigest()
+            if int(h[:8], 16) % mod_p == 0:
+                ps.append((p + 1, h))
+                cnt[h] += 1
+        sel[i] = ps
+    want = {}
+    for i, ps in sel.items():
+        hits = sorted(p for p, h in ps if cnt[h] >= 2)
+        out, cur = [], None
+        for p in hits:
+            if cur and p <= cur[1] + 1:
+                cur[1] = max(cur[1], p + k - 1)
+            else:
+                cur = [p, p + k - 1]
+                out.append(cur)
+        if out:
+            want[i] = [tuple(s) for s in out]
+    assert got == want
+
+    # splice replay
+    clean = {r["doc_id"]: r["text_clean"]
+             for r in dedup.scrub_spans(df, spans=sp, k=k, mod_p=mod_p).collect()}
+    for i, t in norm.items():
+        pos, out = 1, ""
+        for s, e in want.get(i, []):
+            out += t[pos - 1 : s - 1]
+            pos = e + 1
+        out += t[pos - 1 :]
+        assert clean[i] == out, i
