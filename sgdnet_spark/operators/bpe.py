@@ -195,11 +195,14 @@ def bpe_learn(
     wf = word_freqs(df, text_col)
     schema = "rank int, left string, right string, pair_count bigint"
     if solver != "distributed":
-        # checkpoint BEFORE the budget count so the corpus aggregation
-        # runs once — count() then collect() (or the rep checkpoint
-        # below) would otherwise each re-execute the full corpus
-        # scan + groupBy (the pagerank solver='auto' precedent)
-        wf = wf.localCheckpoint(eager=True)
+        if solver == "auto":
+            # checkpoint BEFORE the budget count so the corpus
+            # aggregation runs once — count() then collect() (or the
+            # rep checkpoint below) would otherwise each re-execute the
+            # full corpus scan + groupBy (the pagerank precedent).
+            # Forced-local skips it: no count runs there, so the
+            # checkpoint would be a pure extra materialization
+            wf = wf.localCheckpoint(eager=True)
         if solver == "local" or wf.count() <= local_budget:
             rows = [(r["word"], int(r["cnt"])) for r in wf.collect()]
             return spark.createDataFrame(

@@ -1013,8 +1013,15 @@ def scrub_spans(
         spans.groupBy(F.col(id_col).alias("id"))
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("s_start").alias("s"),
-                                        F.col("s_end").alias("e")))
+                # long casts: the fold's zero accumulator pins pos to
+                # bigint, so an int-typed caller-supplied spans relation
+                # would otherwise fail the step/zero type unification
+                F.collect_list(
+                    F.struct(
+                        F.col("s_start").cast("long").alias("s"),
+                        F.col("s_end").cast("long").alias("e"),
+                    )
+                )
             ).alias("sp")
         )
     )

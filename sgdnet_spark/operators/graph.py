@@ -71,11 +71,11 @@ def pagerank(
     else:
         agg = F.count("*").cast("double")
     ew = edges.select(*cols).groupBy("src", "dst").agg(agg.alias("w"))
-    if solver != "distributed":
-        # checkpoint BEFORE deriving node_df / counting, so the edge
-        # aggregation runs once (node_df built from the raw plan would
-        # silently re-run the whole upstream corpus pass)
-        ew = ew.localCheckpoint(eager=True)
+    # checkpoint BEFORE deriving node_df / counting, so the upstream
+    # corpus pass runs exactly once on EVERY path: node_df (endpoints
+    # union), the budget count, outw/trans, and inw all re-derive from
+    # this node-graph-sized relation instead of re-running the raw plan
+    ew = ew.localCheckpoint(eager=True)
     # nodes= WIDENS the universe (docstring contract): union with edge
     # endpoints rather than replacing them — a nodes frame that omitted
     # an endpoint would otherwise crash the local solver (missing index)

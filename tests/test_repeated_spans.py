@@ -159,3 +159,23 @@ def test_scrub_spans_removes_planted_duplicates(spark):
         [(i, r["text_clean"]) for i, r in out.items()], ["doc_id", "text"]
     )
     assert repeated_spans(clean, k=24, mod_p=1).count() == 0
+
+
+def test_scrub_spans_accepts_int_typed_spans(spark):
+    # caller-supplied spans relations may carry int offsets (hand-built
+    # frames, numpy int32 via createDataFrame); the splice fold casts to
+    # long so the accumulator unifies
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from sgdnet_spark.operators.dedup import scrub_spans
+
+    df = _mk(spark, [(1, "abcdefghij")])
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("s_start", IntegerType()),
+        StructField("s_end", IntegerType()),
+    ])
+    sp = spark.createDataFrame([(1, 3, 5)], schema)
+    out = scrub_spans(df, spans=sp).collect()[0]
+    assert out["text_clean"] == "abfghij" and out["n_cut_chars"] == 3
