@@ -49,12 +49,29 @@ from sgdnet_spark.operators.text import hash_bucket, tokens
 _U32 = float(1 << 32)
 
 
-def _bucket_counts(df: DataFrame, n_buckets: int, salt: str, text_col: str):
-    """(j, c) hashed-token bucket counts: explode + map-side-combined
-    count, output B-sized."""
+def _features(text_col: str, bigrams: bool):
+    """array<string> of hashed-feature inputs per doc: the tokens, plus
+    (paper-faithful option) the adjacent bigrams rendered as 'w1_w2' —
+    built by zipping two shifted slices of the token array (the
+    repetition_stats zip-shift precedent), still one in-row pass."""
     t = tokens(text_col)
+    if not bigrams:
+        return t
+    bg = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    return F.concat(t, F.when(F.size(t) >= 2, bg).otherwise(F.array()))
+
+
+def _bucket_counts(
+    df: DataFrame, n_buckets: int, salt: str, text_col: str, bigrams: bool
+):
+    """(j, c) hashed-feature bucket counts: explode + map-side-combined
+    count, output B-sized."""
     return (
-        df.select(F.explode(t).alias("w"))
+        df.select(F.explode(_features(text_col, bigrams)).alias("w"))
         .select(hash_bucket(F.col("w"), n_buckets, salt).alias("j"))
         .groupBy("j")
         .count()
@@ -68,15 +85,19 @@ def fit_dsir(
     alpha: float = 1.0,
     salt: str = "ds",
     text_col: str = "text",
+    bigrams: bool = False,
 ) -> list[float]:
     """Fit the bucket log-importance-ratio vector lr (length n_buckets):
 
         lr_j = ln((c_target_j + α) / (N_target + αB))
              - ln((c_raw_j + α) / (N_raw + αB))
 
-    i.e. the log ratio of add-α smoothed hashed-unigram probabilities.
+    i.e. the log ratio of add-α smoothed hashed-feature probabilities.
     Two B-sized count aggregations; the vector itself is driver-sized
     (B doubles) and broadcasts into scoring as a literal array.
+    ``bigrams=True`` hashes adjacent word pairs alongside the unigrams
+    (the paper's hashed n-gram feature set); fit and scoring must use
+    the same setting.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -84,7 +105,7 @@ def fit_dsir(
     consts = []
     for df, sign in ((target, 1.0), (raw, -1.0)):
         counts = dict(
-            _bucket_counts(df, n_buckets, salt, text_col).collect()
+            _bucket_counts(df, n_buckets, salt, text_col, bigrams).collect()
         )
         n_total = sum(counts.values())
         consts.append((counts, sign, math.log(n_total + alpha * n_buckets)))
@@ -101,13 +122,14 @@ def dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     rpos: int = 4,
+    bigrams: bool = False,
 ) -> DataFrame:
     """Per-document log importance weight: Σ_tokens lr_{hash(token)} —
     one zero-shuffle codegen fold (the hash_score shape). Returns
     (id, n_tokens, logw) with logw rounded to ``rpos`` dp."""
     n_buckets = len(logratios)
     arr = F.lit([float(v) for v in logratios])
-    t = tokens(text_col)
+    t = _features(text_col, bigrams)
 
     def lr(tok: Column) -> Column:
         return F.element_at(arr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)

@@ -113,3 +113,38 @@ def test_parameter_validation(spark, sf_dir):
         D.dsir_resample(docs, [0.0] * 8, k=5, threshold=1.0)
     with pytest.raises(ValueError, match="exactly one"):
         D.dsir_resample(docs, [0.0] * 8)
+
+
+def test_bigram_features_match_pure_python_replay(spark, sf_dir):
+    # paper-faithful hashed n-gram features: unigrams + 'w1_w2' bigrams
+    docs = _docs(spark, sf_dir).limit(60)
+    lr = D.fit_dsir(docs.filter(F.col("lang") == "en"), docs, n_buckets=_B,
+                    salt=_SALT, bigrams=True)
+    rows = docs.collect()
+
+    def feats(text):
+        t = _py_tokens(text)
+        return t + [f"{a}_{b}" for a, b in zip(t, t[1:])]
+
+    tc, rc = [0] * _B, [0] * _B
+    for r in rows:
+        for w in feats(r["text"]):
+            j = _py_bucket(w, _B, _SALT)
+            rc[j] += 1
+            if r["lang"] == "en":
+                tc[j] += 1
+    nt, nr = sum(tc), sum(rc)
+    want = [
+        math.log(tc[j] + 1.0) - math.log(nt + _B)
+        - math.log(rc[j] + 1.0) + math.log(nr + _B)
+        for j in range(_B)
+    ]
+    assert lr == pytest.approx(want, abs=1e-12)
+    got = {r["doc_id"]: (r["n_tokens"], r["logw"])
+           for r in D.dsir_score(docs, lr, salt=_SALT, bigrams=True).collect()}
+    for r in rows:
+        fs = feats(r["text"])
+        s = round(sum(lr[_py_bucket(w, _B, _SALT)] for w in fs), 4)
+        n, logw = got[r["doc_id"]]
+        assert n == len(fs)
+        assert logw == pytest.approx(s, abs=2e-4)
