@@ -1033,10 +1033,18 @@ def scrub_spans(
     zero = F.struct(F.lit(1).cast("long").alias("pos"), F.lit("").alias("out"))
 
     def step(acc, s):
+        # Clamp against overlapping / contained caller-supplied spans
+        # (repeated_spans() output is already disjoint, but arbitrary
+        # span relations need not be): the kept-text cut starts no
+        # earlier than the cursor, and the cursor never moves backward —
+        # algebraically identical to merging overlaps first, and it
+        # keeps the substring length non-negative (a negative length is
+        # silently empty in Spark, which would drop inter-span text).
+        cut_from = F.greatest(s["s"], acc["pos"])
         return F.struct(
-            (s["e"] + 1).alias("pos"),
+            F.greatest(s["e"] + 1, acc["pos"]).alias("pos"),
             F.concat(
-                acc["out"], F.substring(t, acc["pos"], (s["s"] - acc["pos"]).cast("int"))
+                acc["out"], F.substring(t, acc["pos"], (cut_from - acc["pos"]).cast("int"))
             ).alias("out"),
         )
 

@@ -134,6 +134,10 @@ def dsir_score(
     def lr(tok: Column) -> Column:
         return F.element_at(arr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
 
+    # NULL-text docs are dropped (the lm_score/repetition_stats precedent,
+    # and what the corpus_dsir oracle does): without this, F.size(NULL)
+    # yields n_tokens=-1 and logw NULL for direct consumers.
+    df = df.filter(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col),
         F.size(t).cast("bigint").alias("n_tokens"),
@@ -163,16 +167,18 @@ def dsir_resample(
     text_col: str = "text",
     id_col: str = "doc_id",
     rpos: int = 4,
+    bigrams: bool = False,
 ) -> DataFrame:
     """DSIR selection: score, Gumbel-perturb, keep the top ``k`` (or,
     for budget-sized selections at scale, every row with key >=
     ``threshold`` — a pure map filter, no ordering anywhere). Returns
     (id, n_tokens, logw, key) with key rounded to ``rpos`` dp; ties on
     the rounded key break by id so the selection is total-order
-    deterministic cross-engine."""
+    deterministic cross-engine. ``bigrams`` must match the fit_dsir
+    setting the logratios came from (fit/score feature sets must agree)."""
     if (k is None) == (threshold is None):
         raise ValueError("exactly one of k / threshold must be given")
-    scored = dsir_score(df, logratios, salt, text_col, id_col, rpos)
+    scored = dsir_score(df, logratios, salt, text_col, id_col, rpos, bigrams)
     key = F.round(gumbel_key(F.col("logw"), id_col, gumbel_salt), rpos)
     scored = scored.withColumn("key", key)
     if threshold is not None:

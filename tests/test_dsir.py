@@ -148,3 +148,39 @@ def test_bigram_features_match_pure_python_replay(spark, sf_dir):
         n, logw = got[r["doc_id"]]
         assert n == len(fs)
         assert logw == pytest.approx(s, abs=2e-4)
+
+
+def test_resample_passes_bigrams_through(spark, sf_dir):
+    # fit with bigrams=True must be scored with the same feature set:
+    # dsir_resample(bigrams=True) == manual score+gumbel+topk replay
+    docs = _docs(spark, sf_dir).limit(80)
+    lr = D.fit_dsir(docs.filter(F.col("lang") == "en"), docs, n_buckets=_B,
+                    salt=_SALT, bigrams=True)
+    got = D.dsir_resample(docs, lr, k=20, salt=_SALT, bigrams=True).collect()
+    want = (
+        D.dsir_score(docs, lr, salt=_SALT, bigrams=True)
+        .withColumn("key", F.round(D.gumbel_key(F.col("logw"), "doc_id"), 4))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and the unigram scoring of the same docs differs (the mismatch the
+    # passthrough prevents)
+    uni = {r["doc_id"]: r["logw"]
+           for r in D.dsir_score(docs, lr, salt=_SALT).collect()}
+    assert any(uni[r["doc_id"]] != r["logw"] for r in got)
+
+
+def test_score_drops_null_text_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(10)
+    with_null = docs.unionByName(
+        spark.createDataFrame(
+            [(999_999_001, "xx", None)], "doc_id long, lang string, text string"
+        )
+    )
+    lr = [0.1] * 64
+    out = D.dsir_score(with_null, lr, salt=_SALT)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 999_999_001 not in ids and len(ids) == 10
+    assert all(r["n_tokens"] >= 0 for r in out.collect())

@@ -179,3 +179,32 @@ def test_scrub_spans_accepts_int_typed_spans(spark):
     sp = spark.createDataFrame([(1, 3, 5)], schema)
     out = scrub_spans(df, spans=sp).collect()[0]
     assert out["text_clean"] == "abfghij" and out["n_cut_chars"] == 3
+
+
+def test_scrub_spans_clamps_overlapping_spans(spark):
+    # caller-supplied spans may overlap or nest; the fold clamps the cut
+    # window so the result equals splicing the MERGED spans (no negative
+    # substring lengths silently dropping inter-span text)
+    from sgdnet_spark.operators.dedup import scrub_spans
+
+    raw = "abcdefghijklmnopqrstuvwxyz"
+    df = _mk(spark, [(1, raw)])
+    cases = [
+        # (spans, merged)
+        ([(3, 8), (5, 10)], [(3, 10)]),          # overlap
+        ([(3, 10), (5, 7)], [(3, 10)]),          # contained
+        ([(3, 5), (3, 5)], [(3, 5)]),            # duplicate
+        ([(2, 6), (4, 9), (15, 18), (16, 17)], [(2, 9), (15, 18)]),
+    ]
+    for spans, merged in cases:
+        sp = spark.createDataFrame(
+            [(1, s, e) for s, e in spans], ["doc_id", "s_start", "s_end"]
+        )
+        out = scrub_spans(df, spans=sp).collect()[0]
+        want, pos = "", 1
+        for s, e in merged:
+            want += raw[pos - 1 : s - 1]
+            pos = e + 1
+        want += raw[pos - 1 :]
+        assert out["text_clean"] == want, spans
+        assert out["n_cut_chars"] == len(raw) - len(want), spans
