@@ -140,6 +140,35 @@ def _cpu_delta(c0: dict[int, float], c1: dict[int, float]) -> float:
     return total
 
 
+# Fixed-workload calibration probe (round 9). BENCH_NOTES.md records
+# same-code r1-comparable subtotals spreading 9.90 -> 11.12 s at ~0%
+# steal: neighbor cache pollution inflates wall clock in a way the
+# steal gauge cannot see. The probe is a constant CPU-bound workload —
+# a hash-aggregate over generated data, no I/O, no sf dependence —
+# metered before and after the suite; its ratio against the pinned
+# clean-window reference gives every artifact an internal noise
+# yardstick: probe ~1.0 = trust the walls; probe >> 1.0 = the window
+# was dirty even if steal_pct reads clean.
+_PROBE_N = 500_000_000
+# min-of-3 on a clean window (steal ~0.1%, quiet host, round 9):
+# steady readings 0.32-0.38 s after first-call codegen
+_PROBE_REF_SEC = 0.32
+
+
+def _calibration_probe(spark, n_iter: int = 3) -> float:
+    """Min-of-n wall of the fixed hash-agg workload (seconds)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        spark.range(0, _PROBE_N, 1, 32).select(
+            (F.xxhash64("id") % 1_000_003).alias("h")
+        ).agg(F.sum("h")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _steal_sample() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
     Deltas of two samples give the hypervisor-steal share of the window —
@@ -250,8 +279,10 @@ def main() -> None:
     # extra passes only ever improve — and record both windows' steal so
     # the artifact of record carries its own weather report.
     s0 = _steal_sample()
+    probe_before = _calibration_probe(spark)
     run_passes(4, resolved)
     run_passes(4, resolved_r8)
+    probe_after = _calibration_probe(spark)
     steal = _steal_pct(s0, _steal_sample())
     steal_retry = None
     if steal is not None and steal > 1.0:
@@ -299,6 +330,17 @@ def main() -> None:
                 # noisy-neighbor window (see BASELINE.md environment notes)
                 "steal_pct": steal,
                 "steal_pct_retry": steal_retry,
+                # fixed-workload calibration (round 9): min-of-3 wall of a
+                # constant hash-agg probe before/after the suite, and the
+                # ratio of the WORSE reading to the pinned clean-window
+                # reference — the cache-pollution yardstick steal_pct
+                # misses (>1.15 = treat walls as weather, read CPU twins)
+                "probe_before_sec": round(probe_before, 3),
+                "probe_after_sec": round(probe_after, 3),
+                "probe_ref_sec": _PROBE_REF_SEC,
+                "calibration": round(
+                    max(probe_before, probe_after) / _PROBE_REF_SEC, 3
+                ),
                 "sf": sf,
             }
         )
