@@ -37,8 +37,10 @@ def pagerank(
     nodes: DataFrame | None = None,
     solver: str = "auto",
     local_budget_edges: int = 2_000_000,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
-    """Weighted PageRank with uniform dangling-mass redistribution.
+    """Weighted PageRank with uniform dangling-mass redistribution,
+    plus the PERSONALIZED variant via ``teleport``.
 
     ``edges`` is a directed multigraph relation; parallel edges are
     aggregated (summing ``weight`` if given, else counting). ``nodes``
@@ -46,8 +48,20 @@ def pagerank(
     hosts with no links still receive teleport mass. Returns
     (node, rank) with sum(rank) == 1.
 
-    rank_{t+1}(v) = (1-d)/N + d * (Σ_u w(u,v)/W(u) · rank_t(u)
-                                   + dangling_mass_t / N)
+    rank_{t+1}(v) = (1-d)·t(v) + d * (Σ_u w(u,v)/W(u) · rank_t(u)
+                                      + dangling_mass_t · t(v))
+
+    where t is the teleport distribution: uniform 1/N by default, or —
+    the domain-weighted curation variant a Common-Crawl pipeline runs
+    (rank hosts RELATIVE to a trusted seed set) — the ``teleport``
+    relation normalized over the node universe. ``teleport`` is a
+    1-column frame (seed nodes, uniform over the set) or a 2-column
+    (node, weight) frame; its nodes widen the universe like ``nodes``,
+    and non-seed nodes get teleport mass 0 (they can still earn rank
+    through in-links from the seed neighborhood — that is the point).
+    Dangling mass redistributes by t as well (the standard PPR choice),
+    and the iteration starts from t, so uniform-teleport output is
+    IDENTICAL to the classic form.
 
     ``solver``: 'auto' (the BPE/GLM collect-budget precedent) counts the
     AGGREGATED edge relation once — when it fits ``local_budget_edges``
@@ -64,6 +78,30 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if solver not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown solver {solver!r}")
+    tdf = None
+    if teleport is not None:
+        tc = teleport.columns
+        if len(tc) == 1:
+            tdf = teleport.select(
+                F.col(tc[0]).alias("node"), F.lit(1.0).alias("tw")
+            )
+        elif len(tc) == 2:
+            tdf = teleport.select(
+                F.col(tc[0]).alias("node"),
+                F.col(tc[1]).cast("double").alias("tw"),
+            )
+        else:
+            raise ValueError(
+                "teleport must have 1 (seed set) or 2 (node, weight) columns"
+            )
+        # seed-set-sized: aggregate dup nodes, drop non-positive weights
+        tdf = (
+            tdf.groupBy("node").agg(F.sum("tw").alias("tw"))
+            .filter(F.col("tw") > 0)
+            .localCheckpoint(eager=True)
+        )
+        if tdf.limit(1).count() == 0:
+            raise ValueError("teleport has no positive-weight nodes")
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight:
         cols.append(F.col(weight).cast("double").alias("w"))
@@ -86,12 +124,14 @@ def pagerank(
     )
     if nodes is not None:
         endpoints = endpoints.unionByName(nodes.toDF("node"))
+    if tdf is not None:
+        endpoints = endpoints.unionByName(tdf.select("node"))
     node_df = endpoints.distinct()
     if solver != "distributed":
         n_edges = ew.count()
         if solver == "local" or n_edges <= local_budget_edges:
             return _pagerank_local(
-                edges.sparkSession, ew, node_df, damping, n_iter
+                edges.sparkSession, ew, node_df, damping, n_iter, tdf
             )
 
     node_df = node_df.localCheckpoint(eager=True)
@@ -110,8 +150,21 @@ def pagerank(
         trans.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     ).localCheckpoint(eager=True)
 
-    ranks = node_df.select("node", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    # per-node teleport mass t(v): the uniform literal for classic
+    # PageRank (identical plan/values to the pre-teleport form), or the
+    # normalized seed-set relation joined over the universe — node-sized,
+    # checkpointed once, reused by every iteration
+    if tdf is None:
+        node_t = node_df.select("node", F.lit(1.0 / n).alias("t"))
+    else:
+        tw_sum = float(tdf.agg(F.sum("tw")).collect()[0][0])
+        node_t = node_df.join(tdf, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("tw"), F.lit(0.0)) / F.lit(tw_sum)).alias("t"),
+        )
+    node_t = node_t.localCheckpoint(eager=True)
+
+    ranks = node_t.select("node", F.col("t").alias("rank"))
     for _ in range(n_iter):
         dang = dangling.join(ranks, "node").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
@@ -122,14 +175,17 @@ def pagerank(
             .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
         )
         ranks = (
-            node_df.join(contrib, node_df.node == contrib.dst, "left")
+            node_t.join(contrib, node_t.node == contrib.dst, "left")
             .crossJoin(dang)  # 1-row scalar aggregate join
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("t")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") * F.col("t")
+                    )
                 ).alias("rank"),
             )
             # constant-cost loop: without this, iteration k re-analyzes a
@@ -140,13 +196,15 @@ def pagerank(
 
 
 def _pagerank_local(spark, ew: DataFrame, node_df: DataFrame, damping: float,
-                    n_iter: int) -> DataFrame:
+                    n_iter: int, tdf: DataFrame | None = None) -> DataFrame:
     """Driver-side numpy power iteration on a collected (src, dst, w)
     edge relation — the exact same fixed-iteration update as the
     distributed loop (asserted equal in tests). Used when the AGGREGATED
     edge relation fits the collect budget: iterations on a Zipf-small
     entity graph are vocabulary-sized, so per-iteration JVM job overhead
-    dominates the distributed loop at any corpus scale."""
+    dominates the distributed loop at any corpus scale. ``tdf`` is the
+    pre-aggregated positive-weight (node, tw) teleport relation
+    (seed-set-sized, collected alongside the edges)."""
     import numpy as np
 
     edges = ew.collect()
@@ -165,11 +223,18 @@ def _pagerank_local(spark, ew: DataFrame, node_df: DataFrame, damping: float,
     np.add.at(outw, si, w)
     dangling = outw == 0
     p = w / outw[si]
-    r = np.full(n, 1.0 / n)
+    if tdf is None:
+        t = np.full(n, 1.0 / n)
+    else:
+        t = np.zeros(n)
+        for r_ in tdf.collect():  # seed-set-sized
+            t[idx[r_["node"]]] = r_["tw"]
+        t /= t.sum()
+    r = t.copy()
     for _ in range(n_iter):
         contrib = np.zeros(n)
         np.add.at(contrib, ti, p * r[si])
-        r = (1.0 - damping) / n + damping * (contrib + r[dangling].sum() / n)
+        r = (1.0 - damping) * t + damping * (contrib + r[dangling].sum() * t)
     rows = [(v, float(r[i])) for v, i in idx.items()]
     out_df = spark.createDataFrame(rows, ["node", "rank"])
     # preserve the distributed path's node column type (createDataFrame

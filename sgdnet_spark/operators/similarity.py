@@ -354,6 +354,7 @@ def semdedup(
     iters: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rule: str = "domination",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication for web-scale training data: k-means cluster the
@@ -362,14 +363,20 @@ def semdedup(
     Unlike the near-dup pair operators (cosine_pairs/_lsh), this is a
     KEEP/DROP decision per document, the form a pipeline consumes.
 
-    Representative rule (deterministic, one parallel pass): a point is
-    DROPPED iff some SMALLER-id point in its cluster is >= 1-eps
-    similar — the keep-min-id domination rule, exact_dedup's analog.
-    (The paper keeps a random or low-centroid-similarity member per
-    duplicate group; a greedy sequential sweep inside each cluster is
-    order-dependent and unparallelizable, while domination is a pure
-    pairwise predicate. On chains a-b-c where sim(a,c) < 1-eps this
-    drops c too — slightly more aggressive than greedy, never less.)
+    Representative rule: with ``rule='domination'`` (default — one
+    parallel pass) a point is DROPPED iff some SMALLER-id point in its
+    cluster is >= 1-eps similar — the keep-min-id domination rule,
+    exact_dedup's analog. (The paper keeps a random or
+    low-centroid-similarity member per duplicate group; its greedy
+    sequential sweep is order-dependent and unparallelizable across a
+    cluster, while domination is a pure pairwise predicate. On chains
+    a-b-c where sim(a,c) < 1-eps this drops c too — slightly more
+    aggressive than greedy, never less.) ``rule='greedy'`` runs the
+    paper's sweep in deterministic id order: a point is dropped iff an
+    already-KEPT smaller-id point is >= 1-eps similar. Clusters are
+    executor-sized by construction (k ~ n/32), so the sweep is one
+    per-cluster Arrow block; greedy keeps a superset of domination's
+    keeps (asserted in tests/test_ivf.py).
 
     Returns (id, cluster, kept 0/1, nn_sim): nn_sim is the max cosine
     to any OTHER point of the same cluster (rounded 4; NULL for
@@ -386,6 +393,8 @@ def semdedup(
     """
     if not (0.0 < eps < 1.0):
         raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if rule not in ("domination", "greedy"):
+        raise ValueError(f"unknown rule {rule!r}")
     from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
 
     cents = kmeans_fit(df, k=k_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
@@ -397,6 +406,8 @@ def semdedup(
     x = assign_lists(df, cents, vec_col, id_col).select(
         "id", "list_id", F.col("v").cast("array<double>").alias("v")
     ).persist()
+    if rule == "greedy":
+        return _semdedup_greedy(x, eps, id_col)
     p = (
         x.alias("l")
         .join(
@@ -423,4 +434,59 @@ def semdedup(
         F.col("list_id").cast("int").alias("cluster"),
         (1 - F.coalesce(F.col("dom"), F.lit(0))).cast("int").alias("kept"),
         rpos(F.col("sim_raw"), 4).alias("nn_sim"),
+    )
+
+
+def _semdedup_greedy(x: DataFrame, eps: float, id_col: str) -> DataFrame:
+    """The paper's sequential sweep, one Arrow block per cluster: in
+    ascending id order, drop a point iff an already-KEPT smaller-id
+    point is >= 1-eps similar. Output schema matches the domination
+    path: (id, cluster, kept, nn_sim). The per-cluster pairwise cosine
+    matrix is the same quadratic the domination self-join confines —
+    executor-sized because k_clusters scales with n."""
+    import numpy as np
+    import pandas as pd
+
+    from sgdnet_spark.operators.text import rpos
+
+    tau = 1.0 - eps
+    id_type = dict(x.dtypes)["id"]
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        S = U @ U.T
+        np.fill_diagonal(S, -np.inf)
+        nn = S.max(axis=1) if n > 1 else np.full(n, np.nan)
+        kept = np.ones(n, dtype=np.int32)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if kept_idx and S[i, kept_idx].max() >= tau:
+                kept[i] = 0
+            else:
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "list_id": pdf["list_id"],
+                "kept": kept,
+                "nn_raw": np.where(np.isfinite(nn), nn, np.nan),
+            }
+        )
+
+    out = x.groupBy("list_id").applyInPandas(
+        sweep, schema=f"id {id_type}, list_id bigint, kept int, nn_raw double"
+    )
+    # NaN marks singleton clusters inside the Arrow block; surface it as
+    # SQL NULL to match the domination path's left-join miss
+    nn = F.when(~F.isnan(F.col("nn_raw")), F.col("nn_raw"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("list_id").cast("int").alias("cluster"),
+        F.col("kept"),
+        rpos(nn, 4).alias("nn_sim"),
     )

@@ -70,11 +70,18 @@ def test_source_rank_entry_shape(spark, sf_dir):
 
     df = SUBQUERIES["source_rank"](spark, sf_dir)
     rows = df.collect()
-    assert df.columns == ["source", "in_w", "rank"]
-    assert len(rows) == 20  # one row per source
-    total = sum(r["rank"] for r in rows)
-    assert total == pytest.approx(1.0, abs=1e-4)  # ranks rounded to 6dp
+    assert df.columns == ["mode", "source", "in_w", "rank"]
+    assert len(rows) == 40  # one row per source per teleport mode
+    for mode in ("pr", "ppr"):
+        total = sum(r["rank"] for r in rows if r["mode"] == mode)
+        assert total == pytest.approx(1.0, abs=1e-4), mode  # 6dp rounding
     assert sum(r["in_w"] for r in rows) > 0
+    # the personalized stage concentrates rank on its seed set (the 3
+    # lexicographically-first sources)
+    seeds = sorted({r["source"] for r in rows})[:3]
+    ppr = {r["source"]: r["rank"] for r in rows if r["mode"] == "ppr"}
+    pr = {r["source"]: r["rank"] for r in rows if r["mode"] == "pr"}
+    assert min(ppr[s] for s in seeds) > max(pr.values())
 
 
 def test_local_and_distributed_solvers_agree(spark):
@@ -104,3 +111,79 @@ def test_nodes_param_unions_with_endpoints(spark):
         r = _ranks(G.pagerank(e, n_iter=4, nodes=nodes, solver=solver))
         assert set(r) == {"a", "b", "c"}, solver
         assert sum(r.values()) == pytest.approx(1.0, abs=1e-12), solver
+
+
+def test_teleport_numpy_replay_and_solver_equality(spark):
+    # PPR on a weighted digraph with a dangling node: exact numpy replay
+    # of the personalized update, and local == distributed solver
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (2, 3, 1.0), (1, 3, 5.0), (4, 0, 2.0), (4, 3, 1.0),
+    ]
+    d, iters, n = 0.85, 9, 5
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    tele = spark.createDataFrame([(0, 2.0), (4, 1.0)], ["node", "tw"])
+    got_loc = _ranks(G.pagerank(e, weight="w", damping=d, n_iter=iters,
+                                teleport=tele, solver="local"))
+    got_dist = _ranks(G.pagerank(e, weight="w", damping=d, n_iter=iters,
+                                 teleport=tele, solver="distributed"))
+
+    P = np.zeros((n, n))
+    for s, t_, w in edges:
+        P[s, t_] += w
+    out = P.sum(axis=1)
+    dangling = out == 0
+    P[~dangling] /= out[~dangling, None]
+    t = np.zeros(n)
+    t[0], t[4] = 2.0, 1.0
+    t /= t.sum()
+    r = t.copy()
+    for _ in range(iters):
+        r = (1 - d) * t + d * (P.T @ r + r[dangling].sum() * t)
+    assert sum(got_loc.values()) == pytest.approx(1.0, abs=1e-9)
+    for i in range(n):
+        assert got_loc[i] == pytest.approx(r[i], abs=1e-9), f"node {i}"
+        assert got_dist[i] == pytest.approx(got_loc[i], abs=1e-9), f"node {i}"
+
+
+def test_teleport_seed_set_localizes_rank(spark):
+    # two disconnected 3-cycles; teleporting onto cycle A's seed ranks
+    # every A node above every B node (the trusted-seed curation use),
+    # while uniform teleport ranks them identically
+    cyc = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+           ("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    e = spark.createDataFrame(cyc, ["src", "dst"])
+    seeds = spark.createDataFrame([("a1",)], ["node"])
+    r = _ranks(G.pagerank(e, n_iter=20, teleport=seeds))
+    assert min(r["a1"], r["a2"], r["a3"]) > max(r["b1"], r["b2"], r["b3"])
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    # 1-column seed frames and 2-column uniform weights agree
+    seeds2 = spark.createDataFrame([("a1", 7.5)], ["node", "w"])
+    r2 = _ranks(G.pagerank(e, n_iter=20, teleport=seeds2))
+    for k in r:
+        assert r2[k] == pytest.approx(r[k], abs=1e-12)
+
+
+def test_teleport_widens_universe_and_uniform_matches_classic(spark):
+    # a teleport node outside the edge set joins the universe; and a
+    # uniform teleport over ALL nodes reproduces classic PageRank exactly
+    e = spark.createDataFrame([("a", "b"), ("b", "a"), ("a", "c")],
+                              ["src", "dst"])
+    iso = spark.createDataFrame([("z", 1.0), ("a", 1.0), ("b", 1.0),
+                                 ("c", 1.0)], ["node", "tw"])
+    r = _ranks(G.pagerank(e, n_iter=12, teleport=iso))
+    classic = _ranks(G.pagerank(e, n_iter=12,
+                                nodes=iso.select("node")))
+    assert set(r) == {"a", "b", "c", "z"}
+    for k in classic:
+        assert r[k] == pytest.approx(classic[k], abs=1e-12)
+
+
+def test_teleport_validation(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    bad3 = spark.createDataFrame([("a", 1.0, 2.0)], ["node", "x", "y"])
+    with pytest.raises(ValueError, match="1 .*or 2"):
+        G.pagerank(e, teleport=bad3)
+    zero = spark.createDataFrame([("a", 0.0)], ["node", "tw"])
+    with pytest.raises(ValueError, match="positive-weight"):
+        G.pagerank(e, teleport=zero)

@@ -144,3 +144,83 @@ def test_semdedup_numpy_replay_and_planted_dup(spark):
     assert cd == c3 and k3 == 1 and kd == 0 and sd == 1.0
     with pytest.raises(ValueError):
         similarity.semdedup(df, eps=0.0)
+
+
+def test_semdedup_greedy_rule(spark):
+    """rule='greedy' (the paper's sequential per-cluster sweep): exact
+    python replay of the id-order sweep; greedy keeps a SUPERSET of
+    domination's keeps (domination is never less aggressive); singleton
+    clusters carry NULL nn_sim; and a planted chain a-b-c (sim(a,b) and
+    sim(b,c) >= 1-eps but sim(a,c) < 1-eps) shows the divergence:
+    greedy keeps c (b, its only similar predecessor, was dropped) while
+    domination drops it."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import similarity
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup_src = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(dup_src)
+    EPS, K = 0.2, 8
+    greedy = {r["vec_id"]: (r["cluster"], r["kept"], r["nn_sim"])
+              for r in similarity.semdedup(
+                  df, eps=EPS, k_clusters=K, iters=3, rule="greedy").collect()}
+    dom = {r["vec_id"]: (r["cluster"], r["kept"], r["nn_sim"])
+           for r in similarity.semdedup(
+               df, eps=EPS, k_clusters=K, iters=3).collect()}
+
+    # same universe, same clusters, same nn_sim; greedy keeps >= dom keeps
+    assert set(greedy) == set(dom)
+    for vid in dom:
+        assert greedy[vid][0] == dom[vid][0], vid
+        assert greedy[vid][2] == dom[vid][2], vid
+        if dom[vid][1] == 1:
+            assert greedy[vid][1] == 1, vid  # dom keeps => greedy keeps
+
+    # exact python replay of the sweep on the same assignment
+    cents = kmeans_fit(df, k=K, iters=3)
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    d2 = ((V.astype(np.float64) ** 2).sum(1)[:, None]
+          - 2 * V.astype(np.float64) @ cents.T + (cents ** 2).sum(1)[None, :])
+    assign = d2.argmin(1)
+    Vd = V.astype(np.float64)
+    norms = np.maximum(np.sqrt((Vd ** 2).sum(1)), 1e-150)
+    U = Vd / norms[:, None]
+    for c in set(assign):
+        members = sorted(
+            [i for i in range(len(ids)) if assign[i] == c],
+            key=lambda i: ids[i],
+        )
+        kept_idx = []
+        for i in members:
+            if kept_idx and max(float(U[i] @ U[j]) for j in kept_idx) >= 1 - EPS:
+                assert greedy[int(ids[i])][1] == 0, ids[i]
+            else:
+                kept_idx.append(i)
+                assert greedy[int(ids[i])][1] == 1, ids[i]
+
+    # planted chain in one tight cluster: b dup-of-a, c dup-of-b, a-c far
+    base = np.zeros(8); base[0] = 1.0
+    mid = np.array([np.cos(0.45), np.sin(0.45), 0, 0, 0, 0, 0, 0])
+    far = np.array([np.cos(0.9), np.sin(0.9), 0, 0, 0, 0, 0, 0])
+    chain = spark.createDataFrame(
+        [(1, [float(x) for x in base]),
+         (2, [float(x) for x in mid]),
+         (3, [float(x) for x in far])],
+        ["vec_id", "embedding"],
+    )
+    eps = 1 - np.cos(0.5)  # tau ~ cos(0.5): a-b and b-c similar, a-c not
+    g = {r["vec_id"]: r["kept"] for r in similarity.semdedup(
+        chain, eps=float(eps), k_clusters=1, iters=1, rule="greedy").collect()}
+    d = {r["vec_id"]: r["kept"] for r in similarity.semdedup(
+        chain, eps=float(eps), k_clusters=1, iters=1).collect()}
+    assert g == {1: 1, 2: 0, 3: 1}      # greedy: c survives (b was dropped)
+    assert d == {1: 1, 2: 0, 3: 0}      # domination: c dropped too
+    with pytest.raises(ValueError, match="rule"):
+        similarity.semdedup(chain, rule="nope")
