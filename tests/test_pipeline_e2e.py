@@ -88,3 +88,77 @@ def test_full_training_data_pipeline(spark, corpus):
     fit = sgdnet_sparse(feats, "indices", "values", "y", p=64,
                         family="gaussian", nlambda=3)
     assert fit.nlambda == 3
+
+
+def test_scrub_tier_composition(spark, sf_dir, corpus):
+    """Round-8/9 scrub tier composed as ONE flow (what a real pipeline
+    runs): line_scrub -> scrub_spans -> lm_buckets head/middle gate ->
+    DSIR selection -> pack_sequences. Asserts the cross-stage
+    invariants: ids only ever shrink (no row loss outside intended
+    drops), the composition is deterministic, and the selection is
+    partitioning-independent."""
+    from sgdnet_spark.operators import dsir
+    from sgdnet_spark.queries import _lined_documents
+
+    meta = corpus.select("doc_id", "lang", "source")
+
+    def run_chain(lined):
+        # 1. boilerplate line removal (CCNet stage)
+        s1 = dedup.line_scrub(lined, min_docs=2).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        # 2. repeated-span removal (ExactSubstr stage)
+        s2 = dedup.scrub_spans(s1, k=24, mod_p=1).select(
+            "doc_id", F.col("text_clean").alias("text"), "n_cut_chars"
+        )
+        # 3. perplexity gate: keep CCNet head/middle buckets
+        buckets = text.lm_buckets(s2)
+        gate = buckets.filter(F.col("bucket") <= 1).select("doc_id")
+        s3 = s2.join(gate, "doc_id", "left_semi")
+        # 4. DSIR selection toward the English slice
+        tgt = s3.join(meta.filter(F.col("lang") == "en"), "doc_id", "left_semi")
+        lr = dsir.fit_dsir(tgt, s3, n_buckets=256)
+        sel = dsir.dsir_resample(s3, lr, k=100)
+        # 5. pack the selected docs into sharded token streams
+        packed = sampling.pack_sequences(
+            sel.join(s3, "doc_id").join(meta, "doc_id").withColumn(
+                "n_tok", F.size(text.tokens("text")).cast("bigint")
+            ),
+            budget=256, tokens_col="n_tok", n_shards=2,
+        )
+        return s1, s2, s3, sel, packed
+
+    lined = _lined_documents(spark, sf_dir)
+    s1, s2, s3, sel, packed = run_chain(lined)
+
+    ids0 = {r[0] for r in lined.select("doc_id").collect()}
+    ids1 = {r[0] for r in s1.select("doc_id").collect()}
+    ids2 = {r[0] for r in s2.select("doc_id").collect()}
+    ids3 = {r[0] for r in s3.select("doc_id").collect()}
+    sel_ids = {r[0] for r in sel.select("doc_id").collect()}
+    # ids only shrink, and each stage's drop is the intended one
+    assert ids1 <= ids0          # line_scrub drops only all-boilerplate docs
+    assert ids2 == ids1          # span removal never drops a document
+    assert ids3 <= ids2          # the bucket gate drops tail-bucket docs
+    assert len(ids3) > 0 and len(ids3) < len(ids2)  # gate actually gates
+    assert sel_ids <= ids3 and len(sel_ids) == 100
+    # scrubbing only removes characters
+    assert s2.filter(F.col("n_cut_chars") < 0).count() == 0
+    # packing places every selected doc exactly once, offsets in budget
+    assert packed.count() == 100
+    assert packed.filter(
+        (F.col("chunk_offset") < 0) | (F.col("chunk_offset") >= 256)
+    ).count() == 0
+
+    # determinism + partitioning-independence: the same chain over a
+    # differently-partitioned input selects the same docs with the same
+    # keys and packs them identically
+    _, _, _, sel_b, packed_b = run_chain(lined.repartition(7))
+    a = {tuple(r) for r in sel.collect()}
+    b = {tuple(r) for r in sel_b.collect()}
+    assert a == b
+    pa = {tuple(r) for r in packed.select(
+        "doc_id", "chunk_first", "chunk_offset", "chunk_last").collect()}
+    pb = {tuple(r) for r in packed_b.select(
+        "doc_id", "chunk_first", "chunk_offset", "chunk_last").collect()}
+    assert pa == pb
