@@ -69,7 +69,12 @@ def _bucket_counts(
     df: DataFrame, n_buckets: int, salt: str, text_col: str, bigrams: bool
 ):
     """(j, c) hashed-feature bucket counts: explode + map-side-combined
-    count, output B-sized."""
+    count, output B-sized. The input spreads across cores first — a
+    small single-file scan otherwise serializes the whole tokenize+hash
+    pipeline onto 1-2 tasks (no-op on well-partitioned scans)."""
+    from sgdnet_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     return (
         df.select(F.explode(_features(text_col, bigrams)).alias("w"))
         .select(hash_bucket(F.col("w"), n_buckets, salt).alias("j"))
@@ -115,6 +120,74 @@ def fit_dsir(
     return lr
 
 
+def fit_dsir_modes(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "ds",
+    text_col: str = "text",
+) -> dict[str, list[float]]:
+    """Fit BOTH feature modes — {'uni': lr, 'bi': lr} — from ONE tagged
+    count pass per corpus instead of two independent fits (which would
+    scan each corpus twice and re-hash the unigrams inside the bigram
+    fit): every feature explodes once carrying an is-bigram tag, the
+    count shuffle is keyed (tag, bucket) (2B-sized, still map-side
+    combined), and the driver derives uni counts from the tag-0 slice
+    and uni+bi counts from both slices. Identical vectors to
+    fit_dsir(bigrams=False) / fit_dsir(bigrams=True) — asserted in
+    tests/test_dsir.py. Measured 9.0 -> ~5 s wall on the registered
+    corpus_dsir entry at sf0.1 (docs/BENCH_NOTES.md)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def tagged_counts(df: DataFrame) -> dict[tuple[int, int], int]:
+        from sgdnet_spark.session import spread_small_input
+
+        df = spread_small_input(df)
+        t = tokens(text_col)
+        bg = F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(
+            F.transform(t, lambda w: F.struct(w.alias("w"), F.lit(0).alias("bi"))),
+            F.transform(
+                F.when(F.size(t) >= 2, bg).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                lambda w: F.struct(w.alias("w"), F.lit(1).alias("bi")),
+            ),
+        )
+        rows = (
+            df.select(F.explode(feats).alias("f"))
+            .select(
+                F.col("f.bi").alias("bi"),
+                hash_bucket(F.col("f.w"), n_buckets, salt).alias("j"),
+            )
+            .groupBy("bi", "j")
+            .count()
+            .collect()
+        )
+        return {(r["bi"], r["j"]): r["count"] for r in rows}
+
+    out: dict[str, list[float]] = {}
+    tc, rc = tagged_counts(target), tagged_counts(raw)
+    for mode, tags in (("uni", (0,)), ("bi", (0, 1))):
+        lr = [0.0] * n_buckets
+        for counts, sign in ((tc, 1.0), (rc, -1.0)):
+            c = [
+                sum(counts.get((b, j), 0) for b in tags)
+                for j in range(n_buckets)
+            ]
+            log_denom = math.log(sum(c) + alpha * n_buckets)
+            for j in range(n_buckets):
+                lr[j] += sign * (math.log(c[j] + alpha) - log_denom)
+        out[mode] = lr
+    return out
+
+
 def dsir_score(
     df: DataFrame,
     logratios: list[float],
@@ -126,18 +199,38 @@ def dsir_score(
 ) -> DataFrame:
     """Per-document log importance weight: Σ_tokens lr_{hash(token)} —
     one zero-shuffle codegen fold (the hash_score shape). Returns
-    (id, n_tokens, logw) with logw rounded to ``rpos`` dp."""
-    n_buckets = len(logratios)
-    arr = F.lit([float(v) for v in logratios])
-    t = _features(text_col, bigrams)
+    (id, n_tokens, logw) with logw rounded to ``rpos`` dp.
 
-    def lr(tok: Column) -> Column:
-        return F.element_at(arr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
+    The vector rides as a 1-row broadcast relation (array column), NOT
+    as a literal inside the expression tree: a B-sized literal array is
+    inlined into the generated code, and every fresh plan over it pays
+    ~2 s of driver-side codegen at B=4096 (measured — the fold itself
+    is 0.3 s at sf0.1). As DATA in a broadcast row the generated source
+    is small and stable; fold order and values are bit-identical.
+    Streaming frames keep the literal form (stream⨯static cross join is
+    not universally supported; a streaming query compiles its plan once,
+    so the codegen cost is not per-call there)."""
+    n_buckets = len(logratios)
+    t = _features(text_col, bigrams)
 
     # NULL-text docs are dropped (the lm_score/repetition_stats precedent,
     # and what the corpus_dsir oracle does): without this, F.size(NULL)
     # yields n_tokens=-1 and logw NULL for direct consumers.
-    df = df.filter(F.col(text_col).isNotNull())
+    from sgdnet_spark.session import spread_small_input
+
+    df = spread_small_input(df.filter(F.col(text_col).isNotNull()))
+    if df.isStreaming:
+        arr = F.lit([float(v) for v in logratios])
+    else:
+        rel = df.sparkSession.createDataFrame(
+            [([float(v) for v in logratios],)], "lrv array<double>"
+        )
+        df = df.crossJoin(F.broadcast(rel))  # 1-row scalar join
+        arr = F.col("lrv")
+
+    def lr(tok: Column) -> Column:
+        return F.element_at(arr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
+
     return df.select(
         F.col(id_col),
         F.size(t).cast("bigint").alias("n_tokens"),

@@ -184,3 +184,16 @@ def test_score_drops_null_text_docs(spark, sf_dir):
     ids = {r["doc_id"] for r in out.collect()}
     assert 999_999_001 not in ids and len(ids) == 10
     assert all(r["n_tokens"] >= 0 for r in out.collect())
+
+
+def test_fit_modes_equals_independent_fits(spark, sf_dir):
+    # the one-pass tagged fit derives EXACTLY the two independent fits
+    docs = _docs(spark, sf_dir).limit(80)
+    tgt = docs.filter(F.col("lang") == "en")
+    lrs = D.fit_dsir_modes(tgt, docs, n_buckets=_B, salt=_SALT)
+    uni = D.fit_dsir(tgt, docs, n_buckets=_B, salt=_SALT)
+    bi = D.fit_dsir(tgt, docs, n_buckets=_B, salt=_SALT, bigrams=True)
+    assert lrs["uni"] == pytest.approx(uni, abs=1e-12)
+    assert lrs["bi"] == pytest.approx(bi, abs=1e-12)
+    with pytest.raises(ValueError, match="alpha"):
+        D.fit_dsir_modes(tgt, docs, n_buckets=8, alpha=0.0)
