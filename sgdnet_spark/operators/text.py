@@ -350,7 +350,20 @@ def hash_score(
     if weights is not None:
         if len(weights) != n_buckets:
             raise ValueError(f"weights must have length n_buckets={n_buckets}")
-        warr = F.lit([float(w) for w in weights])
+        # learned weights ride as a 1-row broadcast relation, not a
+        # literal: a B-sized array literal is inlined into the generated
+        # code and every fresh plan pays ~2 s of driver-side codegen at
+        # B=4096 (the dsir_score measurement) — as broadcast DATA the
+        # source stays small; fold order/values are bit-identical.
+        # Streaming keeps the literal (its plan compiles once).
+        if df.isStreaming:
+            warr = F.lit([float(w) for w in weights])
+        else:
+            rel = df.sparkSession.createDataFrame(
+                [([float(w) for w in weights],)], "__wv array<double>"
+            )
+            df = df.crossJoin(F.broadcast(rel))  # 1-row scalar join
+            warr = F.col("__wv")
 
         def wexpr(tok: Column) -> Column:
             return F.element_at(warr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)
