@@ -51,7 +51,13 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """tokens + normalized char count per document."""
+    """tokens + normalized char count per document. The input spreads
+    across cores first (small single-file scans otherwise serialize the
+    tokenize pipeline onto 1-2 tasks; no-op on well-partitioned scans —
+    the shingle_array precedent)."""
+    from sgdnet_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     t = tokens(text_col)
     return df.select(
         F.col(id_col),
@@ -65,7 +71,12 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     score = stopword_ratio * 0.4 + clamp(n_tokens/100) * 0.4 + clamp(mean_len/8) * 0.2
     (a deterministic stand-in for a trained quality model).
+    Spreads small single-file scans across cores (shingle_array
+    precedent; no-op at scale).
     """
+    from sgdnet_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     t = tokens(text_col)
     n = F.size(t).cast("double")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -94,7 +105,12 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``matches_label`` compares against ``label_col`` when that column
     exists (pass label_col=None, or a corpus without it, to skip — the
     operator is not coupled to the benchmark table's schema).
+    Spreads small single-file scans across cores (shingle_array
+    precedent; no-op at scale).
     """
+    from sgdnet_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     t = tokens(text_col)
     n = F.size(t).cast("double")
     scores = []
@@ -124,7 +140,11 @@ BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """BPE-ish sub-word segmentation: letter runs / digit runs /
     single punctuation (a portable stand-in for a GPT-style pre-tokenizer
-    regex; identical semantics in Java regex and RE2)."""
+    regex; identical semantics in Java regex and RE2). Spreads small
+    single-file scans across cores (shingle_array precedent)."""
+    from sgdnet_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     toks = F.regexp_extract_all(norm_text(text_col), F.lit(BPE_PATTERN), 0)
     return df.select(
         F.col(id_col),
