@@ -150,9 +150,10 @@ def _cpu_delta(c0: dict[int, float], c1: dict[int, float]) -> float:
 # yardstick: probe ~1.0 = trust the walls; probe >> 1.0 = the window
 # was dirty even if steal_pct reads clean.
 _PROBE_N = 500_000_000
-# min-of-3 on a clean window (steal ~0.1%, quiet host, round 9):
-# steady readings 0.32-0.38 s after first-call codegen
-_PROBE_REF_SEC = 0.32
+# pinned from the round-9 re-baseline window (steal 0.16%, probes
+# 0.227/0.230 before/after the full suite): the cleanest observed
+# steady state. Dirty windows during round 9 read 0.32-0.38.
+_PROBE_REF_SEC = 0.23
 
 
 def _calibration_probe(spark, n_iter: int = 3) -> float:
