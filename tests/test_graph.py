@@ -187,3 +187,52 @@ def test_teleport_validation(spark):
     zero = spark.createDataFrame([("a", 0.0)], ["node", "tw"])
     with pytest.raises(ValueError, match="positive-weight"):
         G.pagerank(e, teleport=zero)
+
+
+def test_teleport_random_graphs_match_numpy_replay(spark):
+    # random digraphs x random positive seed weights: the local solver
+    # == the numpy personalized update, rank mass sums to 1, and nodes
+    # outside the seed set with no in-links get rank 0
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6), st.floats(0.5, 3.0)),
+            min_size=1, max_size=14,
+        ),
+        seeds=st.dictionaries(st.integers(0, 6), st.floats(0.5, 2.0),
+                              min_size=1, max_size=3),
+        d=st.sampled_from([0.6, 0.85]),
+    )
+    def run(edges, seeds, d):
+        iters = 6
+        e = spark.createDataFrame(edges, ["src", "dst", "w"])
+        tele = spark.createDataFrame(list(seeds.items()), ["node", "tw"])
+        got = _ranks(G.pagerank(e, weight="w", damping=d, n_iter=iters,
+                                teleport=tele, solver="local"))
+
+        nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges}
+                       | set(seeds))
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        P = np.zeros((n, n))
+        for s, t_, w in edges:
+            P[idx[s], idx[t_]] += w
+        out = P.sum(axis=1)
+        dang = out == 0
+        P[~dang] /= out[~dang, None]
+        t = np.zeros(n)
+        for v, w in seeds.items():
+            t[idx[v]] = w
+        t /= t.sum()
+        r = t.copy()
+        for _ in range(iters):
+            r = (1 - d) * t + d * (P.T @ r + r[dang].sum() * t)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        for v in nodes:
+            assert got[v] == pytest.approx(r[idx[v]], abs=1e-9), v
+            if t[idx[v]] == 0 and not P[:, idx[v]].any():
+                assert got[v] == pytest.approx(0.0, abs=1e-12), v
+
+    run()

@@ -140,3 +140,48 @@ def test_repeated_spans_random_corpora_match_replay(spark, docs, k, mod_p):
             pos = e + 1
         out += t[pos - 1 :]
         assert clean[i] == out, i
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    length=st.integers(min_value=1, max_value=40),
+    spans=st.lists(
+        st.tuples(st.integers(1, 40), st.integers(0, 12)).map(
+            lambda t: (t[0], min(t[0] + t[1], 45))
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+)
+def test_scrub_spans_arbitrary_overlapping_spans_match_merge_replay(
+    spark, length, spans
+):
+    """scrub_spans on ARBITRARY caller-supplied spans (overlapping,
+    nested, duplicated, out of range) == python merge-overlaps-then-
+    splice. The round-9 clamp makes the fold algebraically identical to
+    merging first; this pins it over the whole input space, not just
+    the hand cases."""
+    raw = "abcdefghijklmnopqrstuvwxyz0123456789abcd"[:length]
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    sp_rows = [(1, s, e) for s, e in spans]
+    sp = (
+        spark.createDataFrame(sp_rows, "doc_id long, s_start long, s_end long")
+        if sp_rows
+        else spark.createDataFrame([], "doc_id long, s_start long, s_end long")
+    )
+    out = dedup.scrub_spans(df, spans=sp).collect()[0]
+
+    # python replay: merge overlapping/adjacent-contained spans, splice
+    merged = []
+    for s, e in sorted(spans):
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    want, pos = "", 1
+    for s, e in merged:
+        want += raw[pos - 1 : max(s - 1, pos - 1)]
+        pos = max(e + 1, pos)
+    want += raw[pos - 1 :]
+    assert out["text_clean"] == want
+    assert out["n_cut_chars"] == len(raw) - len(want)
