@@ -210,6 +210,8 @@ def dsir_score(
     Streaming frames keep the literal form (stream⨯static cross join is
     not universally supported; a streaming query compiles its plan once,
     so the codegen cost is not per-call there)."""
+    if not logratios:
+        raise ValueError("logratios must be non-empty (fit_dsir output)")
     n_buckets = len(logratios)
     t = _features(text_col, bigrams)
 

@@ -197,3 +197,11 @@ def test_fit_modes_equals_independent_fits(spark, sf_dir):
     assert lrs["bi"] == pytest.approx(bi, abs=1e-12)
     with pytest.raises(ValueError, match="alpha"):
         D.fit_dsir_modes(tgt, docs, n_buckets=8, alpha=0.0)
+
+
+def test_empty_logratios_rejected(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(5)
+    with pytest.raises(ValueError, match="non-empty"):
+        D.dsir_score(docs, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        D.dsir_resample(docs, [], k=2)
