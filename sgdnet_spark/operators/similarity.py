@@ -398,41 +398,49 @@ def semdedup(
     from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
 
     cents = kmeans_fit(df, k=k_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
-    # persisted: the assignment frame is referenced by both sides of the
-    # pair self-join (one exchange, reused) AND the final singleton-
-    # preserving left join — without the persist that last reference
-    # re-scans the corpus and re-assigns every vector through the Arrow
-    # pass a second time (the GLM assembled-frame precedent)
     x = assign_lists(df, cents, vec_col, id_col).select(
         "id", "list_id", F.col("v").cast("array<double>").alias("v")
-    ).persist()
+    )
     if rule == "greedy":
+        # greedy consumes the assignment frame exactly once — nothing to
+        # cache (a persist here previously leaked a pinned relation per
+        # call: cacheManager entries survive until explicit unpersist)
         return _semdedup_greedy(x, eps, id_col)
+    # domination references x as both sides of the self-join; a LAZY
+    # localCheckpoint (the text_scrub shared-detection pattern) runs the
+    # Arrow assignment pass once and — unlike persist — its blocks are
+    # released by the ContextCleaner when the result is GC'd, so no
+    # cache entry outlives the call (asserted in tests/test_ivf.py)
+    x = x.localCheckpoint(eager=False)
+    # LEFT join keeps singleton clusters inline (null oid/sim row) so no
+    # third reference back to x is needed to re-attach them afterwards
     p = (
         x.alias("l")
         .join(
             x.alias("r"),
             (F.col("l.list_id") == F.col("r.list_id")) & (F.col("l.id") != F.col("r.id")),
+            "left",
         )
         .select(
             F.col("l.id").alias("id"),
+            F.col("l.list_id").alias("list_id"),
             F.col("r.id").alias("oid"),
             cosine(F.col("l.v"), F.col("r.v")).alias("sim"),
         )
     )
-    agg = p.groupBy("id").agg(
+    agg = p.groupBy("id", "list_id").agg(
         F.max("sim").alias("sim_raw"),
+        # null oid (singleton) falls through to otherwise(0) → kept
         F.max(
             F.when((F.col("oid") < F.col("id")) & (F.col("sim") >= 1.0 - eps), 1).otherwise(0)
         ).alias("dom"),
     )
     from sgdnet_spark.operators.text import rpos
 
-    out = x.select("id", "list_id").join(agg, "id", "left")
-    return out.select(
+    return agg.select(
         F.col("id").alias(id_col),
         F.col("list_id").cast("int").alias("cluster"),
-        (1 - F.coalesce(F.col("dom"), F.lit(0))).cast("int").alias("kept"),
+        (1 - F.col("dom")).cast("int").alias("kept"),
         rpos(F.col("sim_raw"), 4).alias("nn_sim"),
     )
 

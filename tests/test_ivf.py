@@ -224,3 +224,23 @@ def test_semdedup_greedy_rule(spark):
     assert d == {1: 1, 2: 0, 3: 0}      # domination: c dropped too
     with pytest.raises(ValueError, match="rule"):
         similarity.semdedup(chain, rule="nope")
+
+
+def test_semdedup_leaves_no_cached_relation(spark):
+    """Round-9 advice: semdedup used to persist its assignment frame and
+    never unpersist — a pinned cacheManager entry per call. Both rules
+    must now leave the cacheManager exactly as they found it (the
+    domination path's shared scan uses a lazy localCheckpoint, whose
+    blocks the ContextCleaner releases on GC instead)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    for rule in ("domination", "greedy"):
+        similarity.semdedup(df, eps=0.3, k_clusters=2, iters=2, rule=rule).count()
+    assert cm.isEmpty() == was_empty and was_empty
