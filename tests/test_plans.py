@@ -113,6 +113,45 @@ def test_text_ops_spread_only_shuffles(spark, sf_dir):
             assert m.group(1) == "RoundRobinPartitioning", (fn.__name__, m.group(0))
 
 
+def test_spread_small_input_size_gates(spark, sf_dir, monkeypatch):
+    """Round-10 hardening: the spread decision comes from plan-stats
+    bytes (no `.rdd` plan-to-RDD conversion) and carries a byte-size
+    cap, so a many-core cluster never blindly repartitions a
+    large-but-few-files table. Four gates: tiny input spreads to
+    defaultParallelism; above SPARK_GRAFT_SPREAD_MAX_BYTES it is
+    returned UNTOUCHED (identity, not just same partitioning); a scan
+    whose estimated byte-splits already reach core count is untouched;
+    streaming frames are untouched."""
+    from sgdnet_spark.session import spread_small_input
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    spread = spread_small_input(docs)
+    assert spread is not docs
+    assert "RoundRobinPartitioning" in spread._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MAX_BYTES", "10")
+    assert spread_small_input(docs) is docs  # over the cap: identity
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD_MAX_BYTES")
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try:
+        # est splits = bytes/64 >> cores: well-partitioned, identity
+        assert spread_small_input(docs) is docs
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    stream = spark.readStream.format("rate").load()
+    assert spread_small_input(stream) is stream
+
+    # and the hot path must never touch .rdd again (the flagged cost)
+    import inspect
+
+    import sgdnet_spark.session as S
+
+    assert ".rdd" not in inspect.getsource(S.spread_small_input)
+
+
 def test_shuffle_count_excludes_broadcast_exchange(spark):
     """The regression this module guards against — a broadcast join
     degrading to sort-merge — swaps BroadcastExchange for a shuffle
