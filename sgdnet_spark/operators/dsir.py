@@ -224,11 +224,14 @@ def dsir_score(
     if df.isStreaming:
         arr = F.lit([float(v) for v in logratios])
     else:
+        # dunder-reserved name (the hash_score '__wv' convention): a
+        # caller frame with its own 'lrv' column would otherwise make
+        # the reference ambiguous at analysis
         rel = df.sparkSession.createDataFrame(
-            [([float(v) for v in logratios],)], "lrv array<double>"
+            [([float(v) for v in logratios],)], "__lrv array<double>"
         )
         df = df.crossJoin(F.broadcast(rel))  # 1-row scalar join
-        arr = F.col("lrv")
+        arr = rel["__lrv"]
 
     def lr(tok: Column) -> Column:
         return F.element_at(arr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)

@@ -383,7 +383,9 @@ def hash_score(
                 [([float(w) for w in weights],)], "__wv array<double>"
             )
             df = df.crossJoin(F.broadcast(rel))  # 1-row scalar join
-            warr = F.col("__wv")
+            # via the relation handle, not F.col: unambiguous even if
+            # the caller's frame ever carries a same-named column
+            warr = rel["__wv"]
 
         def wexpr(tok: Column) -> Column:
             return F.element_at(warr, hash_bucket(tok, n_buckets, salt).cast("int") + 1)

@@ -205,3 +205,18 @@ def test_empty_logratios_rejected(spark, sf_dir):
         D.dsir_score(docs, [])
     with pytest.raises(ValueError, match="non-empty"):
         D.dsir_resample(docs, [], k=2)
+
+
+def test_score_survives_caller_column_collisions(spark, sf_dir):
+    """Round-9 advice: the broadcast scoring vector used the bare name
+    'lrv', so a caller frame already carrying 'lrv' made the reference
+    ambiguous at analysis. Now dunder-reserved AND referenced via the
+    relation handle — a caller column of the same name must neither
+    error nor change the scores."""
+    docs = _docs(spark, sf_dir).limit(40)
+    lrs = D.fit_dsir(docs.limit(10), docs, n_buckets=_B, salt=_SALT)
+    base = {r["doc_id"]: r["logw"] for r in D.dsir_score(docs, lrs).collect()}
+    for clash in ("lrv", "__lrv"):
+        poisoned = docs.withColumn(clash, F.lit([0.0]))
+        got = {r["doc_id"]: r["logw"] for r in D.dsir_score(poisoned, lrs).collect()}
+        assert got == base, clash
