@@ -100,8 +100,11 @@ def pagerank(
             .filter(F.col("tw") > 0)
             .localCheckpoint(eager=True)
         )
-        if tdf.limit(1).count() == 0:
+        # one job validates AND fetches the normalizer (previously two)
+        n_tw, tw_sum = tdf.agg(F.count("*"), F.sum("tw")).collect()[0]
+        if n_tw == 0:
             raise ValueError("teleport has no positive-weight nodes")
+        tw_sum = float(tw_sum)
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight:
         cols.append(F.col(weight).cast("double").alias("w"))
@@ -157,7 +160,6 @@ def pagerank(
     if tdf is None:
         node_t = node_df.select("node", F.lit(1.0 / n).alias("t"))
     else:
-        tw_sum = float(tdf.agg(F.sum("tw")).collect()[0][0])
         node_t = node_df.join(tdf, "node", "left").select(
             "node",
             (F.coalesce(F.col("tw"), F.lit(0.0)) / F.lit(tw_sum)).alias("t"),
