@@ -115,7 +115,13 @@ def spread_small_input(df):
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        qe = df._jdf.queryExecution()
+        # idempotence: size stats describe the SCAN, so they cannot see
+        # that a caller (or an earlier spread) already repartitioned —
+        # skip if the logical plan carries any repartition operation
+        if "Repartition" in qe.analyzed().toString():
+            return df
+        size = int(str(qe.optimizedPlan().stats().sizeInBytes()))
         mpb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
     except Exception:  # non-SQL-backed or unresolvable plan: leave as-is
         return df

@@ -35,3 +35,37 @@ def test_query_plan_shapes_match_snapshots(spark):
         "plan shape drifted; if intentional rerun tools/snapshot_plans.py: "
         + json.dumps(drift, indent=2)
     )
+
+
+def test_components_loop_growth_is_linear(spark):
+    """dedup_components' snapshot reads 0 shuffles since the round-9
+    per-iteration localCheckpoint truncates lineage — the final plan no
+    longer shows the loop's real exchanges (the round-9 review's noted
+    blind spot). Guard the loop's EXECUTION instead: jobs and stages
+    counted via the status tracker must grow linearly in iteration
+    count. A regression that re-analyzes a deepening join tree or adds
+    a shuffle per round multiplies the per-iteration stage delta
+    (measured ~15 jobs / ~21 stages per round at 32 cores) and trips
+    the 2x-margin bounds."""
+    from sgdnet_spark.operators.dedup import duplicate_components
+
+    sc = spark.sparkContext
+    measured = {}
+    for n in (5, 9):  # chains: label travels 1 hop/round -> n-1 rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+        )
+        sc.setJobGroup(f"ccg{n}", "cc growth guard")
+        try:
+            out = duplicate_components(pairs).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        assert {r["canonical"] for r in out} == {0}
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup(f"ccg{n}")
+        infos = [tracker.getJobInfo(j) for j in jobs]
+        stages = sum(len(i.stageIds) for i in infos if i is not None)
+        measured[n] = (len(jobs), stages)
+    d_rounds = 4  # chain 5 -> 9
+    assert (measured[9][0] - measured[5][0]) / d_rounds <= 30, measured
+    assert (measured[9][1] - measured[5][1]) / d_rounds <= 45, measured
