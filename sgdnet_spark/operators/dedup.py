@@ -473,6 +473,72 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical"))
 
 
+def hamming_block_keys(
+    hashes: DataFrame,
+    max_hamming: int,
+    hash_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Pigeonhole block keys for ANY 64-bit hash relation (Manku et al.,
+    WWW'07): the hash is split into ``max_hamming + 1`` bit blocks, so
+    any pair within the radius shares at least one block unchanged.
+    Returns (id, <hash_col>, blk, ck) in long format — ONE self-join on
+    (blk, ck) finds all candidates. Factored out of simhash_blocked in
+    round 10 so the perceptual-hash image tier (operators/phash.py)
+    reuses the identical blocking."""
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    width, extra = divmod(64, n_blocks)
+    starts, widths, pos = [], [], 0
+    for c in range(n_blocks):
+        w = width + (1 if c < extra else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
+
+    def _mask(w: int) -> int:
+        # signed-64 literal (full-width mask wraps to -1 = all bits set)
+        m = (1 << w) - 1
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    chunks = [
+        (F.shiftright(hash_col, starts[c]).bitwiseAND(F.lit(_mask(widths[c])))).alias(f"c{c}")
+        for c in range(n_blocks)
+    ]
+    blocked = hashes.select(F.col(id_col).alias("id"), hash_col, *chunks)
+    bb = F.array(*[
+        F.struct(F.lit(c).alias("blk"), F.col(f"c{c}").alias("ck")) for c in range(n_blocks)
+    ])
+    return blocked.select("id", hash_col, F.explode(bb).alias("b")).select(
+        "id", hash_col, F.col("b.blk").alias("blk"), F.col("b.ck").alias("ck")
+    )
+
+
+def blocked_hamming_join(x: DataFrame, max_hamming: int, hash_col: str) -> DataFrame:
+    """Candidate self-join over hamming_block_keys output + exact
+    hamming verify: (id_a, id_b, hamming) with hamming <= max_hamming.
+    Recall 1.0 by the pigeonhole argument; cost is the sum of squared
+    bucket sizes, not n²."""
+    cand = (
+        x.alias("a")
+        .join(
+            x.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+    )
+    return cand.distinct().filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_blocked(
     df: DataFrame,
     max_hamming: int = 3,
@@ -512,32 +578,7 @@ def simhash_blocked(
     sh = spread_small_input(df).filter(F.size(tokens(text_col)) > 0).select(
         F.col(id_col).alias("id"), _once(sim, streaming=df.isStreaming).alias("simhash")
     )
-    # block boundaries: distribute 64 bits as evenly as possible
-    width, extra = divmod(64, n_blocks)
-    starts, pos = [], 0
-    widths = []
-    for c in range(n_blocks):
-        w = width + (1 if c < extra else 0)
-        starts.append(pos)
-        widths.append(w)
-        pos += w
-    def _mask(w: int) -> int:
-        # signed-64 literal (full-width mask wraps to -1 = all bits set)
-        m = (1 << w) - 1
-        return m - (1 << 64) if m >= (1 << 63) else m
-
-    chunks = [
-        (F.shiftright("simhash", starts[c]).bitwiseAND(F.lit(_mask(widths[c])))).alias(f"c{c}")
-        for c in range(n_blocks)
-    ]
-    blocked = sh.select("id", "simhash", *chunks)
-    # long format: ONE self-join on (block, key) instead of n_blocks joins
-    bb = F.array(*[
-        F.struct(F.lit(c).alias("blk"), F.col(f"c{c}").alias("ck")) for c in range(n_blocks)
-    ])
-    return blocked.select("id", "simhash", F.explode(bb).alias("b")).select(
-        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.ck").alias("ck")
-    )
+    return hamming_block_keys(sh, max_hamming, "simhash")
 
 
 def simhash_pairs(
@@ -557,21 +598,7 @@ def simhash_pairs(
     corpora.
     """
     x = simhash_blocked(df, max_hamming, text_col, id_col)
-    cand = (
-        x.alias("a")
-        .join(
-            x.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-    )
-    return cand.distinct().filter(F.col("hamming") <= max_hamming)
+    return blocked_hamming_join(x, max_hamming, "simhash")
 
 
 def contamination_flags(
