@@ -1060,6 +1060,20 @@ def scrub_spans(
     )
     j = base.join(sp, "id", "left")
     t = F.col("__norm")
+    clean = F.when(F.col("sp").isNull(), t).otherwise(_splice_fold(t, F.col("sp")))
+    return j.select(
+        F.col("id").alias(id_col),
+        clean.alias("text_clean"),
+        (F.length(t) - F.length(clean)).cast("bigint").alias("n_cut_chars"),
+    )
+
+
+def _splice_fold(t, sp):
+    """Clean-text expression: splice a SORTED array of (s, e) 1-based
+    char spans out of text expr ``t`` via one in-row fold (out +=
+    t[pos:s), pos = e+1 per span, plus the tail). Shared verbatim by
+    batch scrub_spans and the streaming twin so the two can never
+    disagree on splice semantics. An empty span array folds to t."""
     zero = F.struct(F.lit(1).cast("long").alias("pos"), F.lit("").alias("out"))
 
     def step(acc, s):
@@ -1081,10 +1095,83 @@ def scrub_spans(
     def finish(acc):
         return F.concat(acc["out"], F.substring(t, acc["pos"], F.length(t)))
 
-    clean = F.when(F.col("sp").isNull(), t).otherwise(
-        F.aggregate(F.col("sp"), zero, step, finish)
+    return F.aggregate(sp, zero, step, finish)
+
+
+def scrub_spans_streaming(
+    df: DataFrame,
+    flagged: DataFrame,
+    k: int = 32,
+    mod_p: int = 4,
+    salt: str = "xs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr span REMOVAL on a document stream (the round-9
+    review's missing streaming twin): scrub against a pre-fit
+    ``fit_repeated_hashes()`` relation — the fit-once/scrub-many
+    line_scrub(flagged=) shape — with streaming-legal plan pieces only
+    (stream-static join, ONE complete-mode aggregation, in-row folds;
+    no window functions, no stream-stream join).
+
+    The trick that avoids re-joining the aggregated hit positions back
+    to the stream (illegal: both sides would be streaming) is a
+    DUAL-CARRY union into the single aggregation: one row per document
+    carries the normalized text (pos NULL), and one row per flagged
+    window hit carries its position (text NULL, so hit volume never
+    duplicates document bytes). max() recovers the text, collect_list
+    skips the NULL positions, and the island merge + splice run as
+    in-row folds on the aggregated row — batch semantics exactly
+    (asserted vs scrub_spans in tests/test_streaming.py). Works on a
+    batch frame too (same plan, pure DataFrame ops).
+
+    Output (id, text_clean, n_cut_chars) == batch scrub_spans for the
+    documents of the stream, including zero-hit docs."""
+    g = _window_grams(df, k, mod_p, salt, text_col, id_col)
+    hits = g.join(flagged.select("h"), "h").select(
+        "id",
+        F.lit(None).cast("string").alias("__norm"),
+        F.col("pos").cast("long").alias("pos"),
     )
-    return j.select(
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm_text(text_col).alias("__norm"),
+        F.lit(None).cast("long").alias("pos"),
+    )
+    agg = base.unionByName(hits).groupBy("id").agg(
+        F.max("__norm").alias("__norm"),  # exactly one non-null per doc
+        F.array_sort(F.collect_list("pos")).alias("ps"),  # NULLs skipped
+    )
+    # island merge (the repeated_span_stats fold, emitting spans instead
+    # of counts): consecutive hits within k of each other coalesce into
+    # one maximal (s, e) span, e = pos + k - 1
+    kl = F.lit(k - 1).cast("long")
+    zero = F.array().cast("array<struct<s:bigint,e:bigint>>")
+
+    def step(acc, pos):
+        last = F.element_at(acc, -1)
+        started = F.concat(
+            acc, F.array(F.struct(pos.alias("s"), (pos + kl).alias("e")))
+        )
+        extended = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], pos + kl).alias("e"),
+                )
+            ),
+        )
+        return (
+            F.when(F.size(acc) == 0, started)
+            .when(pos <= last["e"] + 1, extended)
+            .otherwise(started)
+        )
+
+    spans_arr = F.aggregate(F.col("ps"), zero, step)
+    t = F.col("__norm")
+    clean = _splice_fold(t, spans_arr)
+    return agg.select(
         F.col("id").alias(id_col),
         clean.alias("text_clean"),
         (F.length(t) - F.length(clean)).cast("bigint").alias("n_cut_chars"),

@@ -356,3 +356,46 @@ def test_streaming_dsir_and_repeated_spans_match_batch(spark, sf_dir):
         for r in repeated_span_stats(static, k=32, mod_p=4, flagged=fl).collect()
     }
     assert got2 == want2 and len(got2) > 0
+
+
+def test_streaming_scrub_spans_matches_batch(spark, sf_dir):
+    """Round-10: the ExactSubstr REMOVAL half on a document stream —
+    scrub against a fit_repeated_hashes() static relation via the
+    dual-carry union (doc rows carry text, hit rows carry positions)
+    into ONE complete-mode agg with in-row island-merge + splice folds.
+    Streamed clean text must equal batch scrub_spans exactly,
+    including zero-hit documents."""
+    import tempfile
+
+    from sgdnet_spark.operators.dedup import (
+        fit_repeated_hashes,
+        scrub_spans,
+        scrub_spans_streaming,
+    )
+
+    stage = tempfile.mkdtemp(prefix="docs_xscrub_stream_")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/docs.parquet")
+    static = spark.read.parquet(f"{stage}/docs.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(f"{stage}/docs.parquet")
+    )
+    fl = fit_repeated_hashes(static, k=32, mod_p=4)
+    q = (
+        scrub_spans_streaming(stream, fl, k=32, mod_p=4)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("xscrub_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM xscrub_s").collect()}
+    want = {tuple(r) for r in scrub_spans(static, k=32, mod_p=4).collect()}
+    assert got == want and len(got) > 0
+    assert any(r[2] > 0 for r in got)  # real cuts happened in-stream
