@@ -150,10 +150,32 @@ def _cpu_delta(c0: dict[int, float], c1: dict[int, float]) -> float:
 # yardstick: probe ~1.0 = trust the walls; probe >> 1.0 = the window
 # was dirty even if steal_pct reads clean.
 _PROBE_N = 500_000_000
-# pinned from the round-9 re-baseline window (steal 0.16%, probes
-# 0.227/0.230 before/after the full suite): the cleanest observed
-# steady state. Dirty windows during round 9 read 0.32-0.38.
-_PROBE_REF_SEC = 0.23
+# Code fallback only — the reference of record lives per-host in
+# BASELINE.json["probe_ref_sec_by_host"] (round-10: a code-pinned
+# constant silently misreads on any other hardware, and the round-9 pin
+# already had to be corrected once, 0.32 -> 0.23, after a polluted
+# window). Current pin: the round-9 re-baseline window (steal 0.16%,
+# probes 0.227/0.230 before/after the full suite) — the cleanest
+# observed steady state. Dirty windows during round 9 read 0.32-0.38.
+_PROBE_REF_FALLBACK_SEC = 0.23
+
+
+def _probe_ref() -> tuple[float, str]:
+    """(reference seconds, provenance) for the calibration ratio:
+    BASELINE.json's per-host pin when this host has one, else the code
+    fallback — so a hardware change shows up as provenance in the
+    artifact instead of a silently wrong ratio."""
+    import platform
+
+    host = platform.node()
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as fh:
+            by_host = json.load(fh).get("probe_ref_sec_by_host", {})
+        if host in by_host:
+            return float(by_host[host]), f"BASELINE.json[{host}]"
+    except (OSError, ValueError, TypeError):
+        pass
+    return _PROBE_REF_FALLBACK_SEC, f"code-fallback (host {host} unpinned)"
 
 
 def _calibration_probe(spark, n_iter: int = 3) -> float:
@@ -280,6 +302,7 @@ def main() -> None:
     # extra passes only ever improve — and record both windows' steal so
     # the artifact of record carries its own weather report.
     s0 = _steal_sample()
+    probe_ref, probe_ref_source = _probe_ref()
     probe_before = _calibration_probe(spark)
     run_passes(4, resolved)
     run_passes(4, resolved_r8)
@@ -338,9 +361,10 @@ def main() -> None:
                 # misses (>1.15 = treat walls as weather, read CPU twins)
                 "probe_before_sec": round(probe_before, 3),
                 "probe_after_sec": round(probe_after, 3),
-                "probe_ref_sec": _PROBE_REF_SEC,
+                "probe_ref_sec": probe_ref,
+                "probe_ref_source": probe_ref_source,
                 "calibration": round(
-                    max(probe_before, probe_after) / _PROBE_REF_SEC, 3
+                    max(probe_before, probe_after) / probe_ref, 3
                 ),
                 "sf": sf,
             }
