@@ -13,7 +13,7 @@ labels what it should.
 import pytest
 from pyspark.sql import functions as F
 
-from sgdnet_spark.operators import dedup, sampling, text
+from sgdnet_spark.operators import bpe, dedup, sampling, text
 
 
 @pytest.fixture(scope="module")
@@ -119,17 +119,29 @@ def test_scrub_tier_composition(spark, sf_dir, corpus):
         tgt = s3.join(meta.filter(F.col("lang") == "en"), "doc_id", "left_semi")
         lr = dsir.fit_dsir(tgt, s3, n_buckets=256)
         sel = dsir.dsir_resample(s3, lr, k=100)
-        # 5. pack the selected docs into sharded token streams
+        # 5. subword tokenization (round-10: the last unexercised
+        # cross-tier handoff): learn BPE merges on the gated corpus,
+        # apply them to the selected docs, and pack on the TRAINED
+        # subword counts instead of whitespace token counts
+        merges = bpe.bpe_learn(s3, n_merges=30)
+        toks = bpe.apply_bpe(sel.join(s3, "doc_id"), merges).select(
+            "doc_id", F.col("n_bpe").cast("bigint").alias("n_tok")
+        )
+        # 6. pack the selected docs into sharded token streams
         packed = sampling.pack_sequences(
-            sel.join(s3, "doc_id").join(meta, "doc_id").withColumn(
-                "n_tok", F.size(text.tokens("text")).cast("bigint")
-            ),
+            sel.join(s3, "doc_id").join(meta, "doc_id").join(toks, "doc_id"),
             budget=256, tokens_col="n_tok", n_shards=2,
         )
-        return s1, s2, s3, sel, packed
+        return s1, s2, s3, sel, merges, packed
 
     lined = _lined_documents(spark, sf_dir)
-    s1, s2, s3, sel, packed = run_chain(lined)
+    s1, s2, s3, sel, merges, packed = run_chain(lined)
+
+    # the merge table is real (found repeated pairs) and apply_bpe's
+    # counts drive the packing: token totals must be positive for every
+    # packed doc (a doc with text always has >= 1 subword)
+    assert merges.count() > 0
+    assert packed.filter(F.col("n_tokens") <= 0).count() == 0
 
     ids0 = {r[0] for r in lined.select("doc_id").collect()}
     ids1 = {r[0] for r in s1.select("doc_id").collect()}
@@ -153,7 +165,7 @@ def test_scrub_tier_composition(spark, sf_dir, corpus):
     # determinism + partitioning-independence: the same chain over a
     # differently-partitioned input selects the same docs with the same
     # keys and packs them identically
-    _, _, _, sel_b, packed_b = run_chain(lined.repartition(7))
+    _, _, _, sel_b, _, packed_b = run_chain(lined.repartition(7))
     a = {tuple(r) for r in sel.collect()}
     b = {tuple(r) for r in sel_b.collect()}
     assert a == b
