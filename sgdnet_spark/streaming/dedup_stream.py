@@ -53,7 +53,7 @@ SIMHASH_OUTPUT_SCHEMA = "id_a long, id_b long, hamming int"
 SIMHASH_STATE_SCHEMA = "ids array<long>, sims array<long>"
 
 
-def _make_simhash_bucket_update(max_hamming: int):
+def _make_simhash_bucket_update(max_hamming: int, hash_col: str = "simhash"):
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
             ids, sims = list(state.get[0]), list(state.get[1])
@@ -64,7 +64,7 @@ def _make_simhash_bucket_update(max_hamming: int):
         out_b: list[int] = []
         out_h: list[int] = []
         for pdf in pdfs:
-            for doc, sim in zip(pdf["id"], pdf["simhash"]):
+            for doc, sim in zip(pdf["id"], pdf[hash_col]):
                 d, sm = int(doc), int(sim)
                 if d in known:
                     continue
@@ -103,6 +103,36 @@ def simhash_near_dup_candidates(
     x = dedup.simhash_blocked(docs, max_hamming, text_col, id_col)
     return x.groupBy("blk", "ck").applyInPandasWithState(
         _make_simhash_bucket_update(max_hamming),
+        outputStructType=SIMHASH_OUTPUT_SCHEMA,
+        stateStructType=SIMHASH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def phash_near_dup_candidates(
+    media: DataFrame,
+    max_hamming: int = 6,
+    method: str = "dhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming perceptual-hash IMAGE near-dup pairs (round 10): the
+    stateless decode+hash stage (phash.image_phash — an Arrow
+    mapInPandas, streaming-legal) feeds the SAME pigeonhole block keys
+    and the SAME stateful bucket operator as the SimHash stream, with
+    the bucket state carrying (id, <method> hash) members — new images
+    hamming-verify against their bucket at arrival and pairs emit the
+    moment the second member lands. Distinct union of emitted pairs ==
+    batch phash.image_neardup_pairs (asserted in
+    tests/test_streaming.py)."""
+    from sgdnet_spark.operators import phash as P
+
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"unknown method {method!r}")
+    hashes = P.image_phash(media, id_col)
+    x = dedup.hamming_block_keys(hashes.select("id", method), max_hamming, method)
+    return x.groupBy("blk", "ck").applyInPandasWithState(
+        _make_simhash_bucket_update(max_hamming, hash_col=method),
         outputStructType=SIMHASH_OUTPUT_SCHEMA,
         stateStructType=SIMHASH_STATE_SCHEMA,
         outputMode="update",

@@ -399,3 +399,56 @@ def test_streaming_scrub_spans_matches_batch(spark, sf_dir):
     want = {tuple(r) for r in scrub_spans(static, k=32, mod_p=4).collect()}
     assert got == want and len(got) > 0
     assert any(r[2] > 0 for r in got)  # real cuts happened in-stream
+
+
+def test_streaming_phash_neardup_matches_batch(spark, sf_dir):
+    """Round-10: perceptual-hash image near-dup on a media stream — the
+    decode+hash mapInPandas is stateless, the pigeonhole block keys and
+    the stateful bucket operator are the SimHash stream's, so pairs
+    emit at arrival. Distinct streamed pairs must equal the batch
+    blocked join (planted perturbed images guarantee a non-empty set)."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from sgdnet_spark.operators import media_codec as mc
+    from sgdnet_spark.operators import phash as P
+    from sgdnet_spark.streaming.dedup_stream import phash_near_dup_candidates
+
+    def img(seed):
+        d = hashlib.sha256(seed.encode()).digest()
+        w, h = 16 + d[0] % 48, 16 + d[1] % 48
+        return np.resize(np.frombuffer(d, dtype=np.uint8), (h, w, 3))
+
+    rows = []
+    for i in range(12):
+        px = img(f"s{i}")
+        rows.append((2 * i, bytearray(mc.encode_bmp(px))))
+        if i < 3:  # plant a perturbed near-dup of the first three
+            dup = px.copy()
+            dup[0:2, 0:3, :] = 200
+            rows.append((2 * i + 1, bytearray(mc.encode_bmp(dup))))
+    stage = tempfile.mkdtemp(prefix="phash_stream_")
+    static = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    static.write.mode("overwrite").parquet(f"{stage}/media.parquet")
+    static = spark.read.parquet(f"{stage}/media.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(f"{stage}/media.parquet")
+    )
+    q = (
+        phash_near_dup_candidates(stream, max_hamming=6)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("phash_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT DISTINCT * FROM phash_s").collect()}
+    want = {tuple(r) for r in P.image_neardup_pairs(static, max_hamming=6).collect()}
+    assert got == want and len(got) >= 3
