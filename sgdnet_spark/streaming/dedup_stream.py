@@ -140,6 +140,34 @@ def phash_near_dup_candidates(
     )
 
 
+def audiofp_near_dup_candidates(
+    media: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming acoustic-fingerprint AUDIO near-dup pairs (round 10):
+    the stateless decode+fingerprint stage (audiofp.audio_fingerprint —
+    an Arrow mapInPandas, streaming-legal) feeds the SAME pigeonhole
+    block keys and the SAME stateful bucket operator as the SimHash and
+    image-phash streams, with the bucket state carrying (id, afp)
+    members — new clips hamming-verify against their bucket at arrival
+    and pairs emit the moment the second member lands. Distinct union
+    of emitted pairs == batch audiofp.audio_neardup_pairs (asserted in
+    tests/test_streaming.py). Completes the image+audio streaming
+    near-dup family."""
+    from sgdnet_spark.operators import audiofp as A
+
+    fp = A.audio_fingerprint(media, id_col)
+    x = dedup.hamming_block_keys(fp, max_hamming, "afp")
+    return x.groupBy("blk", "ck").applyInPandasWithState(
+        _make_simhash_bucket_update(max_hamming, hash_col="afp"),
+        outputStructType=SIMHASH_OUTPUT_SCHEMA,
+        stateStructType=SIMHASH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def near_dup_candidates(
     docs: DataFrame,
     num_hashes: int = 32,

@@ -239,8 +239,12 @@ def test_semdedup_leaves_no_cached_relation(spark):
         [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
         ["vec_id", "embedding"],
     )
+    # start from a clean cacheManager: earlier tests in a shared session
+    # may legitimately hold cache entries (caches are performance-only,
+    # so dropping them never affects their correctness)
+    spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = cm.isEmpty()
+    assert cm.isEmpty()
     for rule in ("domination", "greedy"):
         similarity.semdedup(df, eps=0.3, k_clusters=2, iters=2, rule=rule).count()
-    assert cm.isEmpty() == was_empty and was_empty
+    assert cm.isEmpty()

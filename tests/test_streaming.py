@@ -452,3 +452,63 @@ def test_streaming_phash_neardup_matches_batch(spark, sf_dir):
     got = {tuple(r) for r in spark.sql("SELECT DISTINCT * FROM phash_s").collect()}
     want = {tuple(r) for r in P.image_neardup_pairs(static, max_hamming=6).collect()}
     assert got == want and len(got) >= 3
+
+
+def test_streaming_audiofp_neardup_matches_batch(spark):
+    """Round-10: acoustic-fingerprint audio near-dup on a media stream —
+    the decode+fingerprint mapInPandas is stateless, the pigeonhole
+    block keys and the stateful bucket operator are the SimHash
+    stream's, so pairs emit at arrival. Distinct streamed pairs must
+    equal the batch blocked join (planted perturbed clips guarantee a
+    non-empty set). Completes the image+audio streaming near-dup
+    family."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from sgdnet_spark.operators import audiofp as A
+    from sgdnet_spark.operators import media_codec as mc
+    from sgdnet_spark.streaming.dedup_stream import audiofp_near_dup_candidates
+
+    def clip(seed):
+        d = hashlib.sha256(seed.encode()).digest()
+        n = 256 + d[2] * 8
+        return (
+            np.resize(np.frombuffer(d, dtype=np.uint8), n).astype(np.int16) * 64
+            - 8192
+        ).astype(np.int16)
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(12):
+        s = clip(f"s{i}")
+        rows.append((2 * i, bytearray(mc.encode_wav(s, 8000))))
+        if i < 3:  # plant a lightly-noised near-dup of the first three
+            dup = s.copy()
+            idx = rng.choice(s.size, 6, replace=False)
+            dup[idx] = dup[idx] + 16
+            rows.append((2 * i + 1, bytearray(mc.encode_wav(dup, 8000))))
+    stage = tempfile.mkdtemp(prefix="audiofp_stream_")
+    static = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    static.write.mode("overwrite").parquet(f"{stage}/media.parquet")
+    static = spark.read.parquet(f"{stage}/media.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(f"{stage}/media.parquet")
+    )
+    q = (
+        audiofp_near_dup_candidates(stream, max_hamming=6)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("audiofp_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT DISTINCT * FROM audiofp_s").collect()}
+    want = {tuple(r) for r in A.audio_neardup_pairs(static, max_hamming=6).collect()}
+    assert got == want and len(got) >= 3
