@@ -62,6 +62,16 @@ def main() -> None:
         i = args.index("--passes")
         passes = int(args[i + 1])
         del args[i : i + 2]
+    # --warmup: run one UNRECORDED forcing pass per entry before the
+    # measured passes. At 10x+ gate scale the first heavy pass in a
+    # fresh JVM reads 6-18x CPU-inflated (round-10 measurement:
+    # corpus_dsir sf10 pass0 9147s cpu vs pass1 851s; -Xms at full heap
+    # made it WORSE and THP direct compaction is off on this host, so
+    # it is JVM collector/JIT warmup, not heap growth) — min-of-N only
+    # absorbs that if N is large enough that later passes dominate.
+    warmup = "--warmup" in args
+    if warmup:
+        args.remove("--warmup")
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     names = args[1:]
 
@@ -87,6 +97,11 @@ def main() -> None:
     for name in names:
         fn = registry[name]
         best, best_cpu = float("inf"), -1.0
+        if warmup:
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            print(f"{name:32s} warmup {time.perf_counter() - t0:7.2f}s "
+                  "(unrecorded)", flush=True)
         for _ in range(passes):
             c0 = _tree_cpu_sample()
             t0 = time.perf_counter()
@@ -103,7 +118,7 @@ def main() -> None:
         }
         print(f"{name:32s} {best:7.2f}s wall  {best_cpu:8.1f}s cpu", flush=True)
     steal = _steal_pct(s0, _steal_sample())
-    print(json.dumps({"sf_dir": sf_dir, "passes": passes,
+    print(json.dumps({"sf_dir": sf_dir, "passes": passes, "warmup": warmup,
                       "forcing": "hash-agg", "steal_pct": steal,
                       "results": out}))
 
