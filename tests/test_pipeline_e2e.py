@@ -13,7 +13,7 @@ labels what it should.
 import pytest
 from pyspark.sql import functions as F
 
-from sgdnet_spark.operators import bpe, dedup, sampling, text
+from sgdnet_spark.operators import bpe, dedup, qprobe, sampling, text
 
 
 @pytest.fixture(scope="module")
@@ -91,9 +91,10 @@ def test_full_training_data_pipeline(spark, corpus):
 
 
 def test_scrub_tier_composition(spark, sf_dir, corpus):
-    """Round-8/9 scrub tier composed as ONE flow (what a real pipeline
-    runs): line_scrub -> scrub_spans -> lm_buckets head/middle gate ->
-    DSIR selection -> pack_sequences. Asserts the cross-stage
+    """Round-8/9/10 scrub tier composed as ONE flow (what a real
+    pipeline runs): line_scrub -> scrub_spans -> lm_buckets head/middle
+    gate -> trained quality-probe gate -> DSIR selection -> BPE ->
+    pack_sequences. Asserts the cross-stage
     invariants: ids only ever shrink (no row loss outside intended
     drops), the composition is deterministic, and the selection is
     partitioning-independent."""
@@ -115,27 +116,40 @@ def test_scrub_tier_composition(spark, sf_dir, corpus):
         buckets = text.lm_buckets(s2)
         gate = buckets.filter(F.col("bucket") <= 1).select("doc_id")
         s3 = s2.join(gate, "doc_id", "left_semi")
+        # 3b. TRAINED quality gate (round-10 qprobe): fit the ridge
+        # linear probe on the perplexity-gated corpus against the
+        # in-target-language weak label, keep the top 70% by grid
+        # score — the GPT-3/CCNet classifier stage between the LM
+        # filter and data selection
+        qsel = qprobe.quality_probe(
+            s3.join(meta.select("doc_id", "lang"), "doc_id"),
+            select_frac=0.7,
+        )
+        s3q = s3.join(
+            qsel.filter(F.col("selected") == 1).select("doc_id"),
+            "doc_id", "left_semi",
+        )
         # 4. DSIR selection toward the English slice
-        tgt = s3.join(meta.filter(F.col("lang") == "en"), "doc_id", "left_semi")
-        lr = dsir.fit_dsir(tgt, s3, n_buckets=256)
-        sel = dsir.dsir_resample(s3, lr, k=100)
+        tgt = s3q.join(meta.filter(F.col("lang") == "en"), "doc_id", "left_semi")
+        lr = dsir.fit_dsir(tgt, s3q, n_buckets=256)
+        sel = dsir.dsir_resample(s3q, lr, k=100)
         # 5. subword tokenization (round-10: the last unexercised
         # cross-tier handoff): learn BPE merges on the gated corpus,
         # apply them to the selected docs, and pack on the TRAINED
         # subword counts instead of whitespace token counts
-        merges = bpe.bpe_learn(s3, n_merges=30)
-        toks = bpe.apply_bpe(sel.join(s3, "doc_id"), merges).select(
+        merges = bpe.bpe_learn(s3q, n_merges=30)
+        toks = bpe.apply_bpe(sel.join(s3q, "doc_id"), merges).select(
             "doc_id", F.col("n_bpe").cast("bigint").alias("n_tok")
         )
         # 6. pack the selected docs into sharded token streams
         packed = sampling.pack_sequences(
-            sel.join(s3, "doc_id").join(meta, "doc_id").join(toks, "doc_id"),
+            sel.join(s3q, "doc_id").join(meta, "doc_id").join(toks, "doc_id"),
             budget=256, tokens_col="n_tok", n_shards=2,
         )
-        return s1, s2, s3, sel, merges, packed
+        return s1, s2, s3, s3q, sel, merges, packed
 
     lined = _lined_documents(spark, sf_dir)
-    s1, s2, s3, sel, merges, packed = run_chain(lined)
+    s1, s2, s3, s3q, sel, merges, packed = run_chain(lined)
 
     # the merge table is real (found repeated pairs) and apply_bpe's
     # counts drive the packing: token totals must be positive for every
@@ -147,13 +161,16 @@ def test_scrub_tier_composition(spark, sf_dir, corpus):
     ids1 = {r[0] for r in s1.select("doc_id").collect()}
     ids2 = {r[0] for r in s2.select("doc_id").collect()}
     ids3 = {r[0] for r in s3.select("doc_id").collect()}
+    ids3q = {r[0] for r in s3q.select("doc_id").collect()}
     sel_ids = {r[0] for r in sel.select("doc_id").collect()}
     # ids only shrink, and each stage's drop is the intended one
     assert ids1 <= ids0          # line_scrub drops only all-boilerplate docs
     assert ids2 == ids1          # span removal never drops a document
     assert ids3 <= ids2          # the bucket gate drops tail-bucket docs
     assert len(ids3) > 0 and len(ids3) < len(ids2)  # gate actually gates
-    assert sel_ids <= ids3 and len(sel_ids) == 100
+    assert ids3q <= ids3         # the quality probe keeps a subset
+    assert 0 < len(ids3q) < len(ids3)  # ~top 70% by grid cutoff
+    assert sel_ids <= ids3q and len(sel_ids) == 100
     # scrubbing only removes characters
     assert s2.filter(F.col("n_cut_chars") < 0).count() == 0
     # packing places every selected doc exactly once, offsets in budget
@@ -165,7 +182,7 @@ def test_scrub_tier_composition(spark, sf_dir, corpus):
     # determinism + partitioning-independence: the same chain over a
     # differently-partitioned input selects the same docs with the same
     # keys and packs them identically
-    _, _, _, sel_b, _, packed_b = run_chain(lined.repartition(7))
+    _, _, _, _, sel_b, _, packed_b = run_chain(lined.repartition(7))
     a = {tuple(r) for r in sel.collect()}
     b = {tuple(r) for r in sel_b.collect()}
     assert a == b
