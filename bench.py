@@ -87,6 +87,15 @@ HEADLINERS_R8: list[str] = [
     "glm_eval",    # predict/class/score/cv GLM evaluation surface
 ]
 
+# round-10 additions: the two remaining heavyweight umbrellas, the
+# LLM-pipeline workloads the artifact of record never metered. Outside
+# the r1-comparable set, and in their own round-robin after the r8 one
+# (same cache/JIT-pollution rationale).
+HEADLINERS_R10: list[str] = [
+    "corpus_prep",  # sample/pack/semdedup/bpe/rank/dsir/qfilter/fuzzy stages
+    "text_scrub",   # 8-stage scrub tier sharing one ExactSubstr detection
+]
+
 
 def _tree_cpu_sample() -> dict[int, float] | None:
     """Per-PID CPU seconds (utime+stime) of this process and every live
@@ -249,7 +258,7 @@ def main() -> None:
     # otherwise stall all 32 tasks for seconds and leak into min-of-N
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for item in HEADLINERS + HEADLINERS_R7 + HEADLINERS_R8:
+        for item in HEADLINERS + HEADLINERS_R7 + HEADLINERS_R8 + HEADLINERS_R10:
             name, fn = item if isinstance(item, tuple) else (item, _resolve(item))
             try:
                 fn(spark, warm_dir).count()
@@ -276,9 +285,11 @@ def main() -> None:
     # 15-20% on a 0.04%-steal window — cache/JIT pollution between
     # samples), which would have broken cross-round comparability
     resolved_r8 = [(n, _resolve(n)) for n in HEADLINERS_R8]
+    resolved_r10 = [(n, _resolve(n)) for n in HEADLINERS_R10]
     r1_names = {item if isinstance(item, str) else item[0] for item in HEADLINERS}
-    best: dict[str, float] = {n: float("inf") for n, _ in resolved + resolved_r8}
-    best_cpu: dict[str, float] = {n: -1.0 for n, _ in resolved + resolved_r8}
+    late = resolved_r8 + resolved_r10
+    best: dict[str, float] = {n: float("inf") for n, _ in resolved + late}
+    best_cpu: dict[str, float] = {n: -1.0 for n, _ in resolved + late}
     rows: dict[str, int] = {}
 
     def run_passes(n: int, entries) -> None:
@@ -306,6 +317,7 @@ def main() -> None:
     probe_before = _calibration_probe(spark)
     run_passes(4, resolved)
     run_passes(4, resolved_r8)
+    run_passes(4, resolved_r10)
     probe_after = _calibration_probe(spark)
     steal = _steal_pct(s0, _steal_sample())
     steal_retry = None
@@ -314,8 +326,9 @@ def main() -> None:
         s2 = _steal_sample()
         run_passes(2, resolved)
         run_passes(2, resolved_r8)
+        run_passes(2, resolved_r10)
         steal_retry = _steal_pct(s2, _steal_sample())
-    resolved = resolved + resolved_r8
+    resolved = resolved + resolved_r8 + resolved_r10
     times = {name: round(best[name], 3) for name, _ in resolved}
     # -1.0 is the never-sampled sentinel (non-/proc platform): report
     # those as null rather than summing garbage negatives into the
