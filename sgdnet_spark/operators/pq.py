@@ -1,0 +1,253 @@
+"""Product-quantization (PQ) vector compression + IVF-PQ ANN search.
+
+The canonical 100 TB vector-search design (Jégou, Douze, Schmid 2011,
+"Product Quantization for Nearest Neighbor Search"; the FAISS IVFPQ
+index): vectors are L2-normalized, split into ``m`` subspaces, and each
+subvector is quantized to one of ``ksub`` learned sub-centroids — a
+``dim`` float vector becomes ``m`` small integer codes (64 float32 →
+8 codes here: 32× compression), so a 100 TB embedding corpus scans as
+~3 TB of codes. Query-time scoring is ADC (asymmetric distance
+computation): per query ONE (m × ksub) table of subspace inner
+products, then each candidate's approximate cosine is m table lookups —
+no float vector is touched until the final exact re-rank of the small
+candidate set (the candidates + exact-verify shape of
+sketch_prefilter / dedup_minhash_lsh).
+
+Spark shapes, mirroring ivf.py's sufficient-statistic discipline:
+
+- ``pq_fit`` trains ALL m subquantizers in one mapInPandas pass per
+  Lloyd iteration — partials are (m, ksub, dsub+1)-sized, independent
+  of n; init is deterministic (first ksub vectors by id, split per
+  subspace).
+- ``pq_encode`` is a pure per-row Arrow map, zero shuffle.
+- ``ivfpq_topk`` probes only ``nprobe`` inverted lists (the ivf.py
+  coarse quantizer), ADC-scores codes against a broadcast probe
+  relation, keeps ``k·refine`` candidates per query, and re-ranks just
+  those against the true vectors via one broadcast join — work scales
+  with nprobe/n_lists of the corpus read as CODES, plus a
+  candidate-sized exact pass.
+
+Normalization makes L2 and cosine orderings coincide, so ADC inner
+products rank candidates for the cosine metric the rest of the ANN
+tier reports; the exact re-rank then restores true cosine values, so
+returned rows differ from brute force only in WHICH neighbors survive
+candidate selection (recall floors pinned in tests/test_pq.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators.ivf import _collect_vec, _vec_frame, assign_lists, kmeans_fit
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train the m sub-quantizers; returns (m, ksub, dim/m) codebooks.
+
+    One narrow mapInPandas pass per Lloyd iteration accumulates every
+    subspace's (count, sum) partials at once — (m, ksub, dsub+1) per
+    partition, flat in n. Vectors are L2-normalized before training so
+    codebooks live on the unit sphere the search operates on.
+    """
+    init = _collect_vec(df, id_col, vec_col, ksub)
+    if len(init) == 0:
+        raise ValueError("pq_fit: empty input")
+    dim = init.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(ksub, len(init))
+    # (m, ksub, dsub): subspace s of codebook entry j = init vector j's s-th slice
+    books = _normalize(init)[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    vecs = _vec_frame(df, vec_col)
+
+    for _ in range(iters):
+        b_bc = books
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((m, ksub, dsub + 1))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _normalize(np.stack(pdf["v"].to_numpy())).reshape(-1, m, dsub)
+                for s in range(m):
+                    X = V[:, s, :]
+                    d2 = (X**2).sum(1)[:, None] - 2 * X @ b_bc[s].T + (b_bc[s] ** 2).sum(1)[None, :]
+                    a = d2.argmin(1)
+                    for c in range(ksub):
+                        sel = X[a == c]
+                        if len(sel):
+                            acc[s, c, 0] += len(sel)
+                            acc[s, c, 1:] += sel.sum(0)
+            yield pd.DataFrame({"part": [acc.ravel().tolist()]})
+
+        parts = vecs.mapInPandas(run, schema="part array<double>").collect()
+        tot = np.sum([np.asarray(r["part"]).reshape(m, ksub, dsub + 1) for r in parts], axis=0)
+        counts = tot[:, :, :1]
+        new = np.where(counts > 0, tot[:, :, 1:] / np.maximum(counts, 1), books)
+        if np.allclose(new, books, atol=1e-12):
+            break
+        books = new
+    return books
+
+
+def encode_np(V: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Codes for already-normalized (n, dim) vectors; (n, m) int64."""
+    m, _, dsub = books.shape
+    Vs = V.reshape(-1, m, dsub)
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for s in range(m):
+        X = Vs[:, s, :]
+        d2 = (X**2).sum(1)[:, None] - 2 * X @ books[s].T + (books[s] ** 2).sum(1)[None, :]
+        codes[:, s] = d2.argmin(1)
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code array<int>) — the compressed corpus. Pure Arrow map."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _normalize(np.stack(pdf["v"].to_numpy()))
+            codes = encode_np(V, books)
+            yield pd.DataFrame({"id": pdf["id"], "code": list(codes)})
+
+    return _vec_frame(df, vec_col, id_col).mapInPandas(run, schema="id long, code array<bigint>")
+
+
+def adc_tables(Q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-query (m, ksub) inner-product lookup tables, flattened to
+    (nq, m·ksub): approx cos(q, v) = Σ_s table[s, code_s]."""
+    m, ksub, dsub = books.shape
+    Qn = _normalize(Q).reshape(-1, m, dsub)
+    return np.einsum("qsd,skd->qsk", Qn, books).reshape(len(Q), m * ksub)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 10,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes with exact re-rank.
+
+    Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
+    CODES only → broadcast (query, probed list, ADC table) relation →
+    per-candidate score = m table lookups (one Arrow pass over the
+    probed fraction of the corpus) → per-query top k·refine by
+    (approx desc, id asc) → exact cosine re-rank of that candidate set
+    against the true vectors via one broadcast join.
+    """
+    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    books = pq_fit(df, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    lists = assign_lists(df, cents, vec_col, id_col)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _normalize(np.stack(pdf["v"].to_numpy()))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "list_id": pdf["list_id"], "code": list(encode_np(V, books))}
+            )
+
+    coded = lists.mapInPandas(enc, schema="id long, list_id long, code array<bigint>")
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    q_rows = [r for r in q_rows if r["qv"] is not None]
+    spark = df.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+    Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    tabs = adc_tables(Q, books)
+    probe_rows = []
+    for i, r in enumerate(q_rows):
+        qv = Q[i]
+        d2 = ((cents - qv) ** 2).sum(1)
+        for lid in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in tabs[i]]))
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qtab array<double>")
+
+    joined = coded.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["code"].to_numpy())  # (n, m)
+            T = np.stack(pdf["qtab"].to_numpy())  # (n, m*ksub)
+            idx = C + ksub * np.arange(m)[None, :]
+            approx = np.take_along_axis(T, idx, axis=1).sum(1)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "nbr_id": pdf["id"], "approx": approx}
+            )
+
+    scored = joined.mapInPandas(adc, schema="query_id long, nbr_id long, approx double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("nbr_id"))
+    cands = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k_neighbors * refine
+    ).select("query_id", "nbr_id")
+
+    # exact re-rank: candidate set is (nq · k · refine)-sized — broadcast it
+    base = _vec_frame(df, vec_col, id_col)
+    qdf = spark.createDataFrame(
+        [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    pairs = (
+        base.join(F.broadcast(cands), base["id"] == cands["nbr_id"])
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "id", "v", "qv")
+    )
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Qv = np.stack(pdf["qv"].to_numpy())
+            cos = (V * Qv).sum(1) / (
+                np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+                * np.maximum(np.linalg.norm(Qv, axis=1), 1e-300)
+            )
+            yield pd.DataFrame({"query_id": pdf["query_id"], "nbr_id": pdf["id"], "cos": cos})
+
+    exact_df = pairs.mapInPandas(exact, schema="query_id long, nbr_id long, cos double")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        exact_df.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+    )

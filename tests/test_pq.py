@@ -1,0 +1,158 @@
+"""Product quantization (IVF-PQ): code validity, exact numpy replay of
+fit/encode/ADC/re-rank, recall floors vs brute force, re-rank exactness,
+and degenerate-input guards."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import pq, similarity
+from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def q(emb):
+    return emb.filter(F.col("vec_id") < 10)
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_fit(emb, m=8, ksub=16, iters=5)
+
+
+def _np_corpus(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    V = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def test_codes_bounded_and_shaped(emb, books):
+    m, ksub, dsub = books.shape
+    assert (m, ksub, dsub) == (8, 16, 8)
+    codes = pq.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["code"]) == m
+        assert all(0 <= c < ksub for c in r["code"])
+
+
+def test_encode_matches_numpy_replay(emb, books):
+    """Distributed encode == encode_np on the driver, row for row."""
+    ids, V = _np_corpus(emb)
+    expect = pq.encode_np(pq._normalize(V), books)
+    got = {r["id"]: list(r["code"]) for r in pq.pq_encode(emb, books).collect()}
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == list(expect[i])
+
+
+def test_ivfpq_full_numpy_replay(emb, q, books):
+    """Given the SAME deterministic centroids + codebooks, a pure-numpy
+    replay of list probing, ADC scoring, candidate top-(k·refine), and
+    exact re-rank reproduces ivfpq_topk exactly — the embedding_semdedup
+    replay pattern, certifying the distributed path end to end."""
+    k, n_lists, nprobe, refine = 5, 8, 3, 3
+    cents = kmeans_fit(emb, k=n_lists, iters=5)
+    ids, V = _np_corpus(emb)
+    Vn = pq._normalize(V)
+    codes = pq.encode_np(Vn, books)
+    lid = ((V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]).argmin(1)
+    qrows = sorted(q.collect(), key=lambda r: r["vec_id"])
+    expect = set()
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        tab = pq.adc_tables(qv[None, :], books)[0]
+        probed = np.argsort(((cents - qv) ** 2).sum(1))[:nprobe]
+        mask = np.isin(lid, probed) & (ids != r["vec_id"])
+        cand_ids = ids[mask]
+        m = books.shape[0]
+        approx = tab[codes[mask] + 16 * np.arange(m)[None, :]].sum(1)
+        order = np.lexsort((cand_ids, -approx))[: k * refine]
+        keep = cand_ids[order]
+        sel = np.isin(ids, keep)
+        cos = (V[sel] @ qv) / (
+            np.linalg.norm(V[sel], axis=1) * max(np.linalg.norm(qv), 1e-300)
+        )
+        final = np.lexsort((ids[sel], -cos))[:k]
+        for j in final:
+            expect.add(
+                (int(r["vec_id"]), int(ids[sel][j]), round(float(cos[j]), 4))
+            )
+    got = {
+        (r["query_id"], r["nbr_id"], r["cos"])
+        for r in pq.ivfpq_topk(
+            emb, q, k_neighbors=k, n_lists=n_lists, nprobe=nprobe, refine=refine
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_ivfpq_recall_floor(emb, q):
+    bf = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["nbr_id"])
+        for r in pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3).collect()
+    }
+    recall = len(got & bf) / len(bf)
+    assert recall >= 0.7, f"ivfpq recall@5 {recall:.3f} < 0.7"
+
+
+def test_ivfpq_recall_tracks_ivf_ceiling(emb, q):
+    """nprobe caps recall for BOTH ivf and ivfpq (same coarse stage);
+    with the default re-rank pool the PQ ranking loses at most ~10% of
+    the pairs ivf finds — quantization error stays in the candidate
+    stage, never in the returned cosines."""
+    from sgdnet_spark.operators.ivf import ivf_topk
+
+    ivf_pairs = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivf_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3).collect()
+    }
+    pqp = {
+        (r["query_id"], r["nbr_id"])
+        for r in pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3).collect()
+    }
+    assert len(pqp & ivf_pairs) / len(ivf_pairs) >= 0.8
+
+
+def test_rerank_cos_is_exact(emb, q):
+    """Returned cos values are TRUE cosines (the re-rank touches real
+    vectors), so any pair also found by brute force carries the
+    identical rounded value."""
+    bf = {
+        (r["query_id"], r["nbr_id"]): r["cos"]
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    for r in pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3).collect():
+        key = (r["query_id"], r["nbr_id"])
+        if key in bf:
+            assert r["cos"] == bf[key]
+
+
+def test_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_fit(emb, m=7, ksub=16, iters=1)
+
+
+def test_null_vectors_skipped(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, None), (2, [0.5] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq.pq_fit(df, m=2, ksub=2, iters=2)
+    codes = pq.pq_encode(df, books).collect()
+    assert sorted(r["id"] for r in codes) == [0, 2, 3]
+
+
+def test_empty_queries(emb, books):
+    empty = emb.filter(F.col("vec_id") < 0)
+    out = pq.ivfpq_topk(emb, empty, k_neighbors=5)
+    assert out.count() == 0
