@@ -146,31 +146,9 @@ def adc_tables(Q: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.einsum("qsd,skd->qsk", Qn, books).reshape(len(Q), m * ksub)
 
 
-def ivfpq_topk(
-    df: DataFrame,
-    queries: DataFrame,
-    k_neighbors: int = 5,
-    n_lists: int = 8,
-    nprobe: int = 3,
-    m: int = 8,
-    ksub: int = 16,
-    refine: int = 10,
-    kmeans_iters: int = 5,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Approximate cosine top-k over PQ codes with exact re-rank.
-
-    Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
-    CODES only → broadcast (query, probed list, ADC table) relation →
-    per-candidate score = m table lookups (one Arrow pass over the
-    probed fraction of the corpus) → per-query top k·refine by
-    (approx desc, id asc) → exact cosine re-rank of that candidate set
-    against the true vectors via one broadcast join.
-    """
-    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    books = pq_fit(df, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    lists = assign_lists(df, cents, vec_col, id_col)
+def _encode_lists(lists: DataFrame, books: np.ndarray) -> DataFrame:
+    """(id, list_id, code) from assign_lists output — the compressed
+    inverted lists."""
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,25 +159,38 @@ def ivfpq_topk(
                 {"id": pdf["id"], "list_id": pdf["list_id"], "code": list(encode_np(V, books))}
             )
 
-    coded = lists.mapInPandas(enc, schema="id long, list_id long, code array<bigint>")
+    return lists.mapInPandas(enc, schema="id long, list_id long, code array<bigint>")
 
-    q_rows = queries.select(
+
+def _collect_queries(queries: DataFrame, vec_col: str, id_col: str) -> list:
+    rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     ).collect()
-    q_rows = [r for r in q_rows if r["qv"] is not None]
-    spark = df.sparkSession
-    if not q_rows:
-        return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+    return [r for r in rows if r["qv"] is not None]
+
+
+def _probe_frame(spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: int):
+    """Broadcast (query_id, probed list, flattened ADC table) relation
+    + the set of probed list ids (for partition pruning)."""
     Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
     tabs = adc_tables(Q, books)
-    probe_rows = []
+    probe_rows, probed = [], set()
     for i, r in enumerate(q_rows):
-        qv = Q[i]
-        d2 = ((cents - qv) ** 2).sum(1)
+        d2 = ((cents - Q[i]) ** 2).sum(1)
         for lid in np.argsort(d2)[:nprobe]:
             probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in tabs[i]]))
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qtab array<double>")
+            probed.add(int(lid))
+    return (
+        spark.createDataFrame(probe_rows, "query_id long, list_id long, qtab array<double>"),
+        probed,
+    )
 
+
+def _adc_candidates(
+    coded: DataFrame, probes: DataFrame, m: int, ksub: int, pool: int
+) -> DataFrame:
+    """Per-query top-``pool`` candidate ids by ADC score: one Arrow pass
+    over the probed lists' CODES, m table lookups per candidate."""
     joined = coded.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,12 +207,18 @@ def ivfpq_topk(
 
     scored = joined.mapInPandas(adc, schema="query_id long, nbr_id long, approx double")
     w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("nbr_id"))
-    cands = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k_neighbors * refine
-    ).select("query_id", "nbr_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("query_id", "nbr_id")
+    )
 
-    # exact re-rank: candidate set is (nq · k · refine)-sized — broadcast it
-    base = _vec_frame(df, vec_col, id_col)
+
+def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -> DataFrame:
+    """Exact cosine over the (nq·pool)-sized candidate set — both the
+    candidate ids and the query vectors broadcast; quantization error
+    cannot reach the returned values."""
+    spark = base.sparkSession
     qdf = spark.createDataFrame(
         [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in q_rows],
         "query_id long, qv array<double>",
@@ -251,3 +248,131 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k_neighbors)
         .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 10,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes with exact re-rank.
+
+    Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
+    CODES only → broadcast (query, probed list, ADC table) relation →
+    per-candidate score = m table lookups (one Arrow pass over the
+    probed fraction of the corpus) → per-query top k·refine by
+    (approx desc, id asc) → exact cosine re-rank of that candidate set
+    against the true vectors via one broadcast join.
+    """
+    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    books = pq_fit(df, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    coded = _encode_lists(assign_lists(df, cents, vec_col, id_col), books)
+
+    q_rows = _collect_queries(queries, vec_col, id_col)
+    spark = df.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+    probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
+    cands = _adc_candidates(coded, probes, m, ksub, k_neighbors * refine)
+    return _exact_rerank(_vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors)
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVF-PQ index as a LIST-PARTITIONED layout:
+    ``path/codes/list_id=<l>/`` holds the compressed (id, code) rows —
+    the relation queries scan, 32× smaller than the vectors —
+    ``path/vectors/list_id=<l>/`` the raw vectors the re-rank fetches
+    (also pruned to the probed lists), and ``path/centroids`` /
+    ``path/codebooks`` the tiny model relations. A probe reads
+    nprobe/n_lists of the CODES via partition pruning (PartitionFilters
+    in the plan, asserted in tests) — at 100 TB the ADC scan cost is
+    nprobe/n_lists × corpus/32.
+    """
+    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    books = pq_fit(df, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    lists = assign_lists(df, cents, vec_col, id_col)
+    _encode_lists(lists, books).write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(book_rows, "sub long, code long, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return cents, books
+
+
+def load_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m, ksub, dsub))
+    for r in rows:
+        books[r["sub"], r["code"]] = r["centroid"]
+    return books
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    nprobe: int = 3,
+    refine: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a written IVF-PQ index; returns (result, pruned_codes_scan).
+
+    The codes frame is filtered on the PARTITION column list_id with an
+    IN-list of every probed list, so the parquet source prunes to those
+    directories — and so does the vectors read the re-rank fetches
+    from. ``pruned_codes_scan`` is returned so callers/tests can
+    inspect the pruned read's plan.
+    """
+    from sgdnet_spark.operators.ivf import load_centroids
+
+    cents = load_centroids(spark, path)
+    books = load_codebooks(spark, path)
+    m, ksub, _ = books.shape
+    q_rows = _collect_queries(queries, vec_col, id_col)
+    if not q_rows:
+        empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+        return empty, spark.read.parquet(f"{path}/codes").limit(0)
+    probes, probed = _probe_frame(spark, q_rows, cents, books, nprobe)
+    in_list = [int(x) for x in sorted(probed)]
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("list_id").isin(*in_list))
+    cands = _adc_candidates(codes, probes, int(m), int(ksub), k_neighbors * refine)
+    vectors = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("list_id").isin(*in_list))
+        .select("id", "v")
+    )
+    return _exact_rerank(vectors, cands, q_rows, k_neighbors), codes

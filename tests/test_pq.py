@@ -156,3 +156,34 @@ def test_empty_queries(emb, books):
     empty = emb.filter(F.col("vec_id") < 0)
     out = pq.ivfpq_topk(emb, empty, k_neighbors=5)
     assert out.count() == 0
+
+
+def test_pq_index_prunes_partitions_and_matches_inmemory(spark, emb, q, tmp_path):
+    """write_pq_index → list-partitioned codes; the probe's ADC scan
+    carries PartitionFilters on list_id (pruning enforced by the plan,
+    on the COMPRESSED relation) and results match the in-memory
+    ivfpq_topk at the same settings (both paths are deterministic)."""
+    path = str(tmp_path / "pq_index")
+    pq.write_pq_index(emb, path, n_lists=8, m=8, ksub=16, kmeans_iters=5)
+    got, pruned = pq.pq_topk_indexed(spark, path, q, k_neighbors=5, nprobe=3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    mem = pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3, kmeans_iters=5)
+    a = {(r["query_id"], r["nbr_id"], r["cos"]) for r in got.collect()}
+    b = {(r["query_id"], r["nbr_id"], r["cos"]) for r in mem.collect()}
+    assert a == b
+
+
+def test_pq_index_roundtrips_codebooks(spark, emb, books, tmp_path):
+    path = str(tmp_path / "pq_rt")
+    cents, wrote = pq.write_pq_index(emb, path, n_lists=4, m=8, ksub=16, kmeans_iters=2)
+    loaded = pq.load_codebooks(spark, path)
+    assert np.allclose(wrote, loaded)
+
+
+def test_pq_indexed_empty_queries(spark, emb, tmp_path):
+    path = str(tmp_path / "pq_empty")
+    pq.write_pq_index(emb, path, n_lists=4, kmeans_iters=2)
+    got, pruned = pq.pq_topk_indexed(spark, path, emb.filter(F.lit(False)), k_neighbors=3)
+    assert got.count() == 0
+    assert pruned.count() == 0
