@@ -20,6 +20,10 @@ Operators:
 - ``mix_corpora`` — downsample sources to target mixture proportions
   (the corpus-mixing rule: the largest feasible total is limited by
   the scarcest source relative to its target share).
+- ``cluster_balance`` — mix_corpora's rule keyed on embedding
+  CLUSTERS instead of a source column: k-means topics replace
+  provenance as the stratification key (the DataComp/SemDeDup-family
+  diversity-balancing stage), emitting per-vector keep DECISIONS.
 """
 
 from __future__ import annotations
@@ -157,6 +161,23 @@ def mix_corpora(
     only (T and rates computed as if the missing sources had weight 0;
     their keys are absent from the returned rates dict).
     """
+    rates = mix_rates(df, source_col, weights, weight_col, on_missing)
+    u = hash_fraction(id_col, salt)
+    rate = _rate_column(source_col, rates)
+    return df.filter(u < rate), rates
+
+
+def mix_rates(
+    df: DataFrame,
+    source_col: str,
+    weights: dict,
+    weight_col: str = "n_chars",
+    on_missing: str = "error",
+) -> dict:
+    """Per-source keep rates for ``mix_corpora``'s scarcest-source rule
+    (T = min_s available_s / w_s; rate_s = w_s · T / available_s) —
+    factored out so cluster_balance can reuse the identical algebra
+    keyed on a cluster column. ONE aggregation; k-entry driver dict."""
     avail = {
         r[source_col]: r["t"]
         for r in df.groupBy(source_col).agg(F.sum(F.col(weight_col)).alias("t")).collect()
@@ -189,14 +210,65 @@ def mix_corpora(
             f"{sorted(str(k) for k in avail)})"
         )
     T = min(avail[s] / w for s, w in weights.items() if s in avail and w > 0)
-    rates = {s: w * T / avail[s] for s, w in weights.items() if s in avail}
-    u = hash_fraction(id_col, salt)
+    return {s: w * T / avail[s] for s, w in weights.items() if s in avail}
+
+
+def _rate_column(source_col: str, rates: dict) -> Column:
     rate = None
     for s, r in rates.items():
         cond = F.col(source_col) == F.lit(s)
         rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
-    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
-    return df.filter(u < rate), rates
+    return rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+
+
+def cluster_balance(
+    df: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 3,
+    shares: dict | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "cbal",
+    cents=None,
+) -> tuple[DataFrame, dict]:
+    """Cluster-balanced corpus selection: mix_corpora's scarcest-source
+    rule with k-means embedding clusters as the stratification key —
+    the diversity-balancing stage (DataComp/SemDeDup-family pipelines
+    rebalance over semantic clusters so no topic dominates training).
+
+    Returns (decisions, rates): ``decisions`` carries EVERY input
+    vector as (id, cluster, kept) — the consumable form a pipeline
+    audits and joins (embedding_semdedup's shape) — and ``rates`` the
+    per-cluster keep rates. ``shares=None`` targets UNIFORM shares over
+    the non-empty clusters; an explicit dict follows mix_corpora's
+    semantics exactly, including the infeasible-share error when a
+    positively-weighted cluster is empty.
+
+    Scale shape: the k-means fit is iteration-bounded with
+    (k, dim+1)-sized partials (ivf.kmeans_fit), assignment is one
+    zero-shuffle Arrow map, the rate fit is ONE map-side-combined
+    count aggregation to a k-entry driver dict, and every keep
+    decision is a pure function of md5(id || salt) — no shuffle,
+    partitioning-independent, identical under restarts (the
+    corpus_sample discipline). Pass ``cents`` to reuse a fitted
+    quantizer (fit-once / balance-many, the model= convention).
+    """
+    from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
+
+    if cents is None:
+        cents = kmeans_fit(df, k=k_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = assign_lists(df, cents, vec_col, id_col).select(
+        "id", F.col("list_id").cast("int").alias("cluster")
+    )
+    counted = assigned.withColumn("__one", F.lit(1.0))
+    if shares is None:
+        present = sorted(
+            r["cluster"] for r in counted.select("cluster").distinct().collect()
+        )
+        shares = {int(c): 1.0 / len(present) for c in present}
+    rates = mix_rates(counted, "cluster", shares, weight_col="__one")
+    kept = (hash_fraction("id", salt) < _rate_column("cluster", rates)).cast("int")
+    return assigned.withColumn("kept", kept), rates
 
 
 def pack_sequences(

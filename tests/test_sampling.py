@@ -236,3 +236,92 @@ def test_pack_sequences_zero_token_doc_invariants(spark):
     assert b[3] == (1, 1, 1)   # mid-chunk empty doc: same invariant
     for d, (first, last, span) in b.items():
         assert last >= first and span == last - first + 1 and span >= 1
+
+
+# --- cluster_balance: mix_corpora's rule keyed on k-means clusters ---
+
+
+def _md5_fraction(v, salt: str) -> float:
+    import hashlib
+
+    h = hashlib.md5((str(v) + salt).encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 32)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cluster_balance_python_replay(emb):
+    """Given the SAME deterministic centroids (kmeans_fit), a pure
+    python replay of assignment -> counts -> scarcest-cluster rates ->
+    md5-fraction keep decisions reproduces cluster_balance exactly."""
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=3)
+    out, rates = S.cluster_balance(emb, cents=cents)
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    V = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    a = ((V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]).argmin(1)
+    counts = {int(c): int((a == c).sum()) for c in np.unique(a)}
+    k = len(counts)
+    T = min(n / (1.0 / k) for n in counts.values())
+    want_rates = {c: (1.0 / k) * T / n for c, n in counts.items()}
+    assert set(rates) == set(want_rates)
+    for c in rates:
+        assert abs(rates[c] - want_rates[c]) < 1e-12
+    want = {
+        (int(i), int(c), int(_md5_fraction(i, "cbal") < want_rates[int(c)]))
+        for i, c in zip(ids, a)
+    }
+    got = {(r["id"], r["cluster"], r["kept"]) for r in out.collect()}
+    assert got == want
+
+
+def test_cluster_balance_shares_and_decision_form(emb):
+    """Every input vector gets a decision row; kept counts are roughly
+    equal across clusters (uniform target), and the scarcest cluster
+    keeps everything (rate 1)."""
+    out, rates = S.cluster_balance(emb, k_clusters=8, iters=3)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert any(abs(r - 1.0) < 1e-12 for r in rates.values())
+    kept = {}
+    for r in rows:
+        kept[r["cluster"]] = kept.get(r["cluster"], 0) + r["kept"]
+    lo, hi = min(kept.values()), max(kept.values())
+    # binomial noise around a common expected count; generous bound
+    assert hi <= 2.5 * max(lo, 1), kept
+
+
+def test_cluster_balance_partitioning_independent(emb):
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=3)
+    a, _ = S.cluster_balance(emb, cents=cents)
+    b, _ = S.cluster_balance(emb.repartition(7), cents=cents)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_cluster_balance_explicit_shares_infeasible(emb):
+    """An explicit share on a cluster id that does not exist follows
+    mix_corpora's on_missing='error' contract."""
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    cents = kmeans_fit(emb, k=4, iters=2)
+    with pytest.raises(ValueError, match="positive mixture weight"):
+        S.cluster_balance(emb, cents=cents, shares={0: 0.5, 99: 0.5})
+
+
+def test_cluster_balance_fit_once_reuse(emb):
+    """cents= reuses a fitted quantizer: same centroids -> identical
+    decisions (fit-once / balance-many)."""
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=3)
+    a, ra = S.cluster_balance(emb, cents=cents)
+    b, rb = S.cluster_balance(emb, cents=cents)
+    assert ra == rb
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
