@@ -230,6 +230,7 @@ def cluster_balance(
     id_col: str = "vec_id",
     salt: str = "cbal",
     cents=None,
+    rates: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Cluster-balanced corpus selection: mix_corpora's scarcest-source
     rule with k-means embedding clusters as the stratification key —
@@ -251,22 +252,29 @@ def cluster_balance(
     decision is a pure function of md5(id || salt) — no shuffle,
     partitioning-independent, identical under restarts (the
     corpus_sample discipline). Pass ``cents`` to reuse a fitted
-    quantizer (fit-once / balance-many, the model= convention).
+    quantizer (fit-once / balance-many, the model= convention); pass
+    BOTH ``cents`` and ``rates`` and the whole call is a pure per-row
+    map with no aggregation — the stream-legal scoring half (fit on a
+    static corpus, balance the stream; asserted equal to batch in
+    tests/test_sampling.py).
     """
     from sgdnet_spark.operators.ivf import assign_lists, kmeans_fit
 
+    if rates is not None and cents is None:
+        raise ValueError("cluster_balance: rates= requires cents= (the same fit)")
     if cents is None:
         cents = kmeans_fit(df, k=k_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
     assigned = assign_lists(df, cents, vec_col, id_col).select(
         "id", F.col("list_id").cast("int").alias("cluster")
     )
-    counted = assigned.withColumn("__one", F.lit(1.0))
-    if shares is None:
-        present = sorted(
-            r["cluster"] for r in counted.select("cluster").distinct().collect()
-        )
-        shares = {int(c): 1.0 / len(present) for c in present}
-    rates = mix_rates(counted, "cluster", shares, weight_col="__one")
+    if rates is None:
+        counted = assigned.withColumn("__one", F.lit(1.0))
+        if shares is None:
+            present = sorted(
+                r["cluster"] for r in counted.select("cluster").distinct().collect()
+            )
+            shares = {int(c): 1.0 / len(present) for c in present}
+        rates = mix_rates(counted, "cluster", shares, weight_col="__one")
     kept = (hash_fraction("id", salt) < _rate_column("cluster", rates)).cast("int")
     return assigned.withColumn("kept", kept), rates
 

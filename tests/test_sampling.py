@@ -325,3 +325,40 @@ def test_cluster_balance_fit_once_reuse(emb):
     b, rb = S.cluster_balance(emb, cents=cents)
     assert ra == rb
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_cluster_balance_streaming_twin(spark, sf_dir, tmp_path, emb):
+    """Fit batch-side (cents + rates are tiny), balance a STREAM of the
+    same vectors: with cents= and rates= given the call is assignment
+    (a stateless Arrow map) + a pure keep expression, so it runs
+    unchanged under Structured Streaming. Streamed decisions == batch."""
+    import shutil
+
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=3)
+    batch, rates = S.cluster_balance(emb, cents=cents)
+    want = {tuple(r) for r in batch.collect()}
+
+    stage = tmp_path / "emb_stream"
+    stage.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", stage / "embeddings.parquet")
+    stream = spark.readStream.schema(emb.schema).format("parquet").load(str(stage))
+    scored, _ = S.cluster_balance(stream, cents=cents, rates=rates)
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cbal_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cbal_s").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_cluster_balance_rates_without_cents_raises(emb):
+    with pytest.raises(ValueError, match="requires cents"):
+        S.cluster_balance(emb, rates={0: 1.0})
