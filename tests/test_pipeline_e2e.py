@@ -191,3 +191,65 @@ def test_scrub_tier_composition(spark, sf_dir, corpus):
     pb = {tuple(r) for r in packed_b.select(
         "doc_id", "chunk_first", "chunk_offset", "chunk_last").collect()}
     assert pa == pb
+
+
+def test_embedding_tier_composition(spark, sf_dir):
+    """The EMBEDDING tier composes end to end: PCA-whiten the vectors
+    (fit once), cluster-balance IN WHITENED SPACE (k-means on whitened
+    vectors is Mahalanobis clustering of the originals), run SemDeDup
+    inside the balanced subset, and ANN-search the survivors with
+    IVF-PQ. Pins schema/id agreement across stages, that each stage
+    only shrinks the id universe, and that the chain is deterministic
+    under repartitioning."""
+    import numpy as np
+
+    from sgdnet_spark.operators import pq, similarity, whiten
+    from sgdnet_spark.operators import sampling as S
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n0 = emb.count()
+
+    # 1. whiten (fit once; decorrelated, unit-variance components)
+    mu, Wm, lam = whiten.fit_whitener(emb)
+    white = whiten.whiten(emb, mu, Wm).select(
+        F.col("id").alias("vec_id"), F.col("w").alias("embedding")
+    )
+    assert white.count() == n0
+
+    # 2. cluster-balance in whitened space
+    cents = kmeans_fit(white, k=8, iters=3)
+    decisions, rates = S.cluster_balance(white, cents=cents)
+    kept_ids = {r["id"] for r in decisions.filter(F.col("kept") == 1).collect()}
+    assert 0 < len(kept_ids) <= n0
+
+    # 3. SemDeDup within the balanced subset (original vectors — the
+    #    dedup criterion is raw cosine; the subset join is id-keyed)
+    subset = emb.join(
+        decisions.filter(F.col("kept") == 1).select(F.col("id").alias("vec_id")),
+        "vec_id",
+    )
+    sd = similarity.semdedup(subset, eps=0.55, k_clusters=4, iters=2)
+    survivors = {r["vec_id"] for r in sd.filter(F.col("kept") == 1).collect()}
+    assert survivors <= kept_ids and len(survivors) > 0
+
+    # 4. IVF-PQ ANN over the surviving corpus
+    surv = emb.join(
+        sd.filter(F.col("kept") == 1).select("vec_id"), "vec_id"
+    )
+    q = surv.limit(5)
+    nn = pq.ivfpq_topk(surv, q, k_neighbors=3, n_lists=4, nprobe=2, kmeans_iters=2)
+    rows = nn.collect()
+    assert len(rows) > 0
+    ids_in = {r["nbr_id"] for r in rows} | {r["query_id"] for r in rows}
+    assert ids_in <= survivors
+
+    # 5. determinism: the keep set is partitioning-independent
+    d2, _ = S.cluster_balance(
+        whiten.whiten(emb.repartition(7), mu, Wm).select(
+            F.col("id").alias("vec_id"), F.col("w").alias("embedding")
+        ),
+        cents=cents,
+    )
+    kept2 = {r["id"] for r in d2.filter(F.col("kept") == 1).collect()}
+    assert kept2 == kept_ids
