@@ -92,8 +92,9 @@ HEADLINERS_R8: list[str] = [
 # the r1-comparable set, and in their own round-robin after the r8 one
 # (same cache/JIT-pollution rationale).
 HEADLINERS_R10: list[str] = [
-    "corpus_prep",  # sample/pack/semdedup/bpe/rank/dsir/qfilter/fuzzy stages
+    "corpus_prep",  # sample/pack/semdedup/bpe/rank/dsir/qfilter/fuzzy/cbal/whiten
     "text_scrub",   # 8-stage scrub tier sharing one ExactSubstr detection
+    "ann_approx",   # lsh + ivf + ivfpq ANN paths (ivfpq new mid-round-10)
 ]
 
 
