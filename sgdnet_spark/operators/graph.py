@@ -244,3 +244,133 @@ def _pagerank_local(spark, ew: DataFrame, node_df: DataFrame, damping: float,
     return out_df.select(
         F.col("node").cast(dict(node_df.dtypes)["node"]).alias("node"), "rank"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 15,
+    nodes: DataFrame | None = None,
+    solver: str = "auto",
+    local_budget_edges: int = 2_000_000,
+) -> DataFrame:
+    """Weighted HITS hubs/authorities (Kleinberg 1999) — the OTHER
+    classic link-centrality prior a curation pipeline consumes: an
+    AUTHORITY is a source many good hubs cite (quality-by-citation);
+    a HUB cites many good authorities (a curator/aggregator signal).
+    Returns (node, hub, auth), each vector L2-normalized.
+
+    Per iteration (the standard mutually-recursive update, weighted):
+
+        auth(v) = Σ_{u→v} w(u,v)·hub(u)   then  auth /= ||auth||₂
+        hub(u)  = Σ_{u→v} w(u,v)·auth(v)  then  hub  /= ||hub||₂
+
+    starting from hub = 1/√n over the node universe. Like pagerank,
+    the fixed-iteration power update is value-checkable cross-engine:
+    normalization keeps scale pinned and the non-principal components
+    decay geometrically, so drift contracts. Edge aggregation, the
+    nodes= universe-widening contract, the collect-budget solver='auto'
+    split, the per-iteration localCheckpoint, and the both-solvers-
+    equal assertion all follow pagerank above.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if solver not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown solver {solver!r}")
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight:
+        cols.append(F.col(weight).cast("double").alias("w"))
+        agg = F.sum("w")
+    else:
+        agg = F.count("*").cast("double")
+    ew = edges.select(*cols).groupBy("src", "dst").agg(agg.alias("w"))
+    ew = ew.localCheckpoint(eager=True)
+    endpoints = (
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
+    )
+    if nodes is not None:
+        endpoints = endpoints.unionByName(nodes.toDF("node"))
+    node_df = endpoints.distinct()
+    if solver != "distributed":
+        n_edges = ew.count()
+        if solver == "local" or n_edges <= local_budget_edges:
+            return _hits_local(edges.sparkSession, ew, node_df, n_iter)
+
+    node_df = node_df.localCheckpoint(eager=True)
+    n = node_df.count()
+    hub = node_df.select("node", F.lit(1.0 / n**0.5).alias("s"))
+
+    def _half(vec: DataFrame, edge_from: str, edge_to: str) -> DataFrame:
+        """One weighted-sum + L2-normalize half-step: score flows from
+        ``edge_from`` endpoints to ``edge_to`` endpoints."""
+        raw = (
+            ew.join(vec, ew[edge_from] == vec.node)
+            .groupBy(edge_to)
+            .agg(F.sum(F.col("w") * F.col("s")).alias("r"))
+        )
+        out = node_df.join(
+            raw, node_df.node == raw[edge_to], "left"
+        ).select("node", F.coalesce(F.col("r"), F.lit(0.0)).alias("r"))
+        # 1-row scalar normalizer join (the pagerank dangling-mass shape);
+        # NULLIF-style guard: an edgeless graph keeps all-zero scores
+        nrm = out.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("z"))
+        return (
+            out.crossJoin(nrm)
+            .select(
+                "node",
+                F.when(F.col("z") > 0, F.col("r") / F.col("z"))
+                .otherwise(F.lit(0.0))
+                .alias("s"),
+            )
+            # constant-cost loop (the pagerank/BPE precedent)
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    return (
+        hub.select("node", F.col("s").alias("hub"))
+        .join(auth.select("node", F.col("s").alias("auth")), "node")
+    )
+
+
+def _hits_local(spark, ew: DataFrame, node_df: DataFrame, n_iter: int) -> DataFrame:
+    """Driver-side numpy HITS on the collected edge relation — the
+    identical update as the distributed loop (asserted equal in
+    tests); used under the pagerank collect budget."""
+    import numpy as np
+
+    edges = ew.collect()
+    node_rows = [r[0] for r in node_df.collect()]
+    idx = {v: i for i, v in enumerate(sorted(node_rows, key=str))}
+    n = len(idx)
+    if n == 0:
+        return node_df.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    si = np.array([idx[r_["src"]] for r_ in edges], dtype=np.int64)
+    ti = np.array([idx[r_["dst"]] for r_ in edges], dtype=np.int64)
+    w = np.array([r_["w"] for r_ in edges], dtype=np.float64)
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.zeros(n)
+    for _ in range(n_iter):
+        auth = np.zeros(n)
+        np.add.at(auth, ti, w * hub[si])
+        z = np.sqrt((auth**2).sum())
+        auth = auth / z if z > 0 else auth
+        hub = np.zeros(n)
+        np.add.at(hub, si, w * auth[ti])
+        z = np.sqrt((hub**2).sum())
+        hub = hub / z if z > 0 else hub
+    rows = [(v, float(hub[i]), float(auth[i])) for v, i in idx.items()]
+    out_df = spark.createDataFrame(rows, ["node", "hub", "auth"])
+    return out_df.select(
+        F.col("node").cast(dict(node_df.dtypes)["node"]).alias("node"),
+        "hub",
+        "auth",
+    )

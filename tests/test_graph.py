@@ -236,3 +236,98 @@ def test_teleport_random_graphs_match_numpy_replay(spark):
                 assert got[v] == pytest.approx(0.0, abs=1e-12), v
 
     run()
+
+
+# --- HITS hubs/authorities ---
+
+
+def test_hits_star_closed_form(spark):
+    """Two hubs citing one authority: auth(c) = 1, hub(a) = hub(b) =
+    1/sqrt(2), everything else 0 — the textbook fixed point, reached
+    exactly after one normalized iteration."""
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in G.hits(e, n_iter=3).collect()}
+    assert got["c"][1] == pytest.approx(1.0, abs=1e-12)
+    assert got["a"][0] == pytest.approx(1 / np.sqrt(2), abs=1e-12)
+    assert got["b"][0] == pytest.approx(1 / np.sqrt(2), abs=1e-12)
+    assert got["c"][0] == pytest.approx(0.0, abs=1e-12)
+    assert got["a"][1] == pytest.approx(0.0, abs=1e-12)
+
+
+def _hits_np(edges, universe, iters):
+    idx = {v: i for i, v in enumerate(sorted(universe, key=str))}
+    n = len(idx)
+    si = np.array([idx[s] for s, t, w in edges])
+    ti = np.array([idx[t] for s, t, w in edges])
+    w = np.array([w for s, t, w in edges], dtype=float)
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(iters):
+        auth = np.zeros(n)
+        np.add.at(auth, ti, w * hub[si])
+        z = np.sqrt((auth**2).sum())
+        auth = auth / z if z > 0 else auth
+        hub = np.zeros(n)
+        np.add.at(hub, si, w * auth[ti])
+        z = np.sqrt((hub**2).sum())
+        hub = hub / z if z > 0 else hub
+    return {v: (hub[i], auth[i]) for v, i in idx.items()}
+
+
+def test_hits_numpy_replay_and_solver_equality(spark):
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (2, 3, 1.0), (1, 3, 5.0), (4, 0, 2.0), (4, 3, 1.0),
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    want = _hits_np(edges, {0, 1, 2, 3, 4}, 7)
+    for solver in ("local", "distributed"):
+        got = {
+            r["node"]: (r["hub"], r["auth"])
+            for r in G.hits(e, weight="w", n_iter=7, solver=solver).collect()
+        }
+        for v, (h, a) in want.items():
+            assert got[v][0] == pytest.approx(h, abs=1e-9), (solver, v)
+            assert got[v][1] == pytest.approx(a, abs=1e-9), (solver, v)
+
+
+def test_hits_random_graphs_match_numpy_replay(spark):
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = int(rng.integers(4, 9))
+        m = int(rng.integers(n, 3 * n))
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n)),
+             float(rng.integers(1, 5)))
+            for _ in range(m)
+        ]
+        e = spark.createDataFrame(edges, ["src", "dst", "w"])
+        universe = {s for s, *_ in edges} | {t for _, t, _ in edges}
+        want = _hits_np(edges, universe, 6)
+        got = {
+            r["node"]: (r["hub"], r["auth"])
+            for r in G.hits(e, weight="w", n_iter=6).collect()
+        }
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v][0] == pytest.approx(want[v][0], abs=1e-9), trial
+            assert got[v][1] == pytest.approx(want[v][1], abs=1e-9), trial
+
+
+def test_hits_nodes_widening_and_edgeless(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    extra = spark.createDataFrame([("z",)], ["node"])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in G.hits(e, nodes=extra, n_iter=2).collect()}
+    assert set(got) == {"a", "b", "z"}
+    assert got["z"] == (0.0, 0.0)
+    # edgeless graph: well-defined all-zero scores, no div-by-zero
+    empty = spark.createDataFrame([], "src string, dst string")
+    z = G.hits(empty, nodes=extra, n_iter=2, solver="distributed").collect()
+    assert [(r["hub"], r["auth"]) for r in z] == [(0.0, 0.0)]
+
+
+def test_hits_validation(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="n_iter"):
+        G.hits(e, n_iter=0)
+    with pytest.raises(ValueError, match="solver"):
+        G.hits(e, solver="nope")
