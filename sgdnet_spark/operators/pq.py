@@ -250,6 +250,22 @@ def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -
     )
 
 
+def _train_frame(df: DataFrame, train_frac: float | None, id_col: str) -> DataFrame:
+    """Deterministic md5-fraction training sample (the sampling.py
+    recipe): quantizer TRAINING is statistics estimation, so at 100 TB
+    it runs on a hash-sample instead of scanning the corpus once per
+    Lloyd iteration — FAISS's train-on-subsample convention. Encoding /
+    search still cover every vector. Reproducible and
+    partitioning-independent by construction."""
+    if train_frac is None or train_frac >= 1.0:
+        return df
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
+    from sgdnet_spark.operators.sampling import hash_fraction
+
+    return df.filter(hash_fraction(id_col, "pqtrain") < F.lit(float(train_frac)))
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -260,6 +276,7 @@ def ivfpq_topk(
     ksub: int = 16,
     refine: int = 10,
     kmeans_iters: int = 5,
+    train_frac: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -270,10 +287,14 @@ def ivfpq_topk(
     per-candidate score = m table lookups (one Arrow pass over the
     probed fraction of the corpus) → per-query top k·refine by
     (approx desc, id asc) → exact cosine re-rank of that candidate set
-    against the true vectors via one broadcast join.
+    against the true vectors via one broadcast join. ``train_frac``
+    fits both quantizers on a deterministic hash-sample (the 100 TB
+    knob: training passes scan frac·corpus, encode/search still cover
+    everything).
     """
-    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    books = pq_fit(df, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    tr = _train_frame(df, train_frac, id_col)
+    cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     coded = _encode_lists(assign_lists(df, cents, vec_col, id_col), books)
 
     q_rows = _collect_queries(queries, vec_col, id_col)
@@ -292,6 +313,7 @@ def write_pq_index(
     m: int = 8,
     ksub: int = 16,
     kmeans_iters: int = 5,
+    train_frac: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -303,10 +325,13 @@ def write_pq_index(
     ``path/codebooks`` the tiny model relations. A probe reads
     nprobe/n_lists of the CODES via partition pruning (PartitionFilters
     in the plan, asserted in tests) — at 100 TB the ADC scan cost is
-    nprobe/n_lists × corpus/32.
+    nprobe/n_lists × corpus/32. ``train_frac`` fits both quantizers on
+    a deterministic hash-sample (training scans frac·corpus; the
+    written index still encodes every vector).
     """
-    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    books = pq_fit(df, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    tr = _train_frame(df, train_frac, id_col)
+    cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     lists = assign_lists(df, cents, vec_col, id_col)
     _encode_lists(lists, books).write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"

@@ -187,3 +187,23 @@ def test_pq_indexed_empty_queries(spark, emb, tmp_path):
     got, pruned = pq.pq_topk_indexed(spark, path, emb.filter(F.lit(False)), k_neighbors=3)
     assert got.count() == 0
     assert pruned.count() == 0
+
+
+def test_train_frac_subsample_recall_and_validation(spark, emb, q):
+    """Quantizers trained on a deterministic half-sample still clear
+    the recall floor (training is statistics estimation — the 100 TB
+    knob); the sample is md5-deterministic so results are reproducible;
+    out-of-range fractions are rejected."""
+    bf = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    a = pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3, train_frac=0.5)
+    got = {(r["query_id"], r["nbr_id"]) for r in a.collect()}
+    assert len(got & bf) / len(bf) >= 0.6
+    b = pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3, train_frac=0.5)
+    assert {tuple(r) for r in b.collect()} == {
+        tuple(r) for r in a.collect()
+    }
+    with pytest.raises(ValueError, match="train_frac"):
+        pq.ivfpq_topk(emb, q, train_frac=0.0)
