@@ -71,10 +71,15 @@ def test_source_rank_entry_shape(spark, sf_dir):
     df = SUBQUERIES["source_rank"](spark, sf_dir)
     rows = df.collect()
     assert df.columns == ["mode", "source", "in_w", "rank"]
-    assert len(rows) == 40  # one row per source per teleport mode
+    # one row per source per mode: pr/ppr teleports + hits hub/auth
+    assert len(rows) == 80
+    assert {r["mode"] for r in rows} == {"pr", "ppr", "hub", "auth"}
     for mode in ("pr", "ppr"):
         total = sum(r["rank"] for r in rows if r["mode"] == mode)
         assert total == pytest.approx(1.0, abs=1e-4), mode  # 6dp rounding
+    for mode in ("hub", "auth"):  # HITS is L2-normalized, not L1
+        sq = sum(r["rank"] ** 2 for r in rows if r["mode"] == mode)
+        assert sq == pytest.approx(1.0, abs=1e-4), mode
     assert sum(r["in_w"] for r in rows) > 0
     # the personalized stage concentrates rank on its seed set (the 3
     # lexicographically-first sources)
