@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sgdnet_spark.operators.ivf import _collect_vec, _vec_frame, assign_lists, kmeans_fit
+from sgdnet_spark.operators.ivf import _collect_vec, _vec_frame, kmeans_fit
 
 
 def _normalize(V: np.ndarray) -> np.ndarray:
@@ -146,20 +146,37 @@ def adc_tables(Q: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.einsum("qsd,skd->qsk", Qn, books).reshape(len(Q), m * ksub)
 
 
-def _encode_lists(lists: DataFrame, books: np.ndarray) -> DataFrame:
-    """(id, list_id, code) from assign_lists output — the compressed
-    inverted lists."""
+def _assign_encode(
+    df: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    keep_v: bool = False,
+) -> DataFrame:
+    """(id, list_id, code[, v]) — coarse assignment AND PQ encoding in
+    ONE Arrow pass over the corpus (a separate assign → encode chain
+    would run two Python passes for one logical map)."""
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _normalize(np.stack(pdf["v"].to_numpy()))
-            yield pd.DataFrame(
-                {"id": pdf["id"], "list_id": pdf["list_id"], "code": list(encode_np(V, books))}
-            )
+            V = np.stack(pdf["v"].to_numpy())
+            d2 = (V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]
+            out = {
+                "id": pdf["id"],
+                "list_id": d2.argmin(1).astype(np.int64),
+                "code": list(encode_np(_normalize(V), books)),
+            }
+            if keep_v:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
 
-    return lists.mapInPandas(enc, schema="id long, list_id long, code array<bigint>")
+    schema = "id long, list_id long, code array<bigint>" + (
+        ", v array<double>" if keep_v else ""
+    )
+    return _vec_frame(df, vec_col, id_col).mapInPandas(run, schema=schema)
 
 
 def _collect_queries(queries: DataFrame, vec_col: str, id_col: str) -> list:
@@ -295,7 +312,7 @@ def ivfpq_topk(
     tr = _train_frame(df, train_frac, id_col)
     cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    coded = _encode_lists(assign_lists(df, cents, vec_col, id_col), books)
+    coded = _assign_encode(df, cents, books, vec_col, id_col)
 
     q_rows = _collect_queries(queries, vec_col, id_col)
     spark = df.sparkSession
@@ -332,11 +349,17 @@ def write_pq_index(
     tr = _train_frame(df, train_frac, id_col)
     cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    lists = assign_lists(df, cents, vec_col, id_col)
-    _encode_lists(lists, books).write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/codes"
+    # assign+encode once, reuse for BOTH writes (localCheckpoint: the
+    # second write must not re-run the assignment map over the corpus)
+    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).localCheckpoint(
+        eager=False
     )
-    lists.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
+    coded.select("id", "list_id", "code").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+    coded.select("id", "list_id", "v").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/vectors")
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(

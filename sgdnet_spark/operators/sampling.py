@@ -167,24 +167,33 @@ def mix_corpora(
     return df.filter(u < rate), rates
 
 
-def mix_rates(
-    df: DataFrame,
-    source_col: str,
-    weights: dict,
-    weight_col: str = "n_chars",
-    on_missing: str = "error",
-) -> dict:
-    """Per-source keep rates for ``mix_corpora``'s scarcest-source rule
-    (T = min_s available_s / w_s; rate_s = w_s · T / available_s) —
-    factored out so cluster_balance can reuse the identical algebra
-    keyed on a cluster column. ONE aggregation; k-entry driver dict."""
-    avail = {
+def _avail_totals(df: DataFrame, source_col: str, weight_col: str) -> dict:
+    """Per-source positive weight totals: ONE map-side-combined
+    aggregation to a k-entry driver dict."""
+    return {
         r[source_col]: r["t"]
         for r in df.groupBy(source_col).agg(F.sum(F.col(weight_col)).alias("t")).collect()
         # SUM over an all-NULL group is NULL; a NULL/zero total means the
         # source has no usable weight — treat it as absent
         if r["t"] is not None and r["t"] > 0
     }
+
+
+def mix_rates(
+    df: DataFrame,
+    source_col: str,
+    weights: dict,
+    weight_col: str = "n_chars",
+    on_missing: str = "error",
+    avail: dict | None = None,
+) -> dict:
+    """Per-source keep rates for ``mix_corpora``'s scarcest-source rule
+    (T = min_s available_s / w_s; rate_s = w_s · T / available_s) —
+    factored out so cluster_balance can reuse the identical algebra
+    keyed on a cluster column. ONE aggregation (skipped when the caller
+    already holds the ``avail`` totals); k-entry driver dict."""
+    if avail is None:
+        avail = _avail_totals(df, source_col, weight_col)
     if on_missing not in ("error", "skip"):
         raise ValueError(f"on_missing must be 'error' or 'skip', got {on_missing!r}")
     missing = sorted(s for s, w in weights.items() if w > 0 and s not in avail)
@@ -269,12 +278,13 @@ def cluster_balance(
     )
     if rates is None:
         counted = assigned.withColumn("__one", F.lit(1.0))
+        # ONE count aggregation serves both the uniform-share universe
+        # and the rate fit (a separate distinct() would re-run the
+        # assignment map over the corpus just to list cluster ids)
+        avail = _avail_totals(counted, "cluster", "__one")
         if shares is None:
-            present = sorted(
-                r["cluster"] for r in counted.select("cluster").distinct().collect()
-            )
-            shares = {int(c): 1.0 / len(present) for c in present}
-        rates = mix_rates(counted, "cluster", shares, weight_col="__one")
+            shares = {int(c): 1.0 / len(avail) for c in avail}
+        rates = mix_rates(counted, "cluster", shares, weight_col="__one", avail=avail)
     kept = (hash_fraction("id", salt) < _rate_column("cluster", rates)).cast("int")
     return assigned.withColumn("kept", kept), rates
 
