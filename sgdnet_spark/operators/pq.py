@@ -376,6 +376,36 @@ def write_pq_index(
     return cents, books
 
 
+def append_pq_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a written IVF-PQ index WITHOUT
+    retraining or rebuilding: the stored centroids/codebooks encode the
+    new batch (one fused Arrow pass) and the rows append into the
+    existing list_id partition directories — the daily-ingest shape at
+    corpus scale, where re-encoding 100 TB for a 0.1% delta is not an
+    option. Quantizers are statistics; they serve new data of the same
+    distribution (FAISS's add-after-train contract). Searches see the
+    union immediately (append-mode parquet)."""
+    from sgdnet_spark.operators.ivf import load_centroids
+
+    cents = load_centroids(spark, path)
+    books = load_codebooks(spark, path)
+    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).localCheckpoint(
+        eager=False
+    )
+    coded.select("id", "list_id", "code").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+    coded.select("id", "list_id", "v").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/vectors")
+
+
 def load_codebooks(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
     m = max(r["sub"] for r in rows) + 1

@@ -207,3 +207,40 @@ def test_train_frac_subsample_recall_and_validation(spark, emb, q):
     }
     with pytest.raises(ValueError, match="train_frac"):
         pq.ivfpq_topk(emb, q, train_frac=0.0)
+
+
+def test_append_pq_index_matches_rebuild(spark, emb, q, tmp_path):
+    """Build the index from half the corpus, append the other half:
+    searches over the appended index equal a full build that used the
+    SAME quantizers (train on the first half in both cases) — append
+    changes WHERE rows land, never how they are encoded."""
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    p_inc = str(tmp_path / "pq_inc")
+    pq.write_pq_index(lo, p_inc, n_lists=8, kmeans_iters=5)
+    pq.append_pq_index(spark, p_inc, hi)
+    got, _ = pq.pq_topk_indexed(spark, p_inc, q, k_neighbors=5, nprobe=3)
+
+    # full rebuild with quantizers trained on the SAME subset (lo):
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    cents = kmeans_fit(lo, k=8, iters=5)
+    books = pq.pq_fit(lo, m=8, ksub=16, iters=5)
+    coded = pq._assign_encode(emb, cents, books, "embedding", "vec_id")
+    probes, _ = pq._probe_frame(
+        spark, pq._collect_queries(q, "embedding", "vec_id"), cents, books, 3
+    )
+    cands = pq._adc_candidates(coded, probes, 8, 16, 50)
+    from sgdnet_spark.operators.ivf import _vec_frame
+
+    want = pq._exact_rerank(
+        _vec_frame(emb, "embedding", "vec_id"),
+        cands,
+        pq._collect_queries(q, "embedding", "vec_id"),
+        5,
+    )
+    a = {(r["query_id"], r["nbr_id"], r["cos"]) for r in got.collect()}
+    b = {(r["query_id"], r["nbr_id"], r["cos"]) for r in want.collect()}
+    assert a == b
+    # appended vectors are actually searchable
+    assert any(n >= 250 for _, n, _ in a)
