@@ -439,6 +439,27 @@ def pq_topk_indexed(
 
     cents = load_centroids(spark, path)
     books = load_codebooks(spark, path)
+    return _topk_indexed_with_model(
+        spark, path, queries, cents, books, k_neighbors, nprobe, refine,
+        vec_col, id_col,
+    )
+
+
+def _topk_indexed_with_model(
+    spark,
+    path: str,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k_neighbors: int,
+    nprobe: int,
+    refine: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """pq_topk_indexed with preloaded quantizers — the repeated-probe
+    path (streaming serving loads centroids/codebooks ONCE, then probes
+    per micro-batch)."""
     m, ksub, _ = books.shape
     q_rows = _collect_queries(queries, vec_col, id_col)
     if not q_rows:

@@ -512,3 +512,51 @@ def test_streaming_audiofp_neardup_matches_batch(spark):
     got = {tuple(r) for r in spark.sql("SELECT DISTINCT * FROM audiofp_s").collect()}
     want = {tuple(r) for r in A.audio_neardup_pairs(static, max_hamming=6).collect()}
     assert got == want and len(got) >= 3
+
+
+def test_pq_stream_serving_matches_batch(spark, sf_dir, tmp_path):
+    """ANN query serving on a stream: queries arrive as TWO parquet
+    files; PqStreamServer probes the persisted IVF-PQ index per
+    micro-batch via foreachBatch (quantizers loaded once). The union of
+    streamed answers equals one batch probe of all queries — each
+    query's answer depends only on the static index, so batching is
+    invisible."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import pq
+    from sgdnet_spark.streaming.ann_stream import PqStreamServer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "pq_idx")
+    pq.write_pq_index(emb, idx, n_lists=8, kmeans_iters=5)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    want_df, _ = pq.pq_topk_indexed(spark, idx, queries, k_neighbors=5, nprobe=3)
+    want = {tuple(r) for r in want_df.collect()}
+
+    # the file-stream source wants FLAT files: write each split to a
+    # scratch dir, move its part-file into the watched dir
+    import glob
+    import shutil
+
+    stage = tmp_path / "qstream"
+    stage.mkdir()
+    for name, cond in (("a", "vec_id < 5"), ("b", "vec_id >= 5")):
+        scratch = str(tmp_path / f"scratch_{name}")
+        queries.filter(cond).coalesce(1).write.parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, str(stage / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .load(str(stage))
+    )
+    server = PqStreamServer(spark, idx, k_neighbors=5, nprobe=3)
+    q = stream.writeStream.foreachBatch(server.respond).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in server.results}
+    assert got == want and len(got) == 50
