@@ -301,6 +301,10 @@ def hits(
 
     node_df = node_df.localCheckpoint(eager=True)
     n = node_df.count()
+    if n == 0:  # empty universe: match _hits_local's graceful empty
+        return node_df.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
     hub = node_df.select("node", F.lit(1.0 / n**0.5).alias("s"))
 
     def _half(vec: DataFrame, edge_from: str, edge_to: str) -> DataFrame:

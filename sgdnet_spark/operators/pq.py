@@ -274,10 +274,12 @@ def _train_frame(df: DataFrame, train_frac: float | None, id_col: str) -> DataFr
     Lloyd iteration — FAISS's train-on-subsample convention. Encoding /
     search still cover every vector. Reproducible and
     partitioning-independent by construction."""
-    if train_frac is None or train_frac >= 1.0:
+    if train_frac is None:
         return df
-    if not 0.0 < train_frac < 1.0:
+    if not 0.0 < train_frac <= 1.0:
         raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
+    if train_frac == 1.0:
+        return df
     from sgdnet_spark.operators.sampling import hash_fraction
 
     return df.filter(hash_fraction(id_col, "pqtrain") < F.lit(float(train_frac)))
@@ -349,17 +351,21 @@ def write_pq_index(
     tr = _train_frame(df, train_frac, id_col)
     cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    # assign+encode once, reuse for BOTH writes (localCheckpoint: the
-    # second write must not re-run the assignment map over the corpus)
-    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).localCheckpoint(
-        eager=False
-    )
-    coded.select("id", "list_id", "code").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/codes")
-    coded.select("id", "list_id", "v").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/vectors")
+    # assign+encode once, reuse for BOTH writes. persist, NOT
+    # localCheckpoint: this relation is corpus-sized (raw vectors
+    # included) — checkpoint would truncate lineage, so a lost executor
+    # block between the two writes kills the job; persist keeps the
+    # assignment map recomputable for exactly the blocks that vanish
+    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).persist()
+    try:
+        coded.select("id", "list_id", "code").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/codes")
+        coded.select("id", "list_id", "v").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/vectors")
+    finally:
+        coded.unpersist()
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(
@@ -395,15 +401,18 @@ def append_pq_index(
 
     cents = load_centroids(spark, path)
     books = load_codebooks(spark, path)
-    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).localCheckpoint(
-        eager=False
-    )
-    coded.select("id", "list_id", "code").write.mode("append").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/codes")
-    coded.select("id", "list_id", "v").write.mode("append").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/vectors")
+    # persist, not localCheckpoint — same recovery rationale as
+    # write_pq_index (the batch may itself be large)
+    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).persist()
+    try:
+        coded.select("id", "list_id", "code").write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/codes")
+        coded.select("id", "list_id", "v").write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/vectors")
+    finally:
+        coded.unpersist()
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:

@@ -328,6 +328,10 @@ def test_hits_nodes_widening_and_edgeless(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     z = G.hits(empty, nodes=extra, n_iter=2, solver="distributed").collect()
     assert [(r["hub"], r["auth"]) for r in z] == [(0.0, 0.0)]
+    # fully empty universe: both solvers return an empty frame (the
+    # distributed init must not divide by sqrt(0))
+    for solver in ("local", "distributed"):
+        assert G.hits(empty, n_iter=1, solver=solver).collect() == []
 
 
 def test_hits_validation(spark):

@@ -207,6 +207,11 @@ def test_train_frac_subsample_recall_and_validation(spark, emb, q):
     }
     with pytest.raises(ValueError, match="train_frac"):
         pq.ivfpq_topk(emb, q, train_frac=0.0)
+    # > 1 is an error, not silent full-corpus training; exactly 1.0 is
+    # the explicit full-corpus form
+    with pytest.raises(ValueError, match="train_frac"):
+        pq.ivfpq_topk(emb, q, train_frac=5)
+    assert pq._train_frame(emb, 1.0, "vec_id") is emb
 
 
 def test_append_pq_index_matches_rebuild(spark, emb, q, tmp_path):
