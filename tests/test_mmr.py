@@ -1,0 +1,114 @@
+"""MMR diverse re-ranking (operators/mmr.py): exact python replay,
+λ=1 ≡ plain top-k, diversity actually increases, selection-order
+column, composition with IVF-PQ candidates, and validation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import mmr, pq, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def q(emb):
+    return emb.filter(F.col("vec_id") < 6)
+
+
+def _np_corpus(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    V = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def test_mmr_matches_python_replay(spark, emb, q):
+    """Distributed MMR == driver replay over the same brute-force
+    pools, selection order included."""
+    ids, V = _np_corpus(emb)
+    by_id = {int(i): V[j] for j, i in enumerate(ids)}
+    pools = {}
+    for r in similarity.brute_force_topk(emb, q, k=25).collect():
+        pools.setdefault(r["query_id"], []).append(r["nbr_id"])
+    want = set()
+    for r in sorted(q.collect(), key=lambda r: r["vec_id"]):
+        qid = r["vec_id"]
+        cand = np.asarray(pools[qid])
+        chosen = mmr.mmr_select_np(
+            np.asarray(r["embedding"], dtype=np.float64),
+            cand,
+            np.stack([by_id[int(c)] for c in cand]),
+            5,
+            0.7,
+        )
+        for s, c in enumerate(chosen, 1):
+            want.add((qid, c, s))
+    got = {
+        (r["query_id"], r["nbr_id"], r["sel"])
+        for r in mmr.mmr_topk(emb, q, k_neighbors=5, lam=0.7, pool=25).collect()
+    }
+    assert got == want
+
+
+def test_lambda_one_is_plain_topk(spark, emb, q):
+    """λ=1 removes the redundancy term: MMR order == cosine top-k
+    order (ties by id on both sides)."""
+    plain = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    diverse = {
+        (r["query_id"], r["nbr_id"])
+        for r in mmr.mmr_topk(emb, q, k_neighbors=5, lam=1.0, pool=25).collect()
+    }
+    assert diverse == plain
+
+
+def test_diversity_increases(spark, emb, q):
+    """λ<1 lowers the mean pairwise similarity of each result set vs
+    plain top-k (averaged across queries — the property MMR exists
+    for)."""
+    ids, V = _np_corpus(emb)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    by_id = {int(i): Vn[j] for j, i in enumerate(ids)}
+
+    def mean_pairwise(result):
+        sims = []
+        groups = {}
+        for r in result:
+            groups.setdefault(r["query_id"], []).append(r["nbr_id"])
+        for g in groups.values():
+            M = np.stack([by_id[int(i)] for i in g])
+            S = M @ M.T
+            iu = np.triu_indices(len(g), 1)
+            sims.append(S[iu].mean())
+        return float(np.mean(sims))
+
+    plain = similarity.brute_force_topk(emb, q, k=5).collect()
+    diverse = mmr.mmr_topk(emb, q, k_neighbors=5, lam=0.3, pool=25).collect()
+    assert mean_pairwise(diverse) < mean_pairwise(plain)
+
+
+def test_compose_with_ivfpq_pool(spark, emb, q):
+    """MMR re-ranks ANY candidate source: an IVF-PQ pool flows through
+    mmr_rerank — selected ids stay within the pool, one rank per row."""
+    cands = pq.ivfpq_topk(emb, q, k_neighbors=25, n_lists=8, nprobe=3)
+    out = mmr.mmr_rerank(cands, emb, q, k_neighbors=5, lam=0.5).collect()
+    pool_ids = {(r["query_id"], r["nbr_id"]) for r in cands.collect()}
+    assert {(r["query_id"], r["nbr_id"]) for r in out} <= pool_ids
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["sel"])
+    for sels in per_q.values():
+        assert sorted(sels) == list(range(1, len(sels) + 1))
+
+
+def test_validation_and_empty(spark, emb, q):
+    with pytest.raises(ValueError, match="lam"):
+        mmr.mmr_topk(emb, q, lam=1.5)
+    empty = emb.filter(F.lit(False))
+    assert mmr.mmr_topk(emb, empty, k_neighbors=3).count() == 0
