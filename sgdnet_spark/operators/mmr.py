@@ -86,8 +86,10 @@ def mmr_rerank(
     qdf = _vec_frame(queries, vec_col, id_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
+    # candidates and queries broadcast (pool-sized); the corpus scan
+    # stays shuffle-free — the _exact_rerank join shape
     pool = (
-        cands.join(base, cands["nbr_id"] == base["id"])
+        base.join(F.broadcast(cands), base["id"] == cands["nbr_id"])
         .join(F.broadcast(qdf), "query_id")
         .select("query_id", "nbr_id", "cos", "v", "qv")
     )
