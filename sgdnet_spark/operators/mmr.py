@@ -34,9 +34,10 @@ from sgdnet_spark.operators.ivf import _vec_frame
 
 def mmr_select_np(
     qv: np.ndarray, cand_ids: np.ndarray, cand_vs: np.ndarray, k: int, lam: float
-) -> list[int]:
+) -> list:
     """Greedy MMR over one candidate pool; returns selected ids in
-    selection order. Deterministic: ties by smallest id."""
+    selection order. Deterministic: ties by smallest id. Ids are
+    returned as-is (any orderable type)."""
     n = len(cand_ids)
     if n == 0:
         return []
@@ -58,7 +59,7 @@ def mmr_select_np(
             score = lam * rel[j] - (1.0 - lam) * red
             if best_score is None or score > best_score + 1e-15:
                 best_j, best_score = j, score
-        selected.append(int(ids[best_j]))
+        selected.append(ids[best_j])
         sel_idx.append(best_j)
         remaining.remove(best_j)
     return selected
@@ -77,22 +78,24 @@ def mmr_rerank(
     the MMR-selected k out, with ``sel`` the 1-based selection order.
 
     ``cands`` is any ANN result (brute_force_topk / ivf_topk /
-    ivfpq_topk output with a larger k as the pool); candidate and
-    query vectors join in from ``df``/``queries`` — candidate-pool-
-    sized joins, one Arrow group per query for the greedy sweep."""
+    ivfpq_topk output with a larger k as the pool); duplicate
+    (query_id, nbr_id) rows — e.g. a pool unioned from two candidate
+    sources — are deduplicated, so a neighbor can be selected at most
+    once. Candidate and query vectors join in from ``df``/``queries``
+    — candidate-pool-sized joins, one Arrow group per query for the
+    greedy sweep. Ids may be any orderable type (the id column's type
+    is preserved)."""
+    from sgdnet_spark.operators.pq import _pool_join
+
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cands = cands.dropDuplicates(["query_id", "nbr_id"])
     base = _vec_frame(df, vec_col, id_col)
     qdf = _vec_frame(queries, vec_col, id_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
-    # candidates and queries broadcast (pool-sized); the corpus scan
-    # stays shuffle-free — the _exact_rerank join shape
-    pool = (
-        base.join(F.broadcast(cands), base["id"] == cands["nbr_id"])
-        .join(F.broadcast(qdf), "query_id")
-        .select("query_id", "nbr_id", "cos", "v", "qv")
-    )
+    pool = _pool_join(base, cands, qdf, ["query_id", "nbr_id", "cos", "v", "qv"])
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -106,7 +109,7 @@ def mmr_rerank(
         cos_by_id = dict(zip(pdf["nbr_id"], pdf["cos"]))
         return pd.DataFrame(
             {
-                "query_id": [int(pdf["query_id"].iloc[0])] * len(chosen),
+                "query_id": [pdf["query_id"].iloc[0]] * len(chosen),
                 "nbr_id": chosen,
                 "cos": [cos_by_id[c] for c in chosen],
                 "sel": list(range(1, len(chosen) + 1)),
@@ -114,7 +117,7 @@ def mmr_rerank(
         )
 
     return pool.groupBy("query_id").applyInPandas(
-        run, schema="query_id long, nbr_id long, cos double, sel int"
+        run, schema=f"query_id {id_type}, nbr_id {id_type}, cos double, sel int"
     )
 
 
@@ -132,6 +135,8 @@ def mmr_topk(
     the approximate scale paths), then the greedy MMR sweep."""
     from sgdnet_spark.operators.similarity import brute_force_topk
 
+    if not 0.0 <= lam <= 1.0:  # validate BEFORE launching any job
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
     cands = brute_force_topk(df, queries, k=pool, vec_col=vec_col, id_col=id_col)
     return mmr_rerank(
         cands, df, queries, k_neighbors=k_neighbors, lam=lam,

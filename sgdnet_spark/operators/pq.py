@@ -231,6 +231,17 @@ def _adc_candidates(
     )
 
 
+def _pool_join(base: DataFrame, cands: DataFrame, qdf: DataFrame, cols: list) -> DataFrame:
+    """Candidate-pool vector join, shared by the PQ exact re-rank and
+    MMR: the pool-sized candidate and query relations broadcast, the
+    corpus vector scan stays shuffle-free."""
+    return (
+        base.join(F.broadcast(cands), base["id"] == cands["nbr_id"])
+        .join(F.broadcast(qdf), "query_id")
+        .select(*cols)
+    )
+
+
 def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -> DataFrame:
     """Exact cosine over the (nq·pool)-sized candidate set — both the
     candidate ids and the query vectors broadcast; quantization error
@@ -240,11 +251,7 @@ def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -
         [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in q_rows],
         "query_id long, qv array<double>",
     )
-    pairs = (
-        base.join(F.broadcast(cands), base["id"] == cands["nbr_id"])
-        .join(F.broadcast(qdf), "query_id")
-        .select("query_id", "id", "v", "qv")
-    )
+    pairs = _pool_join(base, cands, qdf, ["query_id", "id", "v", "qv"])
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -112,3 +112,30 @@ def test_validation_and_empty(spark, emb, q):
         mmr.mmr_topk(emb, q, lam=1.5)
     empty = emb.filter(F.lit(False))
     assert mmr.mmr_topk(emb, empty, k_neighbors=3).count() == 0
+
+
+def test_duplicate_candidates_deduped(spark, emb, q):
+    """A pool unioned from two sources sharing neighbors must not
+    select the same neighbor twice."""
+    c1 = similarity.brute_force_topk(emb, q, k=10)
+    out = mmr.mmr_rerank(c1.unionByName(c1), emb, q, k_neighbors=5, lam=1.0).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["nbr_id"])
+    for nbrs in per_q.values():
+        assert len(nbrs) == len(set(nbrs))
+
+
+def test_string_ids_supported(spark):
+    """Non-integral id columns flow through: the output id type follows
+    the input (brute_force_topk's join branch + a string-typed Arrow
+    schema)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(f"doc{i:02d}", [float(x) for x in rng.normal(size=4)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    q = df.limit(2)
+    out = mmr.mmr_topk(df, q, k_neighbors=3, lam=0.5, pool=8).collect()
+    assert len(out) == 6
+    assert all(isinstance(r["nbr_id"], str) for r in out)
