@@ -560,3 +560,94 @@ def test_pq_stream_serving_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     got = {tuple(r) for r in server.results}
     assert got == want and len(got) == 50
+
+
+def test_online_kmeans_single_batch_equals_one_lloyd_iteration(spark, sf_dir):
+    """Deterministic init + one running-mean fold over a single batch
+    == kmeans_fit(iters=1) on the same frame (counts start at zero, so
+    the running mean IS the batch mean of each centroid's assignees)."""
+    import numpy as np
+
+    from sgdnet_spark.operators.ivf import kmeans_fit
+    from sgdnet_spark.streaming.online_kmeans import OnlineKMeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = OnlineKMeans(k=8)
+    model.update(emb)
+    want = kmeans_fit(emb, k=8, iters=1)
+    assert np.allclose(model.centroids, want, atol=1e-12)
+
+
+def test_online_kmeans_two_batch_numpy_replay(spark):
+    """Two sequential updates replay exactly in numpy (assignment under
+    the centroids current at each batch, running-mean fold)."""
+    import numpy as np
+
+    from sgdnet_spark.streaming.online_kmeans import OnlineKMeans
+
+    rng = np.random.default_rng(11)
+    b1 = rng.normal(size=(30, 4))
+    b2 = rng.normal(size=(25, 4)) + 2.0
+    df1 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(b1)],
+        "vec_id long, embedding array<float>",
+    )
+    df2 = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(b2)],
+        "vec_id long, embedding array<float>",
+    )
+    model = OnlineKMeans(k=4)
+    model.update(df1, 0)
+    model.update(df2, 1)
+
+    # replay: float32 storage round-trip first (array<float> column)
+    B1 = b1.astype(np.float32).astype(np.float64)
+    B2 = b2.astype(np.float32).astype(np.float64)
+    cents = B1[:4].copy()
+    counts = np.zeros(4)
+    for B in (B1, B2):
+        d2 = (B**2).sum(1)[:, None] - 2 * B @ cents.T + (cents**2).sum(1)[None, :]
+        a = d2.argmin(1)
+        cnt = np.array([(a == c).sum() for c in range(4)], dtype=float)
+        s = np.stack([B[a == c].sum(0) if (a == c).any() else np.zeros(4) for c in range(4)])
+        new_n = counts + cnt
+        cents = cents + np.where(
+            cnt[:, None] > 0, (s - cnt[:, None] * cents) / np.maximum(new_n[:, None], 1), 0.0
+        )
+        counts = new_n
+    assert np.allclose(model.centroids, cents, atol=1e-9)
+    assert np.allclose(model.counts, counts)
+
+
+def test_online_kmeans_stream_and_downstream(spark, sf_dir, tmp_path):
+    """foreachBatch wiring: a single-file stream folds once; the
+    resulting centroids drive cluster_balance(cents=) identically to a
+    batch model.update on the same data. Empty batches are no-ops."""
+    import shutil
+
+    import numpy as np
+
+    from sgdnet_spark.operators import sampling
+    from sgdnet_spark.streaming.online_kmeans import OnlineKMeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stage = tmp_path / "vstream"
+    stage.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", stage / "v.parquet")
+    stream = spark.readStream.schema(emb.schema).format("parquet").load(str(stage))
+    streamed = OnlineKMeans(k=8)
+    q = stream.writeStream.foreachBatch(streamed.update).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = OnlineKMeans(k=8)
+    batch.update(emb)
+    assert np.allclose(streamed.centroids, batch.centroids, atol=1e-12)
+    a, _ = sampling.cluster_balance(emb, cents=streamed.centroids)
+    b, _ = sampling.cluster_balance(emb, cents=batch.centroids)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    # empty update is a no-op
+    before = streamed.centroids.copy()
+    streamed.update(emb.filter("vec_id < 0"))
+    assert np.allclose(streamed.centroids, before)
