@@ -21,11 +21,19 @@ Spark shapes, mirroring ivf.py's sufficient-statistic discipline:
   subspace).
 - ``pq_encode`` is a pure per-row Arrow map, zero shuffle.
 - ``ivfpq_topk`` probes only ``nprobe`` inverted lists (the ivf.py
-  coarse quantizer), ADC-scores codes against a broadcast probe
-  relation, keeps ``k·refine`` candidates per query, and re-ranks just
-  those against the true vectors via one broadcast join — work scales
-  with nprobe/n_lists of the corpus read as CODES, plus a
-  candidate-sized exact pass.
+  coarse quantizer), ADC-scores codes against the probe relation,
+  keeps ``k·refine`` candidates per query, and re-ranks just those
+  against the true vectors — work scales with nprobe/n_lists of the
+  corpus read as CODES, plus a candidate-sized exact pass.
+- Query handling is TWO-PATH (round 11, mirroring
+  similarity.brute_force_topk): a bounded ``limit(max_inline_queries+1)``
+  collect decides the branch; small query sets build the probe relation
+  driver-side and broadcast it, larger sets build it EXECUTOR-side
+  (``_probe_relations``: one Arrow pass over the query frame with the
+  model in the closure, the per-query ADC table normalized into its own
+  ``(query_id, qtab)`` relation so it is not duplicated per probed
+  list) with join strategies left to Catalyst/AQE. No unbounded driver
+  collect anywhere; both paths are bit-identical (tests/test_pq.py).
 
 Normalization makes L2 and cosine orderings coincide, so ADC inner
 products rank candidates for the cosine metric the rest of the ANN
@@ -153,10 +161,15 @@ def _assign_encode(
     vec_col: str,
     id_col: str,
     keep_v: bool = False,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, list_id, code[, v]) — coarse assignment AND PQ encoding in
-    ONE Arrow pass over the corpus (a separate assign → encode chain
-    would run two Python passes for one logical map)."""
+    """(id, list_id, code[, v][, *meta]) — coarse assignment AND PQ
+    encoding in ONE Arrow pass over the corpus (a separate assign →
+    encode chain would run two Python passes for one logical map).
+    ``meta_cols`` pass attribute columns (language, source, label …)
+    through unchanged, so a written index can serve METADATA-FILTERED
+    probes with the predicate pushed into the parquet scan."""
+    meta_cols = meta_cols or []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,24 +184,64 @@ def _assign_encode(
             }
             if keep_v:
                 out["v"] = pdf["v"]
+            for c in meta_cols:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     schema = "id long, list_id long, code array<bigint>" + (
         ", v array<double>" if keep_v else ""
     )
-    return _vec_frame(df, vec_col, id_col).mapInPandas(run, schema=schema)
+    for c in meta_cols:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    if meta_cols:
+        # in-row projection (NOT a join back by id): meta rides the same
+        # scan, zero extra shuffle
+        base = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            *meta_cols,
+        )
+    else:
+        base = _vec_frame(df, vec_col, id_col)
+    return base.mapInPandas(run, schema=schema)
 
 
-def _collect_queries(queries: DataFrame, vec_col: str, id_col: str) -> list:
-    rows = queries.select(
+def _collect_queries(
+    queries: DataFrame, vec_col: str, id_col: str, limit: int | None = None
+) -> list:
+    """Non-NULL query rows for the driver-side probe path; ``limit``
+    bounds the collect (the brute_force_topk ``limit(max+1)`` recipe)
+    so the branch decision between the driver and distributed paths
+    never materializes a large query relation on the driver. Callers
+    deciding the branch must use :func:`_collect_queries_bounded`,
+    which also reports whether the limit truncated the RAW row set —
+    NULL-vector rows count against the limit, so a filtered length
+    under the cap does not by itself prove every query was seen."""
+    rows, _ = _collect_queries_bounded(queries, vec_col, id_col, limit)
+    return rows
+
+
+def _collect_queries_bounded(
+    queries: DataFrame, vec_col: str, id_col: str, limit: int | None = None
+) -> tuple[list, bool]:
+    """(non-NULL query rows, truncated?) — ``truncated`` is True when
+    the bounded collect hit ``limit`` raw rows, meaning more query rows
+    may exist beyond it and only the distributed path sees them all."""
+    sel = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).collect()
-    return [r for r in rows if r["qv"] is not None]
+    )
+    if limit is not None:
+        sel = sel.limit(limit)
+    rows = sel.collect()
+    truncated = limit is not None and len(rows) >= limit
+    return [r for r in rows if r["qv"] is not None], truncated
 
 
 def _probe_frame(spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: int):
     """Broadcast (query_id, probed list, flattened ADC table) relation
-    + the set of probed list ids (for partition pruning)."""
+    + the set of probed list ids (for partition pruning). The DRIVER
+    path — used only for small, bounded query sets (see
+    ``max_inline_queries``); large sets take ``_probe_relations``."""
     Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
     tabs = adc_tables(Q, books)
     probe_rows, probed = [], set()
@@ -203,12 +256,83 @@ def _probe_frame(spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: in
     )
 
 
+def _probe_relations(
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Executor-side probe construction — the DISTRIBUTED query path.
+
+    ONE Arrow pass over the query frame (centroids + codebooks ride the
+    task closure: (n_lists + m·ksub)·dim doubles, model-sized) emits one
+    row per query: its ``nprobe`` probed lists and its flattened ADC
+    table. The result is NORMALIZED into two relations —
+    ``probes (query_id, list_id)`` and ``qtabs (query_id, qtab)`` — so
+    the (m·ksub)-double table is never duplicated per probed list; the
+    join that fans it out happens executor-side inside the candidate
+    scan, where the fan-out is unavoidable anyway. No query row ever
+    reaches the driver, so the SemDeDup-style everything-queries-
+    everything shape runs without driver memory entering the picture.
+
+    Float parity with the driver path is exact: per-query centroid
+    distances are computed as ``((cents − q)²).sum(axis)`` with the same
+    reduction order numpy uses in ``_probe_frame``, and ADC tables come
+    from the same ``adc_tables`` einsum — so both paths pick identical
+    lists and identical scores, and results are bit-equal (asserted in
+    tests/test_pq.py)."""
+    id_type = queries.schema[id_col].dataType.simpleString()
+
+    # bound the (chunk, n_lists, dim) distance intermediate to ~256 MB
+    # regardless of Arrow batch size or list count
+    chunk = max(1, (1 << 25) // max(1, len(cents) * cents.shape[1]))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            tabs = adc_tables(Q, books)
+            # same per-(q, c) subtract-square-sum reduction as the
+            # driver path (expanded-form Q² − 2QC + C² differs in float)
+            parts = []
+            for lo in range(0, len(Q), chunk):
+                d2 = ((Q[lo : lo + chunk, None, :] - cents[None, :, :]) ** 2).sum(2)
+                parts.append(np.argsort(d2, axis=1)[:, :nprobe])
+            lists = np.concatenate(parts, axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["id"],
+                    "lists": list(lists.astype(np.int64)),
+                    "qtab": list(tabs),
+                }
+            )
+
+    base = _vec_frame(queries, vec_col, id_col).mapInPandas(
+        run, schema=f"query_id {id_type}, lists array<bigint>, qtab array<double>"
+    )
+    probes = base.select("query_id", F.explode("lists").alias("list_id"))
+    qtabs = base.select("query_id", "qtab")
+    return probes, qtabs
+
+
 def _adc_candidates(
-    coded: DataFrame, probes: DataFrame, m: int, ksub: int, pool: int
+    coded: DataFrame,
+    probes: DataFrame,
+    m: int,
+    ksub: int,
+    pool: int,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Per-query top-``pool`` candidate ids by ADC score: one Arrow pass
-    over the probed lists' CODES, m table lookups per candidate."""
-    joined = coded.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
+    over the probed lists' CODES, m table lookups per candidate.
+    ``hint_broadcast=False`` (the distributed-query path) leaves the
+    join strategy to Catalyst/AQE — a large probe relation must not be
+    forced onto every executor."""
+    p = F.broadcast(probes) if hint_broadcast else probes
+    joined = coded.join(p, "list_id").filter(F.col("id") != F.col("query_id"))
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -231,27 +355,49 @@ def _adc_candidates(
     )
 
 
-def _pool_join(base: DataFrame, cands: DataFrame, qdf: DataFrame, cols: list) -> DataFrame:
+def _pool_join(
+    base: DataFrame,
+    cands: DataFrame,
+    qdf: DataFrame,
+    cols: list,
+    hint_broadcast: bool = True,
+) -> DataFrame:
     """Candidate-pool vector join, shared by the PQ exact re-rank and
-    MMR: the pool-sized candidate and query relations broadcast, the
-    corpus vector scan stays shuffle-free."""
+    MMR: with ``hint_broadcast`` the pool-sized candidate and query
+    relations broadcast and the corpus vector scan stays shuffle-free;
+    without (large query sets) Catalyst/AQE picks the strategy."""
+    c = F.broadcast(cands) if hint_broadcast else cands
+    q = F.broadcast(qdf) if hint_broadcast else qdf
     return (
-        base.join(F.broadcast(cands), base["id"] == cands["nbr_id"])
-        .join(F.broadcast(qdf), "query_id")
+        base.join(c, base["id"] == cands["nbr_id"])
+        .join(q, "query_id")
         .select(*cols)
     )
 
 
 def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -> DataFrame:
-    """Exact cosine over the (nq·pool)-sized candidate set — both the
-    candidate ids and the query vectors broadcast; quantization error
-    cannot reach the returned values."""
+    """Driver-path wrapper over :func:`_exact_rerank_df` for an
+    already-collected small query set."""
     spark = base.sparkSession
     qdf = spark.createDataFrame(
         [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in q_rows],
         "query_id long, qv array<double>",
     )
-    pairs = _pool_join(base, cands, qdf, ["query_id", "id", "v", "qv"])
+    return _exact_rerank_df(base, cands, qdf, k_neighbors)
+
+
+def _exact_rerank_df(
+    base: DataFrame,
+    cands: DataFrame,
+    qdf: DataFrame,
+    k_neighbors: int,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Exact cosine over the (nq·pool)-sized candidate set — candidate
+    ids and query vectors join against the corpus vectors (broadcast
+    for small query sets); quantization error cannot reach the
+    returned values."""
+    pairs = _pool_join(base, cands, qdf, ["query_id", "id", "v", "qv"], hint_broadcast)
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -305,31 +451,56 @@ def ivfpq_topk(
     train_frac: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_inline_queries: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes with exact re-rank.
 
     Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
-    CODES only → broadcast (query, probed list, ADC table) relation →
+    CODES only → (query, probed list, ADC table) probe relation →
     per-candidate score = m table lookups (one Arrow pass over the
     probed fraction of the corpus) → per-query top k·refine by
     (approx desc, id asc) → exact cosine re-rank of that candidate set
-    against the true vectors via one broadcast join. ``train_frac``
-    fits both quantizers on a deterministic hash-sample (the 100 TB
-    knob: training passes scan frac·corpus, encode/search still cover
-    everything).
+    against the true vectors. ``train_frac`` fits both quantizers on a
+    deterministic hash-sample (the 100 TB knob: training passes scan
+    frac·corpus, encode/search still cover everything).
+
+    Query handling is TWO-PATH (brute_force_topk's bounded-collect
+    design, similarity.py): a ``limit(max_inline_queries+1)`` collect
+    decides the branch without ever materializing a large query set on
+    the driver. Small sets build the probe relation driver-side
+    (broadcast); larger sets build it executor-side via
+    ``_probe_relations`` — one Arrow pass over the query frame, the ADC
+    table normalized out of the per-list rows, join strategies left to
+    AQE — so the SemDeDup-style everything-queries-everything shape
+    runs fully distributed. Both paths return bit-identical results
+    (asserted in tests/test_pq.py).
     """
     tr = _train_frame(df, train_frac, id_col)
     cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     coded = _assign_encode(df, cents, books, vec_col, id_col)
 
-    q_rows = _collect_queries(queries, vec_col, id_col)
     spark = df.sparkSession
-    if not q_rows:
+    q_rows, truncated = _collect_queries_bounded(
+        queries, vec_col, id_col, limit=max_inline_queries + 1
+    )
+    if not q_rows and not truncated:
         return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
-    probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
-    cands = _adc_candidates(coded, probes, m, ksub, k_neighbors * refine)
-    return _exact_rerank(_vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors)
+    pool = k_neighbors * refine
+    if not truncated:
+        probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
+        cands = _adc_candidates(coded, probes, m, ksub, pool)
+        return _exact_rerank(_vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors)
+    probes, qtabs = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
+    cands = _adc_candidates(
+        coded, probes.join(qtabs, "query_id"), m, ksub, pool, hint_broadcast=False
+    )
+    qdf = _vec_frame(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return _exact_rerank_df(
+        _vec_frame(df, vec_col, id_col), cands, qdf, k_neighbors, hint_broadcast=False
+    )
 
 
 def write_pq_index(
@@ -342,6 +513,7 @@ def write_pq_index(
     train_frac: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: list[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the IVF-PQ index as a LIST-PARTITIONED layout:
     ``path/codes/list_id=<l>/`` holds the compressed (id, code) rows —
@@ -353,8 +525,12 @@ def write_pq_index(
     in the plan, asserted in tests) — at 100 TB the ADC scan cost is
     nprobe/n_lists × corpus/32. ``train_frac`` fits both quantizers on
     a deterministic hash-sample (training scans frac·corpus; the
-    written index still encodes every vector).
+    written index still encodes every vector). ``meta_cols`` write
+    attribute columns into BOTH relations so probes can push a metadata
+    predicate (``where=`` in :func:`pq_topk_indexed`) into the parquet
+    scans alongside the list_id partition pruning.
     """
+    meta = list(meta_cols or [])
     tr = _train_frame(df, train_frac, id_col)
     cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
@@ -363,12 +539,14 @@ def write_pq_index(
     # included) — checkpoint would truncate lineage, so a lost executor
     # block between the two writes kills the job; persist keeps the
     # assignment map recomputable for exactly the blocks that vanish
-    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).persist()
+    coded = _assign_encode(
+        df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta
+    ).persist()
     try:
-        coded.select("id", "list_id", "code").write.mode("overwrite").partitionBy(
+        coded.select("id", "list_id", "code", *meta).write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{path}/codes")
-        coded.select("id", "list_id", "v").write.mode("overwrite").partitionBy(
+        coded.select("id", "list_id", "v", *meta).write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{path}/vectors")
     finally:
@@ -408,16 +586,40 @@ def append_pq_index(
 
     cents = load_centroids(spark, path)
     books = load_codebooks(spark, path)
+    # the index's meta columns are INFERRED from the stored codes schema
+    # (anything beyond id/list_id/code): an append missing them would
+    # write rows that silently vanish from every filtered probe
+    meta = [
+        f.name
+        for f in spark.read.parquet(f"{path}/codes").schema.fields
+        if f.name not in ("id", "list_id", "code")
+    ]
+    missing = [c for c in meta if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"append_pq_index: index at {path} carries meta columns {meta}; "
+            f"batch is missing {missing}"
+        )
     # persist, not localCheckpoint — same recovery rationale as
     # write_pq_index (the batch may itself be large)
-    coded = _assign_encode(df, cents, books, vec_col, id_col, keep_v=True).persist()
+    coded = _assign_encode(
+        df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta
+    ).persist()
     try:
-        coded.select("id", "list_id", "code").write.mode("append").partitionBy(
-            "list_id"
-        ).parquet(f"{path}/codes")
-        coded.select("id", "list_id", "v").write.mode("append").partitionBy(
+        # vectors FIRST: a failure between the two appends must leave the
+        # index consistent for searches. An orphan VECTOR (appended, codes
+        # write failed) is benign — nothing references it, ADC never
+        # produces it as a candidate, and re-running the append
+        # self-heals. The reverse order would leave orphan CODES whose
+        # candidates ADC-score into the pool and are then silently
+        # dropped by the re-rank inner join — quietly shrinking
+        # result count/recall instead of erroring.
+        coded.select("id", "list_id", "v", *meta).write.mode("append").partitionBy(
             "list_id"
         ).parquet(f"{path}/vectors")
+        coded.select("id", "list_id", "code", *meta).write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/codes")
     finally:
         coded.unpersist()
 
@@ -442,6 +644,8 @@ def pq_topk_indexed(
     refine: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_inline_queries: int = 64,
+    where=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written IVF-PQ index; returns (result, pruned_codes_scan).
 
@@ -450,6 +654,18 @@ def pq_topk_indexed(
     directories — and so does the vectors read the re-rank fetches
     from. ``pruned_codes_scan`` is returned so callers/tests can
     inspect the pruned read's plan.
+
+    ``where`` (a SQL string or Column over the index's ``meta_cols``,
+    e.g. ``"lang = 'en'"``) is metadata-FILTERED retrieval: the
+    predicate applies to both the codes and vectors scans, where the
+    parquet source pushes it down next to the partition pruning
+    (PushedFilters — plan-asserted in tests), so only matching rows are
+    ever ADC-scored or re-ranked and results equal brute force over the
+    post-filtered corpus. Query handling is the same two-path design as
+    :func:`ivfpq_topk` (small sets probe driver-side; beyond
+    ``max_inline_queries`` the probe relation is built executor-side
+    and only the bounded probed-list-id set — at most n_lists values —
+    is collected for partition pruning).
     """
     from sgdnet_spark.operators.ivf import load_centroids
 
@@ -457,7 +673,7 @@ def pq_topk_indexed(
     books = load_codebooks(spark, path)
     return _topk_indexed_with_model(
         spark, path, queries, cents, books, k_neighbors, nprobe, refine,
-        vec_col, id_col,
+        vec_col, id_col, max_inline_queries, where,
     )
 
 
@@ -472,22 +688,46 @@ def _topk_indexed_with_model(
     refine: int,
     vec_col: str,
     id_col: str,
+    max_inline_queries: int = 64,
+    where=None,
 ) -> tuple[DataFrame, DataFrame]:
     """pq_topk_indexed with preloaded quantizers — the repeated-probe
     path (streaming serving loads centroids/codebooks ONCE, then probes
     per micro-batch)."""
     m, ksub, _ = books.shape
-    q_rows = _collect_queries(queries, vec_col, id_col)
-    if not q_rows:
+    pool = k_neighbors * refine
+    q_rows, truncated = _collect_queries_bounded(
+        queries, vec_col, id_col, limit=max_inline_queries + 1
+    )
+    if not q_rows and not truncated:
         empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
         return empty, spark.read.parquet(f"{path}/codes").limit(0)
-    probes, probed = _probe_frame(spark, q_rows, cents, books, nprobe)
+    if not truncated:
+        probes, probed = _probe_frame(spark, q_rows, cents, books, nprobe)
+        qtabs = None
+        hint = True
+    else:
+        probes, qtabs = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
+        # the probed-LIST-ID set is bounded by n_lists regardless of
+        # query count — this collect is model-sized, never query-sized
+        probed = {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+        if not probed:  # every query row had a NULL vector
+            empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+            return empty, spark.read.parquet(f"{path}/codes").limit(0)
+        probes = probes.join(qtabs, "query_id")
+        hint = False
     in_list = [int(x) for x in sorted(probed)]
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("list_id").isin(*in_list))
-    cands = _adc_candidates(codes, probes, int(m), int(ksub), k_neighbors * refine)
-    vectors = (
-        spark.read.parquet(f"{path}/vectors")
-        .filter(F.col("list_id").isin(*in_list))
-        .select("id", "v")
+    if where is not None:
+        codes = codes.filter(where)
+    cands = _adc_candidates(codes, probes, int(m), int(ksub), pool, hint_broadcast=hint)
+    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("list_id").isin(*in_list))
+    if where is not None:
+        vectors = vectors.filter(where)
+    vectors = vectors.select("id", "v")
+    if hint:
+        return _exact_rerank(vectors, cands, q_rows, k_neighbors), codes
+    qdf = _vec_frame(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
-    return _exact_rerank(vectors, cands, q_rows, k_neighbors), codes
+    return _exact_rerank_df(vectors, cands, qdf, k_neighbors, hint_broadcast=False), codes

@@ -90,11 +90,17 @@ def brute_force_topk(
     id_type = queries.schema[id_col].dataType.simpleString()
     if not q_rows:
         # empty query set: a well-typed empty result, not a numpy
-        # AxisError from norm() over a zero-row array
+        # AxisError from norm() over a zero-row array (nbr_id takes the
+        # CORPUS id type — it may differ from the query id type)
+        nbr_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"query_id {id_type}, nbr_id {id_type}, cos double"
+            [], f"query_id {id_type}, nbr_id {nbr_type}, cos double"
         )
-    integral_ids = id_type in ("tinyint", "smallint", "int", "bigint")
+    integral = ("tinyint", "smallint", "int", "bigint")
+    integral_ids = (
+        id_type in integral
+        and df.schema[id_col].dataType.simpleString() in integral
+    )
     if len(q_rows) <= max_inline_queries and integral_ids:
         # (non-integral id columns use the join branch below at ANY
         # query count — the Arrow batch schema here is typed long)
@@ -140,8 +146,13 @@ def brute_force_topk(
                            norm(_as_double(vec_col)).alias("cn"))
         q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
                            norm(_as_double(vec_col)).alias("qn"))
+        # self-exclusion only when the id types can actually collide: a
+        # string-keyed query set probing a long-keyed corpus would
+        # otherwise force a CAST that throws on non-numeric ids
+        same_type = queries.schema[id_col].dataType == df.schema[id_col].dataType
+        cond = F.col("nbr_id") != F.col("query_id") if same_type else F.lit(True)
         scored = (
-            corpus.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+            corpus.join(F.broadcast(q), cond)
             .select(
                 "query_id",
                 "nbr_id",

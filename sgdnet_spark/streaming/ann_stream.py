@@ -46,6 +46,8 @@ class PqStreamServer:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         sink: Callable[[DataFrame, int], None] | None = None,
+        max_inline_queries: int = 64,
+        where=None,
     ) -> None:
         from sgdnet_spark.operators.ivf import load_centroids
         from sgdnet_spark.operators.pq import load_codebooks
@@ -58,6 +60,11 @@ class PqStreamServer:
         self.vec_col = vec_col
         self.id_col = id_col
         self.sink = sink
+        # a large micro-batch automatically takes the distributed query
+        # path (pq.py's two-path design); ``where`` serves
+        # metadata-filtered retrieval per batch
+        self.max_inline_queries = max_inline_queries
+        self.where = where
         self.results: list = []
         # load the quantizers ONCE; every batch reuses them
         self._cents = load_centroids(spark, path)
@@ -72,6 +79,7 @@ class PqStreamServer:
             self.spark, self.path, queries, self._cents, self._books,
             self.k_neighbors, self.nprobe, self.refine,
             self.vec_col, self.id_col,
+            self.max_inline_queries, self.where,
         )
         return out
 

@@ -249,3 +249,147 @@ def test_append_pq_index_matches_rebuild(spark, emb, q, tmp_path):
     assert a == b
     # appended vectors are actually searchable
     assert any(n >= 250 for _, n, _ in a)
+
+
+# --- round 11: distributed query path + metadata-filtered probing ---
+
+
+def _wide_queries(emb, n_rep: int):
+    """n_rep replicas of the embeddings table with offset ids — a large
+    query relation (replica 0 keeps real ids, so self-exclusion is
+    exercised too)."""
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(500 * i)).alias("vec_id"), "embedding"
+        )
+        for i in range(n_rep)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_distributed_query_path_matches_driver(emb, monkeypatch):
+    """>=10k queries: the distributed branch (executor-side probe
+    relations, no full query collect) returns rows BIT-IDENTICAL to the
+    driver branch, and the driver probe builder is never invoked."""
+    big_q = _wide_queries(emb, 20)  # 10,000 queries
+    assert big_q.count() == 10_000
+    kw = dict(k_neighbors=5, n_lists=8, nprobe=3, refine=2, kmeans_iters=2)
+    want = pq.ivfpq_topk(emb, big_q, max_inline_queries=20_000, **kw)
+    a = {(r["query_id"], r["nbr_id"], r["cos"]) for r in want.collect()}
+
+    calls = {"driver_probe": 0}
+    real = pq._probe_frame
+
+    def spy(*args, **kwargs):
+        calls["driver_probe"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pq, "_probe_frame", spy)
+    got = pq.ivfpq_topk(emb, big_q, max_inline_queries=64, **kw)
+    b = {(r["query_id"], r["nbr_id"], r["cos"]) for r in got.collect()}
+    assert calls["driver_probe"] == 0  # large branch never probes driver-side
+    assert a == b
+    assert len({qid for qid, _, _ in b}) == 10_000  # every query answered
+
+
+def test_indexed_distributed_branch_matches_and_prunes(spark, emb, tmp_path):
+    """The written-index probe's distributed branch: same rows as the
+    driver branch, and the codes scan still partition-prunes on
+    list_id (the probed-list collect is bounded by n_lists, never by
+    query count)."""
+    path = str(tmp_path / "pq_dist")
+    pq.write_pq_index(emb, path, n_lists=8, kmeans_iters=2)
+    q_all = emb  # 500 queries > max_inline default
+    want, _ = pq.pq_topk_indexed(
+        spark, path, q_all, k_neighbors=5, nprobe=3, max_inline_queries=1000
+    )
+    got, pruned = pq.pq_topk_indexed(
+        spark, path, q_all, k_neighbors=5, nprobe=3, max_inline_queries=64
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    a = {(r["query_id"], r["nbr_id"], r["cos"]) for r in want.collect()}
+    b = {(r["query_id"], r["nbr_id"], r["cos"]) for r in got.collect()}
+    assert a == b
+
+
+def test_filtered_probe_pushdown_matches_bruteforce(spark, emb, q, tmp_path):
+    """Metadata-filtered retrieval: where= pushes into the codes AND
+    vectors parquet scans (PushedFilters next to the list_id partition
+    pruning) and — with nprobe=n_lists and a pool wider than the
+    survivor set — results EQUAL brute force over the post-filtered
+    corpus."""
+    path = str(tmp_path / "pq_meta")
+    pq.write_pq_index(emb, path, n_lists=4, kmeans_iters=2, meta_cols=["label"])
+    got, codes = pq.pq_topk_indexed(
+        spark, path, q, k_neighbors=5, nprobe=4, refine=120, where="label = 1"
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert "PushedFilters" in plan and "label" in plan
+    surv = emb.filter(F.col("label") == 1)
+    want = similarity.brute_force_topk(surv, q, k=5)
+    a = {(r["query_id"], r["nbr_id"], r["cos"]) for r in got.collect()}
+    b = {(r["query_id"], r["nbr_id"], r["cos"]) for r in want.collect()}
+    assert a == b
+    # every returned neighbor actually satisfies the predicate
+    lab1 = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    assert all(n in lab1 for _, n, _ in a)
+
+
+def test_append_meta_schema_enforced(spark, emb, tmp_path):
+    """Appending to a meta-carrying index without the meta column is an
+    error (silent omission would make appended rows vanish from every
+    filtered probe); with the column present, filtered probes see the
+    appended rows."""
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "pq_meta_app")
+    pq.write_pq_index(lo, path, n_lists=4, kmeans_iters=2, meta_cols=["label"])
+    with pytest.raises(ValueError, match="meta columns"):
+        pq.append_pq_index(spark, path, hi.drop("label"))
+    pq.append_pq_index(spark, path, hi)
+    q = emb.filter(F.col("vec_id") < 5)
+    got, _ = pq.pq_topk_indexed(
+        spark, path, q, k_neighbors=5, nprobe=4, refine=120, where="label = 1"
+    )
+    assert any(r["nbr_id"] >= 250 for r in got.collect())
+
+
+def test_truncated_collect_with_nulls_takes_distributed_path(spark, emb):
+    """Branch decision uses the RAW bounded-collect count: a query set
+    just over the inline cap whose first rows carry NULL vectors must
+    NOT be silently truncated onto the driver path — the distributed
+    branch answers every non-NULL query; an all-NULL set yields a
+    well-typed empty result (indexed path included)."""
+    n = emb.count()
+    nulls = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    ).limit(60)
+    real = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    mixed = nulls.unionByName(real)  # 70 rows > max_inline=64, 10 usable
+    got = pq.ivfpq_topk(
+        emb, mixed, k_neighbors=3, n_lists=4, kmeans_iters=2, max_inline_queries=64
+    )
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(10))
+    all_null = nulls.unionByName(nulls).limit(70)
+    assert pq.ivfpq_topk(
+        emb, all_null, k_neighbors=3, n_lists=4, kmeans_iters=2, max_inline_queries=64
+    ).count() == 0
+
+
+def test_indexed_all_null_truncated_queries_empty(spark, emb, tmp_path):
+    path = str(tmp_path / "pq_nulls")
+    pq.write_pq_index(emb, path, n_lists=4, kmeans_iters=2)
+    nulls = emb.select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    ).limit(70)
+    got, pruned = pq.pq_topk_indexed(
+        spark, path, nulls, k_neighbors=3, max_inline_queries=64
+    )
+    assert got.count() == 0 and pruned.count() == 0
