@@ -656,6 +656,97 @@ def decontaminate(
     return df.join(F.broadcast(flagged), id_col, "left_anti")
 
 
+def fuzzy_contamination_flags(
+    df: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination (round 11): corpus
+    documents whose word-k-gram Jaccard against ANY benchmark document
+    is ≥ ``threshold`` — the GPT-3 §C / PaLM-style fuzzy scrub that
+    exact k-gram overlap (:func:`contamination_flags`) misses when an
+    eval example was lightly paraphrased or truncated before leaking
+    into the crawl. Returns (id, bench_id, jaccard), one row per
+    contaminated (corpus, benchmark) pair.
+
+    Scale shape — the minhash_lsh_pairs machinery pointed ACROSS two
+    relations instead of at a self-join: both sides shingle per-row
+    (narrow), the BENCHMARK side's (band, key) relation is eval-set
+    sized and broadcasts, the corpus side is one signature pass +
+    broadcast equi-join, and only the candidate pairs (bounded by the
+    contamination rate) are verified with exact Jaccard over the
+    shingle arrays — never all corpus×bench pairs. At 100 TB the
+    corpus is touched once, shuffle-free until the candidate-sized
+    regroup.
+
+    Recall follows the LSH banding curve (1−(1−j^r)^b); at the default
+    32 hashes / 8 bands it is ~1 for j ≥ threshold=0.8 (and the
+    registered driver entry's oracle is the exhaustive Jaccard, so the
+    gate certifies recall on real data — the dedup_minhash_lsh
+    precedent). Precision is 1.0 by construction (exact verify).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sa_c = shingle_array(df, text_col, id_col, k, eval_once=False).persist()
+    sa_b = shingle_array(
+        bench, bench_text_col or text_col, bench_id_col or id_col, k, eval_once=False
+    ).persist()
+    bk_c = band_keys_from_shingles(sa_c, num_hashes, bands)
+    bk_b = band_keys_from_shingles(sa_b, num_hashes, bands).select(
+        F.col("id").alias("bench_id"), "band", "bk"
+    )
+    cand = (
+        bk_c.join(F.broadcast(bk_b), ["band", "bk"])
+        .select("id", "bench_id")
+        .distinct()
+    )
+    # exact verify on candidates only: benchmark arrays broadcast
+    # (eval-set sized), corpus arrays join candidate-sized
+    withb = cand.join(
+        F.broadcast(
+            sa_b.select(F.col("id").alias("bench_id"), F.col("shingles").alias("__sh_b"))
+        ),
+        "bench_id",
+    )
+    both = sa_c.join(F.broadcast(withb), "id")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    out = (
+        both.withColumnRenamed("shingles", "__sh_a")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("__sh_a") + F.size("__sh_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id", "bench_id", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
+    )
+    return _materialize_pairs(out, sa_c, sa_b)
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop every document flagged by :func:`fuzzy_contamination_flags`
+    — broadcast anti-join on ids (flagged set bounded by the
+    contamination rate). Compose with :func:`decontaminate` for the
+    full exact + fuzzy scrub published pipelines run."""
+    flagged = fuzzy_contamination_flags(
+        df, bench, threshold, text_col=text_col, id_col=id_col, **kw
+    ).select(F.col("id").alias(id_col)).distinct()
+    return df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def _line_arrays(df: DataFrame, line_sep: str, text_col: str, id_col: str) -> DataFrame:
     # spread BEFORE the split/normalize/hash pipeline: a single-file
     # scan otherwise serializes the whole line tier onto 1-2 tasks

@@ -933,3 +933,55 @@ def test_bpe_learn_and_apply_python_replay(spark):
         bpe.bpe_learn(df, n_merges=0)
     with pytest.raises(ValueError):
         bpe.bpe_learn(df, solver="magic")
+
+
+def test_fuzzy_contamination_planted(spark):
+    """Round 11: near-duplicate (paraphrase-level) benchmark leak is
+    flagged by the LSH+exact-verify path while exact k-gram overlap at
+    decontamination k misses it; unrelated docs stay clean; the fuzzy
+    output equals the exhaustive corpus×bench Jaccard (recall 1.0 at
+    this threshold)."""
+    import pandas as pd
+
+    from sgdnet_spark.operators import dedup
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall fence near the old red barn door"
+    )
+    # near-dup: one word changed mid-sentence — every 8-gram is broken,
+    # but word-3-gram Jaccard stays high
+    leaked = bench_text.replace("cat", "bird")
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [bench_text]})
+    )
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [leaked, "totally unrelated text about spark and parquet files"],
+    }))
+    # exact decontamination at GPT-3's 13-gram setting misses the
+    # paraphrase (the mid-sentence edit breaks every 13-gram window)
+    assert dedup.contamination_flags(corpus, bench, k=13).count() == 0
+    pairs = dedup.fuzzy_contamination_flags(
+        corpus, bench, threshold=0.5, num_hashes=32, bands=8
+    ).collect()
+    assert {(r["id"], r["bench_id"]) for r in pairs} == {(1, 100)}
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+    # exhaustive twin: same pair set from the all-pairs exact Jaccard
+    sa_c = dedup.shingle_array(corpus, "text", "doc_id", 3)
+    sa_b = dedup.shingle_array(bench, "text", "doc_id", 3)
+    want = set()
+    bsh = {r["id"]: set(r["shingles"]) for r in sa_b.collect()}
+    for r in sa_c.collect():
+        for bid, bs in bsh.items():
+            s = set(r["shingles"])
+            j = len(s & bs) / len(s | bs) if s | bs else 0.0
+            if j >= 0.5:
+                want.add((r["id"], bid))
+    assert {(r["id"], r["bench_id"]) for r in pairs} == want
+    clean = dedup.decontaminate_fuzzy(corpus, bench, threshold=0.5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        dedup.fuzzy_contamination_flags(corpus, bench, threshold=0.0)
