@@ -95,6 +95,10 @@ def mmr_rerank(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
     pool = _pool_join(base, cands, qdf, ["query_id", "nbr_id", "cos", "v", "qv"])
+    # query ids and corpus ids may be DIFFERENT types (e.g. string query
+    # keys probing a long-keyed corpus) — derive each output column's
+    # type from its own source relation
+    qid_type = queries.schema[id_col].dataType.simpleString()
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -117,7 +121,7 @@ def mmr_rerank(
         )
 
     return pool.groupBy("query_id").applyInPandas(
-        run, schema=f"query_id {id_type}, nbr_id {id_type}, cos double, sel int"
+        run, schema=f"query_id {qid_type}, nbr_id {id_type}, cos double, sel int"
     )
 
 

@@ -103,7 +103,10 @@ def whiten(
 ) -> DataFrame:
     """(id, w array<double>) — whitened (optionally truncated to the
     top-k components) vectors. Pure Arrow map over the broadcast
-    (μ, W): zero shuffle, runs unchanged under Structured Streaming."""
+    (μ, W): zero shuffle, runs unchanged under Structured Streaming.
+    The id column's type is preserved (string-keyed corpora included —
+    the mmr_rerank convention)."""
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,4 +116,6 @@ def whiten(
             Y = whiten_np(V, mu, W, k)
             yield pd.DataFrame({"id": pdf["id"], "w": list(Y)})
 
-    return _vec_frame(df, vec_col, id_col).mapInPandas(run, schema="id long, w array<double>")
+    return _vec_frame(df, vec_col, id_col).mapInPandas(
+        run, schema=f"id {id_type}, w array<double>"
+    )

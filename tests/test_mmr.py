@@ -139,3 +139,24 @@ def test_string_ids_supported(spark):
     out = mmr.mmr_topk(df, q, k_neighbors=3, lam=0.5, pool=8).collect()
     assert len(out) == 6
     assert all(isinstance(r["nbr_id"], str) for r in out)
+
+
+def test_mmr_rerank_mixed_id_types(spark, emb):
+    """String-keyed QUERIES over a long-keyed corpus (round-11 advice):
+    each output id column takes its type from its own source relation."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators.mmr import mmr_rerank
+    from sgdnet_spark.operators.similarity import brute_force_topk
+
+    q_str = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    cands = brute_force_topk(emb, q_str, k=10)
+    out = mmr_rerank(cands, emb, q_str, k_neighbors=4, lam=0.7)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["nbr_id"] == "bigint"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
+    assert all(len(g) == 4 for g in
+               [[r for r in rows if r["query_id"] == q] for q in ("q0", "q1", "q2")])

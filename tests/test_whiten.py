@@ -124,3 +124,55 @@ def test_rank_deficient_is_finite(spark):
     mu, Wm, lam = W.fit_whitener(df)
     out = np.stack([np.asarray(r["w"]) for r in W.whiten(df, mu, Wm).collect()])
     assert np.isfinite(Wm).all() and np.isfinite(out).all()
+
+
+def test_whiten_preserves_string_ids(spark, emb):
+    """whiten() on a string-keyed corpus (round-11 advice): the id
+    column's type is derived from the input schema, values equal the
+    long-keyed run."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators.whiten import fit_whitener, whiten
+
+    mu, W, _ = fit_whitener(emb)
+    base = {r["id"]: list(r["w"]) for r in whiten(emb, mu, W, k=3).collect()}
+    s = emb.select(F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding")
+    out = whiten(s, mu, W, k=3)
+    assert dict(out.dtypes)["id"] == "string"
+    got = {r["id"]: list(r["w"]) for r in out.collect()}
+    assert got == {f"v{k}": v for k, v in base.items()}
+
+
+def test_maha_is_basis_invariant_and_gaps_wide(spark, emb):
+    """The maha column (full whitened norm) is invariant to every
+    LAPACK-arbitrary eigendecomposition choice: flipping all
+    eigenvector signs, or rotating within a (synthetic) degenerate
+    eigenspace, leaves it unchanged — the round-11 golden-gate
+    hardening. The pc columns are certified platform-stable for this
+    corpus by wide top eigengaps relative to 4 dp rounding."""
+    import numpy as np
+
+    from sgdnet_spark.operators.whiten import fit_whitener, whiten_np
+
+    mu, W, lam = fit_whitener(emb)
+    rows = emb.select("embedding").limit(50).collect()
+    V = np.asarray([r[0] for r in rows], dtype=np.float64)
+    maha = np.linalg.norm(whiten_np(V, mu, W), axis=1)
+    # sign flips (the eigh-arbitrary choice) do not move maha
+    assert np.allclose(np.linalg.norm(whiten_np(V, mu, -W), axis=1), maha)
+    # a rotation applied across two components with EQUAL scale leaves
+    # the norm unchanged (the degenerate-eigenspace case): equalize the
+    # last two rows' scales first, then rotate within that plane
+    W2 = W.copy()
+    W2[-1] = W[-2] / np.linalg.norm(W[-2]) * np.linalg.norm(W[-1])
+    th = 0.7
+    R = np.eye(len(W))
+    R[-2:, -2:] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    # ||R @ W2 @ x|| == ||W2 @ x|| for any x (R orthogonal)
+    Y = whiten_np(V, mu, W2)
+    Yr = whiten_np(V, mu, R @ W2)
+    assert np.allclose(np.linalg.norm(Yr, axis=1), np.linalg.norm(Y, axis=1))
+    # top-5 eigengaps wide vs rounding: the pc1..pc4 goldens cannot be
+    # moved by cross-LAPACK rotation of near-degenerate pairs
+    top = lam[:6]
+    assert (np.abs(np.diff(top)) / np.maximum(top[:-1], 1e-30) > 1e-3).all()
