@@ -329,6 +329,35 @@ def main() -> None:
         run_passes(2, resolved_r8)
         run_passes(2, resolved_r10)
         steal_retry = _steal_pct(s2, _steal_sample())
+    # calibration-drift retry (round 11): the round-10 artifact recorded
+    # a window whose probe read 0.811 — a uniform ~9% wall inflation the
+    # steal gauge was blind to (memory-bandwidth contention). The steal
+    # retry above fires on >1% steal only; here the retry ALSO fires
+    # when the probe reads SLOW — >10% over the pinned reference — up to
+    # 2 extra rounds, so the artifact of record is the code's real
+    # speed. Min-merging means extra passes only ever improve the
+    # recorded walls; `calibration` reports the cleanest observed probe
+    # (the window the min-merged walls actually came from), every
+    # observation is kept in probe_all_sec, and the exhausted flag marks
+    # a window that never came clean. The FAST side (< 0.9) is NOT
+    # retried: min-merging can only lower the probe further, so a loop
+    # there never exits — a fast probe means the host outruns the
+    # per-host pin (provenance in probe_ref_source), which inflates no
+    # wall and needs no retry.
+    probe_all = [probe_before, probe_after]
+    cal_retries = 0
+    while min(probe_all) / probe_ref > 1.1 and cal_retries < 2:
+        cal_retries += 1
+        print(
+            f"# calibration drift ({min(probe_all) / probe_ref:.3f}): "
+            f"retry {cal_retries} (2 extra passes)",
+            file=sys.stderr,
+        )
+        run_passes(2, resolved)
+        run_passes(2, resolved_r8)
+        run_passes(2, resolved_r10)
+        probe_all.append(_calibration_probe(spark))
+    cal_exhausted = min(probe_all) / probe_ref > 1.1
     resolved = resolved + resolved_r8 + resolved_r10
     times = {name: round(best[name], 3) for name, _ in resolved}
     # -1.0 is the never-sampled sentinel (non-/proc platform): report
@@ -369,17 +398,24 @@ def main() -> None:
                 "steal_pct": steal,
                 "steal_pct_retry": steal_retry,
                 # fixed-workload calibration (round 9): min-of-3 wall of a
-                # constant hash-agg probe before/after the suite, and the
-                # ratio of the WORSE reading to the pinned clean-window
-                # reference — the cache-pollution yardstick steal_pct
-                # misses (>1.15 = treat walls as weather, read CPU twins)
+                # constant hash-agg probe before/after the suite, ratioed
+                # against the pinned clean-window reference — the
+                # cache-pollution yardstick steal_pct misses. Round 11:
+                # when the ratio deviates >10% from 1.0 the suite reruns
+                # (up to 2 extra rounds, min-merged) and `calibration`
+                # reports the CLEANEST observed probe — the window the
+                # min-merged walls actually came from; every reading is
+                # kept in probe_all_sec and calibration_retry_exhausted
+                # marks a window that never came clean (walls then are
+                # weather — read the CPU twins).
                 "probe_before_sec": round(probe_before, 3),
                 "probe_after_sec": round(probe_after, 3),
+                "probe_all_sec": [round(p, 3) for p in probe_all],
                 "probe_ref_sec": probe_ref,
                 "probe_ref_source": probe_ref_source,
-                "calibration": round(
-                    max(probe_before, probe_after) / probe_ref, 3
-                ),
+                "calibration": round(min(probe_all) / probe_ref, 3),
+                "calibration_retries": cal_retries,
+                "calibration_retry_exhausted": cal_exhausted,
                 "sf": sf,
             }
         )
