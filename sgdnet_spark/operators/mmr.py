@@ -50,18 +50,25 @@ def mmr_select_np(
     order = np.lexsort((cand_ids,))
     rel, sim, ids = rel[order], sim[np.ix_(order, order)], cand_ids[order]
     selected: list[int] = []
-    sel_idx: list[int] = []
     remaining = list(range(len(ids)))
+    # red[j] = max_{s in selected} sim[j, s], maintained incrementally
+    # (one vectorized np.maximum per pick) — O(k·pool) total instead of
+    # the naive O(k²·pool) per-candidate max. red is None (≡ 0.0, the
+    # empty-max convention) until the first pick, then ASSIGNED before
+    # being max-merged: seeding with zeros would silently clamp
+    # negative cosines at 0 and change selections. The candidate scan
+    # keeps the exact sequential >best+1e-15 tie-break chain the
+    # python oracle replays.
+    red = None
     for _ in range(min(k, len(ids))):
+        score = lam * rel if red is None else lam * rel - (1.0 - lam) * red
         best_j, best_score = None, None
         for j in remaining:
-            red = max((sim[j, s] for s in sel_idx), default=0.0)
-            score = lam * rel[j] - (1.0 - lam) * red
-            if best_score is None or score > best_score + 1e-15:
-                best_j, best_score = j, score
+            if best_score is None or score[j] > best_score + 1e-15:
+                best_j, best_score = j, score[j]
         selected.append(ids[best_j])
-        sel_idx.append(best_j)
         remaining.remove(best_j)
+        red = sim[:, best_j].copy() if red is None else np.maximum(red, sim[:, best_j])
     return selected
 
 

@@ -160,3 +160,45 @@ def test_mmr_rerank_mixed_id_types(spark, emb):
     assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
     assert all(len(g) == 4 for g in
                [[r for r in rows if r["query_id"] == q] for q in ("q0", "q1", "q2")])
+
+
+def test_select_matches_independent_naive_loop():
+    """mmr_select_np vs a from-scratch naive O(k²·pool) implementation
+    of the Carbonell–Goldstein sweep (identical epsilon tie-break
+    chain): guards the vectorized redundancy bookkeeping — the round-11
+    rewrite initially clamped negative cosines at 0 via a zeros-seeded
+    np.maximum, which this replay (and the driver golden) catches."""
+
+    def naive(qv, cand_ids, cand_vs, k, lam):
+        Vn = cand_vs / np.maximum(
+            np.linalg.norm(cand_vs, axis=1, keepdims=True), 1e-300
+        )
+        qn = qv / max(np.linalg.norm(qv), 1e-300)
+        rel, sim = Vn @ qn, Vn @ Vn.T
+        order = np.lexsort((cand_ids,))
+        rel, sim, ids = rel[order], sim[np.ix_(order, order)], cand_ids[order]
+        selected, sel_idx = [], []
+        remaining = list(range(len(ids)))
+        for _ in range(min(k, len(ids))):
+            best_j, best_score = None, None
+            for j in remaining:
+                red = max((sim[j, s] for s in sel_idx), default=0.0)
+                score = lam * rel[j] - (1.0 - lam) * red
+                if best_score is None or score > best_score + 1e-15:
+                    best_j, best_score = j, score
+            selected.append(ids[best_j])
+            sel_idx.append(best_j)
+            remaining.remove(best_j)
+        return selected
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(2, 40))
+        V = rng.normal(size=(n, 8))
+        qv = rng.normal(size=8)
+        ids = np.arange(n)
+        rng.shuffle(ids)
+        for lam in (0.0, 0.3, 0.7, 1.0):
+            assert mmr.mmr_select_np(qv, ids.copy(), V.copy(), 5, lam) == naive(
+                qv, ids.copy(), V.copy(), 5, lam
+            )
