@@ -117,3 +117,127 @@ def bm25_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", text.rpos(F.col("score"), 4).alias("score"), "rn")
     )
+
+
+N_TERM_BUCKETS = 64
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Materialize the inverted index: ``path/postings/bucket=<b>/``
+    holds (term, doc_id, dl, tf) partitioned by a stable term-hash
+    bucket, ``path/stats`` the 1-row (n_docs, avgdl, n_buckets)
+    relation. A probe maps its query terms to buckets and
+    partition-prunes the postings scan to those directories — the
+    write_pq_index list-pruning design applied to the lexical tier
+    (PartitionFilters plan-asserted in tests). df(term) is derived
+    from the pruned postings at probe time (a count over the touched
+    posting lists only), so the index needs no separate df relation
+    kept in sync across appends.
+
+    Build cost: ONE corpus tokenize/explode pass + the (doc, term)
+    count shuffle — the same work one query batch pays, paid once.
+    """
+    postings = (
+        df.select(F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"))
+        .select(
+            "doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    stats = df.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(text.tokens(text_col))).alias("avgdl"),
+        F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_text_col: str = "q_text",
+    q_id_col: str = "query_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a written BM25 index; returns (result, pruned_postings).
+
+    The query vocabulary (tiny by contract — it is typed by a human or
+    a seed benchmark) is collected once to derive the touched bucket
+    set; the postings scan prunes to those partitions, df(term) counts
+    over the pruned relation, and scoring/top-k mirror
+    :func:`bm25_topk`. Results equal the in-memory path on the same
+    corpus (asserted in tests)."""
+    if k1 <= 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    stats = spark.read.parquet(f"{path}/stats")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+    q_terms = (
+        queries.select(
+            F.col(q_id_col).alias("query_id"),
+            F.explode(text.tokens(q_text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    # bounded by the query vocabulary (human/benchmark sized), never
+    # the corpus — the pq probed-list collect's analog
+    buckets = sorted(
+        {
+            r["b"]
+            for r in q_terms.select(
+                F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double, rn int"
+    )
+    if not buckets:
+        return empty, spark.read.parquet(f"{path}/postings").limit(0)
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(*[int(x) for x in buckets])
+    )
+    tf = postings.join(F.broadcast(q_terms.select("term").distinct()), "term")
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", text.rpos(F.col("score"), 4).alias("score"), "rn")
+    )
+    return out, postings

@@ -94,3 +94,71 @@ def test_bm25_plan_is_jvm_side(spark, corpus):
     plan = bm25.bm25_topk(corpus, q)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_index_prunes_and_matches_inmemory(spark, corpus, tmp_path):
+    """write_bm25_index → term-bucket-partitioned postings; the probe
+    scan carries PartitionFilters on bucket and results equal the
+    in-memory bm25_topk on the same corpus."""
+    path = str(tmp_path / "bm25_idx")
+    bm25.write_bm25_index(corpus, path)
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    got, pruned = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in bm25.bm25_topk(corpus, q, k=10).collect()}
+    assert a == b and len(a) > 0
+    # empty / degenerate query sets yield a typed empty result
+    empty_q = q.filter(F.lit(False))
+    out, _ = bm25.bm25_topk_indexed(spark, path, empty_q)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="k1"):
+        bm25.bm25_topk_indexed(spark, path, q, k1=-1)
+
+
+def test_bm25_streaming_probe_matches_batch(spark, corpus, tmp_path):
+    """Streaming query serving over the persisted index (the
+    PqStreamServer pattern applied to the lexical tier): the union of
+    per-micro-batch probes equals one batch probe — every answer
+    depends only on the static index."""
+    import glob
+    import shutil
+
+    path = str(tmp_path / "bm25_sidx")
+    bm25.write_bm25_index(corpus, path)
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window"), ("qc", "spark slow")],
+        "query_id string, q_text string",
+    )
+    want_df, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    want = {tuple(r) for r in want_df.collect()}
+
+    stage = tmp_path / "bm25_qstream"
+    stage.mkdir()
+    for name, cond in (("a", "query_id < 'qc'"), ("b", "query_id >= 'qc'")):
+        scratch = str(tmp_path / f"bm25_scratch_{name}")
+        q.filter(cond).coalesce(1).write.parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, str(stage / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(q.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    results = []
+
+    def respond(batch_df, batch_id):
+        out, _ = bm25.bm25_topk_indexed(spark, path, batch_df, k=10)
+        results.extend(out.collect())
+
+    sq = stream.writeStream.foreachBatch(respond).outputMode("append").start()
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    assert {tuple(r) for r in results} == want
