@@ -37,6 +37,74 @@ def _vec_frame(df: DataFrame, vec_col: str, id_col: str | None = None) -> DataFr
     return df.filter(F.col(vec_col).isNotNull()).select(*cols)
 
 
+def _nearest_lists_np(Q: np.ndarray, cents: np.ndarray, nprobe: int) -> np.ndarray:
+    """(nq, nprobe) nearest-centroid ids per query, chunked so the
+    (chunk, n_lists, dim) distance intermediate stays ~256 MB. The
+    subtract-square-sum reduction order matches :func:`_build_probes`'s
+    per-query form exactly, so driver-side and executor-side probe
+    construction pick identical lists (float-parity — the two-path
+    equality contract of the ANN tier)."""
+    if len(Q) == 0:
+        return np.empty((0, nprobe), dtype=np.int64)
+    chunk = max(1, (1 << 25) // max(1, cents.shape[0] * cents.shape[1]))
+    parts = []
+    for lo in range(0, len(Q), chunk):
+        d2 = ((Q[lo : lo + chunk, None, :] - cents[None, :, :]) ** 2).sum(2)
+        parts.append(np.argsort(d2, axis=1)[:, :nprobe])
+    return np.concatenate(parts, axis=0).astype(np.int64)
+
+
+def _collect_queries_bounded(
+    queries: DataFrame, vec_col: str, id_col: str, limit: int | None = None
+) -> tuple[list, bool]:
+    """(non-NULL (qid, qv) rows, truncated?) — the bounded collect that
+    decides between the driver-side and distributed probe paths.
+    ``truncated`` is True when the collect hit ``limit`` RAW rows (more
+    queries may exist beyond it; NULL-vector rows count against the
+    limit, so only the raw count proves every query was seen)."""
+    sel = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    if limit is not None:
+        sel = sel.limit(limit)
+    rows = sel.collect()
+    truncated = limit is not None and len(rows) >= limit
+    return [r for r in rows if r["qv"] is not None], truncated
+
+
+def _probe_relations_ivf(
+    queries: DataFrame,
+    cents: np.ndarray,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Executor-side probe construction for the IVF path — one Arrow
+    pass over the query frame (centroids ride the closure), NORMALIZED
+    into ``probes (query_id, list_id)`` and ``qvs (query_id, qv)`` so
+    the query vector is never duplicated per probed list. No query row
+    reaches the driver; results are bit-identical to the driver path
+    (same reduction order — see _nearest_lists_np)."""
+    id_type = queries.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            lists = _nearest_lists_np(Q, cents, nprobe)
+            yield pd.DataFrame(
+                {"query_id": pdf["id"], "lists": list(lists), "qv": pdf["v"]}
+            )
+
+    base = _vec_frame(queries, vec_col, id_col).mapInPandas(
+        run, schema=f"query_id {id_type}, lists array<bigint>, qv array<double>"
+    )
+    probes = base.select("query_id", F.explode("lists").alias("list_id"))
+    qvs = base.select("query_id", "qv")
+    return probes, qvs
+
+
 def _build_probes(cents: np.ndarray, q_rows, nprobe: int) -> tuple[list, set[int]]:
     """(query_id, list_id, qv) probe rows for the nprobe nearest lists
     of each query; NULL query vectors are skipped (no meaningful probe)."""
@@ -153,17 +221,36 @@ def ivf_topk(
     kmeans_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_inline_queries: int = 64,
 ) -> DataFrame:
-    """Approximate cosine top-k probing only nprobe inverted lists."""
+    """Approximate cosine top-k probing only nprobe inverted lists.
+
+    Query handling is TWO-PATH (round 11, the pq.py/brute_force_topk
+    design): a bounded ``limit(max_inline_queries+1)`` collect decides
+    the branch; larger query sets build the probe relations
+    executor-side (``_probe_relations_ivf``) with join strategy left
+    to AQE — no unbounded driver collect. Both paths bit-identical
+    (asserted in tests/test_ivf.py)."""
     cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     lists = assign_lists(df, cents, vec_col, id_col)
-
-    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")).collect()
-    probe_rows, _ = _build_probes(cents, q_rows, nprobe)
     spark = df.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qv array<double>")
 
-    joined = lists.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
+    q_rows, truncated = _collect_queries_bounded(
+        queries, vec_col, id_col, limit=max_inline_queries + 1
+    )
+    if not truncated:
+        probe_rows, _ = _build_probes(cents, q_rows, nprobe)
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, list_id long, qv array<double>"
+        )
+        joined = lists.join(F.broadcast(probes), "list_id").filter(
+            F.col("id") != F.col("query_id")
+        )
+        return _cosine_topk(joined, k_neighbors)
+    probes, qvs = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
+    joined = lists.join(probes.join(qvs, "query_id"), "list_id").filter(
+        F.col("id") != F.col("query_id")
+    )
     return _cosine_topk(joined, k_neighbors)
 
 
@@ -205,6 +292,7 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_inline_queries: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written IVF index; returns (result, pruned_scan).
 
@@ -212,20 +300,35 @@ def ivf_topk_indexed(
     an IN-list of every probed list, so the parquet source prunes to
     those directories (PartitionFilters in the plan — asserted in
     tests). ``pruned_scan`` is returned so callers/tests can inspect
-    the plan of the pruned read itself.
+    the plan of the pruned read itself. Two-path query handling as in
+    :func:`ivf_topk`; in the distributed branch only the probed-list-id
+    set (bounded by n_lists) is collected for partition pruning.
     """
     cents = load_centroids(spark, path)
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).collect()
-    probe_rows, probed = _build_probes(cents, q_rows, nprobe)
-    if not probe_rows:  # empty queries frame: zero-arg isin() would raise
-        empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
-        return empty, spark.read.parquet(f"{path}/vectors").limit(0)
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long, qv array<double>")
+    q_rows, truncated = _collect_queries_bounded(
+        queries, vec_col, id_col, limit=max_inline_queries + 1
+    )
+    if not truncated:
+        probe_rows, probed = _build_probes(cents, q_rows, nprobe)
+        if not probe_rows:  # empty queries frame: zero-arg isin() would raise
+            empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+            return empty, spark.read.parquet(f"{path}/vectors").limit(0)
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, list_id long, qv array<double>"
+        )
+        hint = True
+    else:
+        probes, qvs = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
+        probed = {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+        if not probed:  # every query row carried a NULL vector
+            empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+            return empty, spark.read.parquet(f"{path}/vectors").limit(0)
+        probes = probes.join(qvs, "query_id")
+        hint = False
 
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(*[int(x) for x in sorted(probed)])
     )
-    joined = vectors.join(F.broadcast(probes), "list_id").filter(F.col("id") != F.col("query_id"))
+    p = F.broadcast(probes) if hint else probes
+    joined = vectors.join(p, "list_id").filter(F.col("id") != F.col("query_id"))
     return _cosine_topk(joined, k_neighbors), vectors

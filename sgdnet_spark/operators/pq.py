@@ -51,7 +51,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sgdnet_spark.operators.ivf import _collect_vec, _vec_frame, kmeans_fit
+from sgdnet_spark.operators.ivf import (
+    _collect_queries_bounded,
+    _collect_vec,
+    _nearest_lists_np,
+    _vec_frame,
+    kmeans_fit,
+)
 
 
 def _normalize(V: np.ndarray) -> np.ndarray:
@@ -216,25 +222,10 @@ def _collect_queries(
     deciding the branch must use :func:`_collect_queries_bounded`,
     which also reports whether the limit truncated the RAW row set —
     NULL-vector rows count against the limit, so a filtered length
-    under the cap does not by itself prove every query was seen."""
+    under the cap does not by itself prove every query was seen (the
+    shared bounded-collect helper lives in ivf.py)."""
     rows, _ = _collect_queries_bounded(queries, vec_col, id_col, limit)
     return rows
-
-
-def _collect_queries_bounded(
-    queries: DataFrame, vec_col: str, id_col: str, limit: int | None = None
-) -> tuple[list, bool]:
-    """(non-NULL query rows, truncated?) — ``truncated`` is True when
-    the bounded collect hit ``limit`` raw rows, meaning more query rows
-    may exist beyond it and only the distributed path sees them all."""
-    sel = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    if limit is not None:
-        sel = sel.limit(limit)
-    rows = sel.collect()
-    truncated = limit is not None and len(rows) >= limit
-    return [r for r in rows if r["qv"] is not None], truncated
 
 
 def _probe_frame(spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: int):
@@ -285,29 +276,19 @@ def _probe_relations(
     tests/test_pq.py)."""
     id_type = queries.schema[id_col].dataType.simpleString()
 
-    # bound the (chunk, n_lists, dim) distance intermediate to ~256 MB
-    # regardless of Arrow batch size or list count
-    chunk = max(1, (1 << 25) // max(1, len(cents) * cents.shape[1]))
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             tabs = adc_tables(Q, books)
-            # same per-(q, c) subtract-square-sum reduction as the
-            # driver path (expanded-form Q² − 2QC + C² differs in float)
-            parts = []
-            for lo in range(0, len(Q), chunk):
-                d2 = ((Q[lo : lo + chunk, None, :] - cents[None, :, :]) ** 2).sum(2)
-                parts.append(np.argsort(d2, axis=1)[:, :nprobe])
-            lists = np.concatenate(parts, axis=0)
+            # _nearest_lists_np keeps the driver path's per-(q, c)
+            # subtract-square-sum reduction order (the expanded form
+            # Q² − 2QC + C² differs in float) and bounds the distance
+            # intermediate — shared with the IVF distributed path
+            lists = _nearest_lists_np(Q, cents, nprobe)
             yield pd.DataFrame(
-                {
-                    "query_id": pdf["id"],
-                    "lists": list(lists.astype(np.int64)),
-                    "qtab": list(tabs),
-                }
+                {"query_id": pdf["id"], "lists": list(lists), "qtab": list(tabs)}
             )
 
     base = _vec_frame(queries, vec_col, id_col).mapInPandas(

@@ -248,3 +248,51 @@ def test_semdedup_leaves_no_cached_relation(spark):
     for rule in ("domination", "greedy"):
         similarity.semdedup(df, eps=0.3, k_clusters=2, iters=2, rule=rule).count()
     assert cm.isEmpty()
+
+
+def test_ivf_distributed_query_path_matches_driver(spark, sf_dir):
+    """Round 11: ivf_topk's two-path query handling — a query set over
+    the inline cap builds probe relations executor-side and returns
+    rows identical to the driver path (shared float-parity helper)."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_all = emb  # 500 queries > the 64 default
+    kw = dict(k_neighbors=5, n_lists=8, nprobe=3, kmeans_iters=2)
+    a = {
+        tuple(r)
+        for r in ivf_topk(emb, q_all, max_inline_queries=1000, **kw).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivf_topk(emb, q_all, max_inline_queries=64, **kw).collect()
+    }
+    assert a == b
+    assert len({q for q, _, _ in b}) == emb.count()
+
+
+def test_ivf_indexed_distributed_matches_and_prunes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators.ivf import ivf_topk_indexed, write_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_dist")
+    write_ivf_index(emb, path, n_lists=8, kmeans_iters=2)
+    want, _ = ivf_topk_indexed(
+        spark, path, emb, k_neighbors=5, nprobe=3, max_inline_queries=1000
+    )
+    got, pruned = ivf_topk_indexed(
+        spark, path, emb, k_neighbors=5, nprobe=3, max_inline_queries=64
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert {tuple(r) for r in want.collect()} == {tuple(r) for r in got.collect()}
+    # all-NULL truncated query set: typed empty result, no isin() crash
+    nulls = emb.select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    ).limit(70)
+    out, pr = ivf_topk_indexed(spark, path, nulls, k_neighbors=3, max_inline_queries=64)
+    assert out.count() == 0 and pr.count() == 0
