@@ -142,7 +142,22 @@ def write_bm25_index(
 
     Build cost: ONE corpus tokenize/explode pass + the (doc, term)
     count shuffle — the same work one query batch pays, paid once.
+    Stats are stored as RAW SUMS (n_docs, sum_dl) so
+    :func:`append_bm25_index` can fold a new batch in without
+    rescanning the corpus; avgdl is derived at probe time.
     """
+    _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite")
+    stats = df.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
+        F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _write_postings(
+    df: DataFrame, path: str, text_col: str, id_col: str, n_buckets: int, mode: str
+) -> None:
     postings = (
         df.select(F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"))
         .select(
@@ -153,11 +168,42 @@ def write_bm25_index(
         .agg(F.count("*").cast("double").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
-    stats = df.select(
+    postings.write.mode(mode).partitionBy("bucket").parquet(f"{path}/postings")
+
+
+def append_bm25_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add documents to a written BM25 index — the
+    append_pq_index daily-ingest shape on the lexical tier: the batch's
+    postings append into the existing bucket partitions (bucket count
+    read from the stored stats, so batches can never fragment the
+    layout), and the corpus-wide (n_docs, sum_dl) sums fold the batch
+    in WITHOUT rescanning the corpus. Postings append BEFORE the stats
+    rewrite: a failure in between leaves slightly-stale global stats —
+    a bounded score perturbation every BM25 serving stack tolerates —
+    never missing postings (the vectors-before-codes ordering
+    rationale). df(term) is recounted per probe, so it needs no
+    maintenance at all."""
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    _write_postings(df, path, text_col, id_col, int(old["n_buckets"]), mode="append")
+    batch = df.select(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(text.tokens(text_col))).alias("avgdl"),
-        F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+        F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
+    ).collect()[0]
+    stats = spark.createDataFrame(
+        [
+            (
+                float(old["n_docs"]) + float(batch["n_docs"]),
+                float(old["sum_dl"]) + float(batch["sum_dl"]),
+                int(old["n_buckets"]),
+            )
+        ],
+        "n_docs double, sum_dl double, n_buckets bigint",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -182,7 +228,12 @@ def bm25_topk_indexed(
     corpus (asserted in tests)."""
     if k1 <= 0 or not 0.0 <= b <= 1.0:
         raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
-    stats = spark.read.parquet(f"{path}/stats")
+    # avgdl derives from the stored raw sums (append-friendly); the
+    # integer-valued double sums divide to the exact same double the
+    # in-memory F.avg produces
+    stats = spark.read.parquet(f"{path}/stats").select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"), "n_buckets"
+    )
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     q_terms = (
         queries.select(

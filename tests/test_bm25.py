@@ -162,3 +162,26 @@ def test_bm25_streaming_probe_matches_batch(spark, corpus, tmp_path):
     finally:
         sq.stop()
     assert {tuple(r) for r in results} == want
+
+
+def test_bm25_append_matches_full_rebuild(spark, corpus, tmp_path):
+    """append_bm25_index: build from half the corpus, append the rest —
+    probes equal a full single-shot build (postings land in the same
+    bucket layout; n_docs/sum_dl fold exactly, so idf and length
+    normalization match to the bit)."""
+    lo = corpus.filter(F.col("doc_id") <= 2)
+    hi = corpus.filter(F.col("doc_id") > 2)
+    inc = str(tmp_path / "bm25_inc")
+    full = str(tmp_path / "bm25_full")
+    bm25.write_bm25_index(lo, inc)
+    bm25.append_bm25_index(spark, inc, hi)
+    bm25.write_bm25_index(corpus, full)
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    a, _ = bm25.bm25_topk_indexed(spark, inc, q, k=10)
+    b, _ = bm25.bm25_topk_indexed(spark, full, q, k=10)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    # appended docs are actually retrievable
+    assert any(r["doc_id"] > 2 for r in a.collect())
