@@ -78,13 +78,14 @@ def _probe_relations_ivf(
     nprobe: int,
     vec_col: str,
     id_col: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Executor-side probe construction for the IVF path — one Arrow
-    pass over the query frame (centroids ride the closure), NORMALIZED
-    into ``probes (query_id, list_id)`` and ``qvs (query_id, qv)`` so
-    the query vector is never duplicated per probed list. No query row
-    reaches the driver; results are bit-identical to the driver path
-    (same reduction order — see _nearest_lists_np)."""
+    pass over the query frame (centroids ride the closure) emitting
+    one row per query with its probed-list array next to its vector
+    (stored once per query). Callers derive the per-list relation via
+    a fused in-row explode — no self-join of the query frame. No
+    query row reaches the driver; results are bit-identical to the
+    driver path (same reduction order — see _nearest_lists_np)."""
     id_type = queries.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,12 +98,9 @@ def _probe_relations_ivf(
                 {"query_id": pdf["id"], "lists": list(lists), "qv": pdf["v"]}
             )
 
-    base = _vec_frame(queries, vec_col, id_col).mapInPandas(
+    return _vec_frame(queries, vec_col, id_col).mapInPandas(
         run, schema=f"query_id {id_type}, lists array<bigint>, qv array<double>"
     )
-    probes = base.select("query_id", F.explode("lists").alias("list_id"))
-    qvs = base.select("query_id", "qv")
-    return probes, qvs
 
 
 def _build_probes(cents: np.ndarray, q_rows, nprobe: int) -> tuple[list, set[int]]:
@@ -247,10 +245,9 @@ def ivf_topk(
             F.col("id") != F.col("query_id")
         )
         return _cosine_topk(joined, k_neighbors)
-    probes, qvs = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
-    joined = lists.join(probes.join(qvs, "query_id"), "list_id").filter(
-        F.col("id") != F.col("query_id")
-    )
+    base = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
+    probes = base.select("query_id", F.explode("lists").alias("list_id"), "qv")
+    joined = lists.join(probes, "list_id").filter(F.col("id") != F.col("query_id"))
     return _cosine_topk(joined, k_neighbors)
 
 
@@ -318,12 +315,15 @@ def ivf_topk_indexed(
         )
         hint = True
     else:
-        probes, qvs = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
-        probed = {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+        base = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
+        probed = {
+            r["l"]
+            for r in base.select(F.explode("lists").alias("l")).distinct().collect()
+        }
         if not probed:  # every query row carried a NULL vector
             empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
             return empty, spark.read.parquet(f"{path}/vectors").limit(0)
-        probes = probes.join(qvs, "query_id")
+        probes = base.select("query_id", F.explode("lists").alias("list_id"), "qv")
         hint = False
 
     vectors = spark.read.parquet(f"{path}/vectors").filter(

@@ -254,19 +254,19 @@ def _probe_relations(
     nprobe: int,
     vec_col: str,
     id_col: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Executor-side probe construction — the DISTRIBUTED query path.
 
     ONE Arrow pass over the query frame (centroids + codebooks ride the
-    task closure: (n_lists + m·ksub)·dim doubles, model-sized) emits one
-    row per query: its ``nprobe`` probed lists and its flattened ADC
-    table. The result is NORMALIZED into two relations —
-    ``probes (query_id, list_id)`` and ``qtabs (query_id, qtab)`` — so
-    the (m·ksub)-double table is never duplicated per probed list; the
-    join that fans it out happens executor-side inside the candidate
-    scan, where the fan-out is unavoidable anyway. No query row ever
-    reaches the driver, so the SemDeDup-style everything-queries-
-    everything shape runs without driver memory entering the picture.
+    task closure: (n_lists + m·ksub)·dim doubles, model-sized) emits
+    one row per query — its ``nprobe`` probed lists as an array next to
+    its flattened ADC table — so the (m·ksub)-double table is stored
+    once per query, never per probed list. Callers derive the per-list
+    probe relation with a fused in-row ``explode`` (no self-join of
+    the query frame; a normalized probes⋈qtabs pair would re-form the
+    same relation through an extra shuffle). No query row ever reaches
+    the driver, so the SemDeDup-style everything-queries-everything
+    shape runs without driver memory entering the picture.
 
     Float parity with the driver path is exact: per-query centroid
     distances are computed as ``((cents − q)²).sum(axis)`` with the same
@@ -291,12 +291,17 @@ def _probe_relations(
                 {"query_id": pdf["id"], "lists": list(lists), "qtab": list(tabs)}
             )
 
-    base = _vec_frame(queries, vec_col, id_col).mapInPandas(
+    return _vec_frame(queries, vec_col, id_col).mapInPandas(
         run, schema=f"query_id {id_type}, lists array<bigint>, qtab array<double>"
     )
-    probes = base.select("query_id", F.explode("lists").alias("list_id"))
-    qtabs = base.select("query_id", "qtab")
-    return probes, qtabs
+
+
+def _explode_probes(base: DataFrame, payload: str) -> DataFrame:
+    """(query_id, list_id, <payload>) from the per-query probe frame —
+    a pure in-row explode, one scan, zero joins."""
+    return base.select(
+        "query_id", F.explode("lists").alias("list_id"), payload
+    )
 
 
 def _adc_candidates(
@@ -472,9 +477,9 @@ def ivfpq_topk(
         probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
         cands = _adc_candidates(coded, probes, m, ksub, pool)
         return _exact_rerank(_vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors)
-    probes, qtabs = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
+    base = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
     cands = _adc_candidates(
-        coded, probes.join(qtabs, "query_id"), m, ksub, pool, hint_broadcast=False
+        coded, _explode_probes(base, "qtab"), m, ksub, pool, hint_broadcast=False
     )
     qdf = _vec_frame(queries, vec_col, id_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
@@ -688,14 +693,17 @@ def _topk_indexed_with_model(
         qtabs = None
         hint = True
     else:
-        probes, qtabs = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
+        base = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
         # the probed-LIST-ID set is bounded by n_lists regardless of
         # query count — this collect is model-sized, never query-sized
-        probed = {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+        probed = {
+            r["l"]
+            for r in base.select(F.explode("lists").alias("l")).distinct().collect()
+        }
         if not probed:  # every query row had a NULL vector
             empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
             return empty, spark.read.parquet(f"{path}/codes").limit(0)
-        probes = probes.join(qtabs, "query_id")
+        probes = _explode_probes(base, "qtab")
         hint = False
     in_list = [int(x) for x in sorted(probed)]
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("list_id").isin(*in_list))
