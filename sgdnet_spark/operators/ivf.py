@@ -194,9 +194,18 @@ def kmeans_fit(
     return cents
 
 
-def assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(id, list_id, v) — the inverted lists."""
-    k, dim = cents.shape
+def assign_lists(
+    df: DataFrame,
+    cents: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, list_id, v[, *meta]) — the inverted lists. ``meta_cols``
+    pass attribute columns through in-row (zero extra shuffle) so a
+    written index can serve metadata-filtered probes (the pq.py
+    meta_cols design)."""
+    meta_cols = meta_cols or []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,10 +213,23 @@ def assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str = "embedding", i
                 continue
             V = np.stack(pdf["v"].to_numpy())
             d2 = (V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]
-            yield pd.DataFrame({"id": pdf["id"], "list_id": d2.argmin(1).astype(np.int64), "v": pdf["v"]})
+            out = {"id": pdf["id"], "list_id": d2.argmin(1).astype(np.int64), "v": pdf["v"]}
+            for c in meta_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    base = _vec_frame(df, vec_col, id_col)
-    return base.mapInPandas(run, schema="id long, list_id long, v array<double>")
+    schema = "id long, list_id long, v array<double>"
+    for c in meta_cols:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    if meta_cols:
+        base = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            *meta_cols,
+        )
+    else:
+        base = _vec_frame(df, vec_col, id_col)
+    return base.mapInPandas(run, schema=schema)
 
 
 def ivf_topk(
@@ -258,15 +280,19 @@ def write_ivf_index(
     kmeans_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: list[str] | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index as a LIST-PARTITIONED parquet layout:
     vectors land under ``path/vectors/list_id=<l>/`` and the centroids
     under ``path/centroids``. A probe then reads only its nprobe
     directories via partition pruning — at 100 TB the scan cost is
     nprobe/n_lists of the corpus, enforced by the plan, not by code.
+    ``meta_cols`` store attribute columns alongside the vectors so
+    probes can push a ``where=`` predicate into the scan next to the
+    partition pruning (the write_pq_index design).
     """
     cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    lists = assign_lists(df, cents, vec_col, id_col)
+    lists = assign_lists(df, cents, vec_col, id_col, meta_cols=meta_cols)
     lists.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
@@ -290,6 +316,7 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
+    where=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written IVF index; returns (result, pruned_scan).
 
@@ -300,6 +327,10 @@ def ivf_topk_indexed(
     the plan of the pruned read itself. Two-path query handling as in
     :func:`ivf_topk`; in the distributed branch only the probed-list-id
     set (bounded by n_lists) is collected for partition pruning.
+    ``where`` (over the index's ``meta_cols``) is metadata-filtered
+    retrieval: the predicate pushes into the parquet scan next to the
+    partition pruning, and with nprobe=n_lists results equal brute
+    force over the post-filtered corpus.
     """
     cents = load_centroids(spark, path)
     q_rows, truncated = _collect_queries_bounded(
@@ -329,6 +360,10 @@ def ivf_topk_indexed(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(*[int(x) for x in sorted(probed)])
     )
+    if where is not None:
+        vectors = vectors.filter(where)
     p = F.broadcast(probes) if hint else probes
-    joined = vectors.join(p, "list_id").filter(F.col("id") != F.col("query_id"))
+    joined = vectors.select("id", "list_id", "v").join(p, "list_id").filter(
+        F.col("id") != F.col("query_id")
+    )
     return _cosine_topk(joined, k_neighbors), vectors

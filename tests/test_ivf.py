@@ -296,3 +296,26 @@ def test_ivf_indexed_distributed_matches_and_prunes(spark, sf_dir, tmp_path):
     ).limit(70)
     out, pr = ivf_topk_indexed(spark, path, nulls, k_neighbors=3, max_inline_queries=64)
     assert out.count() == 0 and pr.count() == 0
+
+
+def test_ivf_filtered_probe_pushdown_matches_bruteforce(spark, sf_dir, tmp_path):
+    """where= on the IVF index (round-11 symmetry with pq): predicate
+    pushes into the vectors scan next to the list pruning; with
+    nprobe=n_lists results equal brute force over the survivors."""
+    from sgdnet_spark.operators.ivf import ivf_topk_indexed, write_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_meta")
+    write_ivf_index(emb, path, n_lists=4, kmeans_iters=2, meta_cols=["label"])
+    q = emb.filter(F.col("vec_id") < 10)
+    got, pruned = ivf_topk_indexed(
+        spark, path, q, k_neighbors=5, nprobe=4, where="label = 1"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert "PushedFilters" in plan and "label" in plan
+    surv = emb.filter(F.col("label") == 1)
+    want = similarity.brute_force_topk(surv, q, k=5)
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b and len(a) > 0
