@@ -1,0 +1,122 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of ranked lists.
+
+The standard way production search stacks combine a LEXICAL ranking
+(BM25) with a DENSE one (embedding cosine) — Cormack, Clarke &
+Büttcher, SIGIR 2009: fused_score(q, d) = Σ_lists 1/(k0 + rank_l(q,d)),
+summed over the lists that returned d. Rank fusion beats score fusion
+because BM25 scores and cosines live on incomparable scales; ranks
+need no calibration. k0=60 is the paper's (and every engine's)
+default damping.
+
+Spark shape: each input is an already-ranked per-query candidate list
+(any of this repo's retrieval tiers — bm25_topk, brute_force_topk,
+ivf/ivfpq/lsh top-k). Fusion is ONE full-outer join on (query, doc)
+per extra list plus a per-query top-k window — candidate-list-sized
+work, never corpus-sized; the expensive part already happened inside
+the tiers being fused. Everything is exact integer-rank arithmetic on
+a fixed k0, so the DuckDB twin replays the fused scores bit-for-bit
+(ranks are ints; 1/(k0+r) sums are short and identical both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import text
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Fuse ≥2 ranked lists into (query_id, doc_id, fused, rn).
+
+    Each input must carry (query_col, doc_col, rank_col) with rank 1 =
+    best; a document absent from a list simply contributes nothing for
+    it (the RRF convention). Ties in the fused score break by doc id
+    ascending. ``fused`` is grid-rounded to 6 dp (ranking happens on
+    the exact value; the sums are exact-enough rationals that both
+    engines agree far below the grid).
+    """
+    if len(lists) < 2:
+        raise ValueError(f"rrf_fuse needs at least 2 lists, got {len(lists)}")
+    if k0 <= 0:
+        raise ValueError(f"k0 must be positive, got {k0}")
+    parts = []
+    for i, df in enumerate(lists):
+        parts.append(
+            df.select(
+                F.col(query_col).alias("query_id"),
+                F.col(doc_col).alias("doc_id"),
+                (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias(f"c{i}"),
+            )
+        )
+    # union + one groupBy instead of a chain of full-outer joins: the
+    # same (query, doc) key fold, one shuffle total, no null-handling
+    # ladder as the list count grows
+    unioned = None
+    for i, p in enumerate(parts):
+        row = p.select(
+            "query_id",
+            "doc_id",
+            *[
+                (F.col(f"c{i}") if i == j else F.lit(0.0)).alias(f"c{j}")
+                for j in range(len(parts))
+            ],
+        )
+        unioned = row if unioned is None else unioned.unionByName(row)
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum(sum(F.col(f"c{j}") for j in range(len(parts)))).alias("fused")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", text.rpos(F.col("fused"), 6).alias("fused"), "rn")
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    k0: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval over a corpus whose documents
+    carry both a text row (``docs``) and an embedding row (``emb``,
+    same id space): per query, BM25 top-``pool`` on the query TEXT and
+    exact-cosine top-``pool`` on the query VECTOR, fused by RRF.
+
+    ``queries`` carries (query_id, q_text, q_vec): the
+    "more-like-this" shape where a query is itself a document (or any
+    dual-encoded query). Each side is the existing tier — swap the
+    dense side for ivfpq candidates at scale (rrf_fuse takes any
+    ranked lists)."""
+    from sgdnet_spark.operators import bm25 as _bm25
+    from sgdnet_spark.operators import similarity as _sim
+
+    lex = _bm25.bm25_topk(
+        docs, queries.select("query_id", "q_text"), k=pool,
+        text_col=text_col, id_col=doc_id_col,
+    )
+    dense = _sim.brute_force_topk(
+        emb,
+        queries.select(F.col("query_id").alias(vec_id_col), F.col("q_vec").alias(vec_col)),
+        k=pool,
+        vec_col=vec_col,
+        id_col=vec_id_col,
+        with_rank=True,  # rank of the unrounded cut, not a 4dp re-rank
+    )
+    dense_ranked = dense.select("query_id", F.col("nbr_id").alias("doc_id"), "rn")
+    return rrf_fuse([lex, dense_ranked], k=k, k0=k0)

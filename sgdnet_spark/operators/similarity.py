@@ -70,9 +70,12 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × narrow scan of the corpus,
     per-query window top-k. Ties broken by neighbor id (deterministic).
+    ``with_rank`` appends the 1-based rank column ``rn`` (rank fusion
+    consumers).
 
     Small query sets are inlined as literal expressions (one fused
     mult-add chain per query, whole-stage codegen, zero array allocs —
@@ -160,10 +163,16 @@ def brute_force_topk(
             )
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    out_cols = ["query_id", "nbr_id", F.round("cos", 4).alias("cos")]
+    if with_rank:
+        # the UNROUNDED internal ordering (rank fusion consumers need
+        # the rank the cut was actually decided on, not a re-rank of
+        # the 4dp-rounded output, which can permute near-ties)
+        out_cols.append("rn")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+        .select(*out_cols)
     )
 
 

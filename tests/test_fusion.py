@@ -1,0 +1,73 @@
+"""RRF rank fusion (operators/fusion.py): exact python replay on hand
+lists, hybrid composition membership, validation, and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgdnet_spark.operators import fusion
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, doc_id long, rn int")
+
+
+def test_rrf_matches_hand_computation(spark):
+    a = _mk(spark, [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)])
+    b = _mk(spark, [("q", 3, 1), ("q", 1, 2), ("q", 9, 3)])
+    got = {r["doc_id"]: (r["fused"], r["rn"]) for r in
+           fusion.rrf_fuse([a, b], k=10, k0=60).collect()}
+    import math
+
+    want = {
+        1: 1 / 61 + 1 / 62,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        9: 1 / 63,
+    }
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d][0], round(s, 6), abs_tol=1e-9)
+    # fused order: docs 1 and 3 (two lists) above 2 and 9 (one list)
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert set(order[:2]) == {1, 3} and order[0] == 1  # 1/61+1/62 > 1/61+1/63
+
+
+def test_rrf_three_lists_and_validation(spark):
+    a = _mk(spark, [("q", 1, 1)])
+    b = _mk(spark, [("q", 1, 1)])
+    c = _mk(spark, [("q", 2, 1)])
+    got = {r["doc_id"]: r["fused"] for r in fusion.rrf_fuse([a, b, c], k=5).collect()}
+    assert got[1] == round(2 / 61, 6) and got[2] == round(1 / 61, 6)
+    with pytest.raises(ValueError, match="at least 2"):
+        fusion.rrf_fuse([a])
+    with pytest.raises(ValueError, match="k0"):
+        fusion.rrf_fuse([a, b], k0=0)
+
+
+def test_hybrid_membership_and_shape(spark, sf_dir):
+    """Every fused result came from one of the two tier pools; per-query
+    ranks are contiguous from 1; no Python stage in the fusion plan."""
+    from sgdnet_spark.operators import bm25, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("q_text")
+    )
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    q = qd.join(qv, "query_id")
+    out = fusion.hybrid_topk(docs, emb, q, k=10, pool=20)
+    rows = out.collect()
+    lex = {(r["query_id"], r["doc_id"]) for r in
+           bm25.bm25_topk(docs, q.select("query_id", "q_text"), k=20).collect()}
+    dense = {(r["query_id"], r["nbr_id"]) for r in similarity.brute_force_topk(
+        emb, q.select(F.col("query_id").alias("vec_id"),
+                      F.col("q_vec").alias("embedding")), k=20).collect()}
+    assert {(r["query_id"], r["doc_id"]) for r in rows} <= (lex | dense)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rn"])
+    for rns in per_q.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
