@@ -222,6 +222,46 @@ def mix_rates(
     return {s: w * T / avail[s] for s, w in weights.items() if s in avail}
 
 
+def temperature_weights(avail: dict, alpha: float) -> dict:
+    """Temperature-smoothed target shares: w_s ∝ (share_s)^alpha (the
+    XLM-R / mT5 multilingual sampling rule, Conneau et al. 2020 §3.1 /
+    Xue et al. 2021 — alpha < 1 flattens the source distribution so
+    low-resource sources are upsampled RELATIVE to their natural share;
+    alpha=1 keeps natural shares, alpha→0 approaches uniform). Driver
+    arithmetic on the k-entry totals dict; the shares are exact
+    (integer-valued double sums), so both engines derive identical
+    weights from the same pow()."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    tot = sum(avail.values())
+    return {s: (t / tot) ** alpha for s, t in avail.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> tuple[DataFrame, dict]:
+    """Downsample sources to temperature-smoothed shares: the
+    feasibility-capped realization of the (share)^alpha mixture —
+    :func:`temperature_weights` composed with the scarcest-source rule,
+    every keep decision a pure md5(id‖salt) fraction (the corpus_sample
+    discipline: one totals aggregation, zero shuffles in the decisions,
+    partitioning-independent, restart-stable)."""
+    avail = _avail_totals(df, source_col, weight_col)
+    if not avail:
+        raise ValueError(
+            f"no source has positive {weight_col} — nothing to mix"
+        )
+    rates = mix_rates(df, source_col, temperature_weights(avail, alpha),
+                      weight_col, avail=avail)
+    u = hash_fraction(id_col, salt)
+    return df.filter(u < _rate_column(source_col, rates)), rates
+
+
 def _rate_column(source_col: str, rates: dict) -> Column:
     rate = None
     for s, r in rates.items():

@@ -362,3 +362,41 @@ def test_cluster_balance_streaming_twin(spark, sf_dir, tmp_path, emb):
 def test_cluster_balance_rates_without_cents_raises(emb):
     with pytest.raises(ValueError, match="requires cents"):
         S.cluster_balance(emb, rates={0: 1.0})
+
+
+def test_temperature_mix_flattens_shares(spark, docs):
+    """alpha<1 upsamples the tail relative to the head: the kept
+    corpus' share RATIO head/tail shrinks vs natural; alpha=1
+    reproduces natural shares (every rate equal); rates replay in
+    python; out-of-range alpha rejected."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import sampling as S
+
+    df, _ = docs
+    d = df.select("doc_id", "lang", "n_chars")
+    nat = {r["lang"]: r["t"] for r in
+           d.groupBy("lang").agg(F.sum("n_chars").alias("t")).collect()}
+    tot = sum(nat.values())
+    mixed, rates = S.temperature_mix(d, "lang", alpha=0.3)
+    # python replay of the rate algebra
+    w = {s: (t / tot) ** 0.3 for s, t in nat.items()}
+    T = min(nat[s] / w[s] for s in w)
+    want = {s: w[s] * T / nat[s] for s in w}
+    assert rates == want
+    kept = {r["lang"]: r["t"] for r in
+            mixed.groupBy("lang").agg(F.sum("n_chars").alias("t")).collect()}
+    head = max(nat, key=nat.get)
+    tail = min(nat, key=nat.get)
+    if nat[head] > nat[tail]:  # guard: degenerate equal-share corpora
+        assert kept[head] / kept[tail] < nat[head] / nat[tail]
+    # alpha=1: natural shares -> every rate identical (=T/tot)
+    _, r1 = S.temperature_mix(d, "lang", alpha=1.0)
+    vals = list(r1.values())
+    assert max(vals) - min(vals) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        S.temperature_mix(d, "lang", alpha=0.0)
+    with _pt.raises(ValueError, match="alpha"):
+        S.temperature_mix(d, "lang", alpha=1.5)
