@@ -651,3 +651,59 @@ def test_online_kmeans_stream_and_downstream(spark, sf_dir, tmp_path):
     before = streamed.centroids.copy()
     streamed.update(emb.filter("vec_id < 0"))
     assert np.allclose(streamed.centroids, before)
+
+
+def test_streaming_fuzzy_decontamination_matches_batch(spark, sf_dir, tmp_path):
+    """Fuzzy (MinHash-level) decontamination on a corpus STREAM: each
+    micro-batch is scrubbed against the static benchmark with the batch
+    operator (foreachBatch — the PqStreamServer pattern; the verify
+    stage's candidate joins and pair materialization are not
+    append-mode-expressible, and each document's flag depends only on
+    itself + the static benchmark, so batching is invisible). Union of
+    streamed flags == one batch pass."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    near = bench.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedleak")).alias("text"),
+    )
+    corpus = docs.filter(~(F.col("doc_id") % 20).isin(0, 1)).unionByName(near)
+    want = {
+        (r["id"], r["bench_id"], r["jaccard"])
+        for r in dedup.fuzzy_contamination_flags(corpus, bench, threshold=0.8).collect()
+    }
+
+    stage = tmp_path / "fz_stream"
+    stage.mkdir()
+    for name, cond in (("a", "doc_id < 250"), ("b", "doc_id >= 250")):
+        scratch = str(tmp_path / f"fz_scratch_{name}")
+        corpus.filter(cond).coalesce(1).write.parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, str(stage / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    got = []
+
+    def respond(batch_df, batch_id):
+        got.extend(
+            dedup.fuzzy_contamination_flags(batch_df, bench, threshold=0.8).collect()
+        )
+
+    q = stream.writeStream.foreachBatch(respond).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(r["id"], r["bench_id"], r["jaccard"]) for r in got} == want
+    assert len(want) > 0
