@@ -32,12 +32,20 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b",
     # US SSN shape 123-45-6789
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # 16-digit payment-card shape, optional -/space group separators
+    # (round 11); Luhn checksum validation is a separate expression —
+    # see luhn_ok / cc_valid_count — because a scrub REDACTS on shape
+    # (conservative) but REPORTS validated counts (a leak of real card
+    # numbers is a different severity than 16 digits that happen to
+    # line up)
+    "cc": r"\b(?:\d{4}[- ]?){3}\d{4}\b",
 }
 
 # Redaction order matters: ssn/phone shapes can overlap ipv4-adjacent
 # digit runs, and email must go first so its digits are not partially
-# eaten by the numeric patterns.
-REDACT_ORDER = ("email", "phone", "ssn", "ipv4")
+# eaten by the numeric patterns; cc precedes phone/ssn so a card's
+# 4-digit groups are not partially consumed.
+REDACT_ORDER = ("email", "cc", "phone", "ssn", "ipv4")
 
 
 def pii_counts(df: DataFrame, text_col: str = "text",
@@ -108,3 +116,54 @@ def count_sql(text_expr: str, kind: str) -> str:
     """DuckDB twin of one :func:`pii_counts` column."""
     pat = PII_PATTERNS[kind].replace("'", "''")
     return f"COALESCE(len(regexp_extract_all({text_expr}, '{pat}')), 0)"
+
+
+def luhn_ok(s: F.Column) -> F.Column:
+    """Luhn checksum over a digit-only string Column (ISO/IEC 7812):
+    doubling every second digit from the right, folding >9 to d−9,
+    valid iff the sum ≡ 0 (mod 10). Pure codegen — one in-row
+    transform+aggregate over the digit positions, no UDF."""
+    n = F.length(s)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i % 2 == 0,
+            F.when(
+                (F.ascii(s.substr(n - i + 1, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(s.substr(n - i + 1, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(s.substr(n - i + 1, F.lit(1))) - 48) * 2),
+        ).otherwise(F.ascii(s.substr(n - i + 1, F.lit(1))) - 48),
+    )
+    return F.aggregate(terms, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
+def cc_valid_count(df: DataFrame, text_col: str = "text",
+                   out_col: str = "n_cc_valid") -> DataFrame:
+    """Count of card-SHAPED matches that also pass the Luhn checksum:
+    extract matches, strip separators in-row, filter by luhn_ok — all
+    codegen, zero shuffle. NULL text counts 0 (the pii_counts
+    convention)."""
+    ms = F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS["cc"]), 0)
+    cleaned = F.transform(ms, lambda m: F.regexp_replace(m, r"[- ]", ""))
+    valid = F.filter(cleaned, lambda c: (F.length(c) == 16) & luhn_ok(c))
+    return df.withColumn(out_col, F.coalesce(F.size(valid), F.lit(0)))
+
+
+def cc_valid_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`cc_valid_count`: the same extract → strip
+    → Luhn chain over list functions (1-based char indexing; i counts
+    from the right, so the char index is 17−i for a 16-digit string)."""
+    pat = PII_PATTERNS["cc"].replace("'", "''")
+    digit = "(ascii(c[17 - i]) - 48)"
+    term = (
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 ELSE {digit} * 2 END "
+        f"ELSE {digit} END"
+    )
+    return (
+        "COALESCE(len(list_filter(list_transform("
+        f"regexp_extract_all({text_expr}, '{pat}'), "
+        "m -> regexp_replace(m, '[- ]', '', 'g')), "
+        f"c -> len(c) = 16 AND "
+        f"list_sum(list_transform(range(1, 17), i -> {term})) % 10 = 0)), 0)"
+    )

@@ -985,3 +985,40 @@ def test_fuzzy_contamination_planted(spark):
 
     with _pt.raises(ValueError, match="threshold"):
         dedup.fuzzy_contamination_flags(corpus, bench, threshold=0.0)
+
+
+def test_pii_cc_luhn_validation_and_parity(spark):
+    """Round 11: 16-digit card shapes detect; Luhn separates valid from
+    near-miss numbers (classic test vectors); redaction removes the
+    shape; DuckDB replays the same extract→strip→checksum chain."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import pii
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "pay 4111-1111-1111-1111 today",        # Visa test number: valid
+            "pay 4111-1111-1111-1112 today",        # last digit off: invalid
+            "pay 5500 0000 0000 0004 now",          # MC test number: valid
+            "digits 4111111111111111 run-on",       # no separators: valid
+            "no card here 123-45-6789 only ssn",
+        ],
+    })
+    df = spark.createDataFrame(rows)
+    out = pii.cc_valid_count(pii.pii_counts(df, "text"), "text")
+    got = {r["doc_id"]: (r["n_cc"], r["n_cc_valid"]) for r in out.collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 1), 4: (1, 1), 5: (0, 0)}
+    # redaction removes the card shape entirely
+    red = {r["doc_id"]: r["text"] for r in pii.redact(df, "text").collect()}
+    for d in (1, 2, 3, 4):
+        assert "4111" not in red[d] and "5500" not in red[d]
+    # engine parity on the same strings
+    con = duckdb.connect()
+    con.register("t", rows)
+    q = (f"SELECT doc_id, {pii.count_sql('text', 'cc')} AS n_cc, "
+         f"{pii.cc_valid_sql('text')} AS n_cc_valid FROM t")
+    want = {r[0]: (r[1], r[2]) for r in con.execute(q).fetchall()}
+    assert got == want
