@@ -251,13 +251,16 @@ def ivf_topk(
     executor-side (``_probe_relations_ivf``) with join strategy left
     to AQE — no unbounded driver collect. Both paths bit-identical
     (asserted in tests/test_ivf.py)."""
-    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    lists = assign_lists(df, cents, vec_col, id_col)
     spark = df.sparkSession
-
+    # branch-decide BEFORE training (an empty query set must not pay a
+    # quantizer fit for an empty answer)
     q_rows, truncated = _collect_queries_bounded(
         queries, vec_col, id_col, limit=max_inline_queries + 1
     )
+    if not q_rows and not truncated:
+        return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    lists = assign_lists(df, cents, vec_col, id_col)
     if not truncated:
         probe_rows, _ = _build_probes(cents, q_rows, nprobe)
         probes = spark.createDataFrame(

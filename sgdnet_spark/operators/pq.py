@@ -461,17 +461,18 @@ def ivfpq_topk(
     runs fully distributed. Both paths return bit-identical results
     (asserted in tests/test_pq.py).
     """
-    tr = _train_frame(df, train_frac, id_col)
-    cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    coded = _assign_encode(df, cents, books, vec_col, id_col)
-
     spark = df.sparkSession
+    # branch-decide BEFORE training: an empty query set must not pay
+    # two quantizer fits for an empty answer
     q_rows, truncated = _collect_queries_bounded(
         queries, vec_col, id_col, limit=max_inline_queries + 1
     )
     if not q_rows and not truncated:
         return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+    tr = _train_frame(df, train_frac, id_col)
+    cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    coded = _assign_encode(df, cents, books, vec_col, id_col)
     pool = k_neighbors * refine
     if not truncated:
         probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
