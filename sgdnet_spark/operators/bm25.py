@@ -136,9 +136,11 @@ def write_bm25_index(
     partition-prunes the postings scan to those directories — the
     write_pq_index list-pruning design applied to the lexical tier
     (PartitionFilters plan-asserted in tests). df(term) is derived
-    from the pruned postings at probe time (a count over the touched
-    posting lists only), so the index needs no separate df relation
-    kept in sync across appends.
+    from the pruned postings at probe time and is EXACT despite the
+    pruning: a term's posting list lives entirely inside its own hash
+    bucket, so pruning to the query terms' buckets keeps every posting
+    of every query term — the index needs no separate df relation kept
+    in sync across appends.
 
     Build cost: ONE corpus tokenize/explode pass + the (doc, term)
     count shuffle — the same work one query batch pays, paid once.

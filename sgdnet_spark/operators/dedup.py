@@ -706,27 +706,57 @@ def fuzzy_contamination_flags(
         bk_c.join(F.broadcast(bk_b), ["band", "bk"])
         .select("id", "bench_id")
         .distinct()
+        .persist()
     )
-    # exact verify on candidates only: benchmark arrays broadcast
-    # (eval-set sized), corpus arrays join candidate-sized
-    withb = cand.join(
-        F.broadcast(
-            sa_b.select(F.col("id").alias("bench_id"), F.col("shingles").alias("__sh_b"))
-        ),
-        "bench_id",
+    n_cand = cand.count()
+    if n_cand <= _BROADCAST_VERIFY_CAP:
+        # exact verify on candidates only: benchmark arrays broadcast
+        # (eval-set sized), corpus arrays join candidate-sized
+        withb = cand.join(
+            F.broadcast(
+                sa_b.select(
+                    F.col("id").alias("bench_id"), F.col("shingles").alias("__sh_b")
+                )
+            ),
+            "bench_id",
+        )
+        both = sa_c.join(F.broadcast(withb), "id")
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+        out = (
+            both.withColumnRenamed("shingles", "__sh_a")
+            .withColumn(
+                "jaccard",
+                inter / (F.size("__sh_a") + F.size("__sh_b") - inter),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id", "bench_id", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
+        )
+        return _materialize_pairs(out, sa_c, sa_b, cand)
+    # huge candidate set (extreme contamination rates): exploded shingle
+    # joins — intersection counts shuffle on (id, shingle), never
+    # materializing per-pair arrays (the minhash_lsh_pairs cap design)
+    sh_c = sa_c.select("id", F.explode("shingles").alias("shingle"))
+    sh_b = sa_b.select(
+        F.col("id").alias("bench_id"), F.explode("shingles").alias("shingle")
     )
-    both = sa_c.join(F.broadcast(withb), "id")
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    sz_c = sa_c.select("id", F.size("shingles").alias("sz_a"))
+    sz_b = sa_b.select(F.col("id").alias("bench_id"), F.size("shingles").alias("sz_b"))
+    inter = (
+        cand.join(sh_c, "id")
+        .join(sh_b, ["bench_id", "shingle"])
+        .groupBy("id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
     out = (
-        both.withColumnRenamed("shingles", "__sh_a")
+        inter.join(sz_c, "id")
+        .join(F.broadcast(sz_b), "bench_id")
         .withColumn(
-            "jaccard",
-            inter / (F.size("__sh_a") + F.size("__sh_b") - inter),
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id", "bench_id", text.rpos(F.col("jaccard"), 4).alias("jaccard"))
     )
-    return _materialize_pairs(out, sa_c, sa_b)
+    return _materialize_pairs(out, sa_c, sa_b, cand)
 
 
 def decontaminate_fuzzy(

@@ -1022,3 +1022,38 @@ def test_pii_cc_luhn_validation_and_parity(spark):
          f"{pii.cc_valid_sql('text')} AS n_cc_valid FROM t")
     want = {r[0]: (r[1], r[2]) for r in con.execute(q).fetchall()}
     assert got == want
+
+
+def test_fuzzy_contamination_exploded_branch_matches(spark, monkeypatch):
+    """Forcing the huge-candidate exploded-join verify (cap=0) yields
+    the identical pair set/values as the broadcast-array verify — the
+    minhash cap-design parity check for the fuzzy decon path."""
+    import pandas as pd
+
+    from sgdnet_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 200],
+        "text": [base, base.replace("gamma", "chi").replace("tau", "psi")],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            base.replace("iota", "omega"),
+            base.replace("alpha", "omega").replace("sigma", "phi"),
+            "entirely unrelated words with nothing shared at all here",
+        ],
+    }))
+    want = {
+        (r["id"], r["bench_id"], r["jaccard"])
+        for r in dedup.fuzzy_contamination_flags(corpus, bench, threshold=0.5).collect()
+    }
+    assert want  # the planted near-dups are found at all
+    monkeypatch.setattr(dedup, "_BROADCAST_VERIFY_CAP", 0)
+    got = {
+        (r["id"], r["bench_id"], r["jaccard"])
+        for r in dedup.fuzzy_contamination_flags(corpus, bench, threshold=0.5).collect()
+    }
+    assert got == want
