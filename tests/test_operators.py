@@ -1057,3 +1057,36 @@ def test_fuzzy_contamination_exploded_branch_matches(spark, monkeypatch):
         for r in dedup.fuzzy_contamination_flags(corpus, bench, threshold=0.5).collect()
     }
     assert got == want
+
+
+def test_luhn_random_cross_validation(spark):
+    """pii.luhn_ok vs an independent python Luhn on 200 random digit
+    strings of varying length (the checksum is length-generic even
+    though the card pattern pins 16)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import pii
+
+    def py_luhn(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = ord(ch) - 48
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rng = np.random.default_rng(11)
+    strs = ["".join(str(d) for d in rng.integers(0, 10, size=int(n)))
+            for n in rng.integers(12, 20, size=200)]
+    df = spark.createDataFrame(pd.DataFrame({"s": strs}))
+    got = {r["s"]: r["ok"] for r in
+           df.select("s", pii.luhn_ok(F.col("s")).alias("ok")).collect()}
+    for s in strs:
+        assert got[s] == py_luhn(s), s
+    # both classes occur in the sample (the test discriminates)
+    assert any(got.values()) and not all(got.values())
