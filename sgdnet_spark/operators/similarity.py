@@ -85,14 +85,21 @@ def brute_force_topk(
     # bounded collect for the path decision: limit(max+1) tells us which
     # branch to take without ever materializing a large query set on the
     # driver (the distributed branch below never needs the rows)
-    q_rows = (
+    q_raw = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .limit(max_inline_queries + 1)
         .collect()
     )
+    # NULL query vectors have no neighbors — drop them HERE so the
+    # inline branch can't np.asarray-crash and the join branch can't
+    # rank every corpus row under a NULL cosine (desc puts NULLs last,
+    # so they'd silently fill the top-k); the branch decision stays on
+    # the RAW count (truncation must route to the join branch, which
+    # sees the whole frame)
+    q_rows = [r for r in q_raw if r["qv"] is not None]
     id_type = queries.schema[id_col].dataType.simpleString()
-    if not q_rows:
-        # empty query set: a well-typed empty result, not a numpy
+    if not q_rows and len(q_raw) <= max_inline_queries:
+        # empty usable query set: a well-typed empty result, not a numpy
         # AxisError from norm() over a zero-row array (nbr_id takes the
         # CORPUS id type — it may differ from the query id type)
         nbr_type = df.schema[id_col].dataType.simpleString()
@@ -104,7 +111,7 @@ def brute_force_topk(
         id_type in integral
         and df.schema[id_col].dataType.simpleString() in integral
     )
-    if len(q_rows) <= max_inline_queries and integral_ids:
+    if len(q_raw) <= max_inline_queries and integral_ids:
         # (non-integral id columns use the join branch below at ANY
         # query count — the Arrow batch schema here is typed long)
         # Arrow-batched BLAS path: broadcast the query block to every
@@ -147,8 +154,9 @@ def brute_force_topk(
     else:
         corpus = df.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("cv"),
                            norm(_as_double(vec_col)).alias("cn"))
-        q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
-                           norm(_as_double(vec_col)).alias("qn"))
+        q = queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
+            norm(_as_double(vec_col)).alias("qn"))
         # self-exclusion only when the id types can actually collide: a
         # string-keyed query set probing a long-keyed corpus would
         # otherwise force a CAST that throws on non-numeric ids

@@ -185,3 +185,21 @@ def test_bm25_append_matches_full_rebuild(spark, corpus, tmp_path):
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
     # appended docs are actually retrievable
     assert any(r["doc_id"] > 2 for r in a.collect())
+
+
+def test_bm25_null_and_empty_text_rows(spark):
+    """NULL-text and empty-text documents cannot crash or pollute:
+    they produce no postings (consistent in both the in-memory and
+    indexed paths — engines agree because size(NULL)=NULL is skipped
+    by AVG on both sides), and never appear as results."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["spark table scan", None, ""],
+        })
+    )
+    q = spark.createDataFrame([("q", "table")], "query_id string, q_text string")
+    got = bm25.bm25_topk(df, q, k=5).collect()
+    assert {r["doc_id"] for r in got} == {1}

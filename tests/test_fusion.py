@@ -71,3 +71,30 @@ def test_hybrid_membership_and_shape(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["rn"])
     for rns in per_q.values():
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_hybrid_null_vector_query_lexical_only(spark):
+    """A query whose q_vec is NULL still gets its LEXICAL results (the
+    dense tier drops NULL vectors; fusion degrades gracefully to the
+    single surviving list for that query)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spark table scan", "table join slow", "window agg group"],
+    }))
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("qa", "table scan", [1.0, 0.05]), ("qb", "window agg", None)],
+        "query_id string, q_text string, q_vec array<double>",
+    )
+    rows = fusion.hybrid_topk(docs, emb, q, k=5, pool=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # qa fuses both tiers; qb (NULL vector) still answers lexically
+    assert {1, 2} <= by_q["qa"]
+    assert by_q["qb"] == {3}
