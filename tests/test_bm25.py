@@ -203,3 +203,17 @@ def test_bm25_null_and_empty_text_rows(spark):
     q = spark.createDataFrame([("q", "table")], "query_id string, q_text string")
     got = bm25.bm25_topk(df, q, k=5).collect()
     assert {r["doc_id"] for r in got} == {1}
+
+
+def test_bm25_out_of_vocabulary_queries(spark, corpus, tmp_path):
+    """Query terms absent from the corpus: typed empty results on both
+    the in-memory and indexed paths (no crash from empty dft/stats
+    joins or empty bucket pruning)."""
+    q = spark.createDataFrame(
+        [("q", "zzz qqq xyzzy")], "query_id string, q_text string"
+    )
+    assert bm25.bm25_topk(corpus, q).count() == 0
+    path = str(tmp_path / "bm25_oov")
+    bm25.write_bm25_index(corpus, path)
+    out, _ = bm25.bm25_topk_indexed(spark, path, q)
+    assert out.count() == 0

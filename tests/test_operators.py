@@ -1090,3 +1090,19 @@ def test_luhn_random_cross_validation(spark):
         assert got[s] == py_luhn(s), s
     # both classes occur in the sample (the test discriminates)
     assert any(got.values()) and not all(got.values())
+
+
+def test_fuzzy_contamination_empty_sides(spark):
+    """Empty corpus or empty benchmark: typed empty flag relations, no
+    crashes from empty shingle caches or zero-candidate verifies."""
+    import pandas as pd
+
+    from sgdnet_spark.operators import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["alpha beta gamma delta epsilon"],
+    }))
+    empty = docs.filter(F.lit(False))
+    assert dedup.fuzzy_contamination_flags(empty, docs, threshold=0.5).count() == 0
+    assert dedup.fuzzy_contamination_flags(docs, empty, threshold=0.5).count() == 0
+    assert dedup.decontaminate_fuzzy(docs, empty, threshold=0.5).count() == 1
