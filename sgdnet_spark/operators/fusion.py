@@ -47,32 +47,18 @@ def rrf_fuse(
         raise ValueError(f"rrf_fuse needs at least 2 lists, got {len(lists)}")
     if k0 <= 0:
         raise ValueError(f"k0 must be positive, got {k0}")
-    parts = []
-    for i, df in enumerate(lists):
-        parts.append(
-            df.select(
-                F.col(query_col).alias("query_id"),
-                F.col(doc_col).alias("doc_id"),
-                (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias(f"c{i}"),
-            )
-        )
     # union + one groupBy instead of a chain of full-outer joins: the
     # same (query, doc) key fold, one shuffle total, no null-handling
     # ladder as the list count grows
     unioned = None
-    for i, p in enumerate(parts):
-        row = p.select(
-            "query_id",
-            "doc_id",
-            *[
-                (F.col(f"c{i}") if i == j else F.lit(0.0)).alias(f"c{j}")
-                for j in range(len(parts))
-            ],
+    for df in lists:
+        p = df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("c"),
         )
-        unioned = row if unioned is None else unioned.unionByName(row)
-    fused = unioned.groupBy("query_id", "doc_id").agg(
-        F.sum(sum(F.col(f"c{j}") for j in range(len(parts)))).alias("fused")
-    )
+        unioned = p if unioned is None else unioned.unionByName(p)
+    fused = unioned.groupBy("query_id", "doc_id").agg(F.sum("c").alias("fused"))
     w = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
     return (
         fused.withColumn("rn", F.row_number().over(w))
