@@ -16,17 +16,27 @@ with the Lucene/ATIRE idf variant idf(t) = ln(1 + (N − df + 0.5)/(df +
 Spark shape — an inverted-index probe expressed relationally, all
 JVM-side (zero Python, zero UDF):
 
-- the QUERY term relation (distinct terms per query) is tiny and
-  broadcasts; the corpus explodes to (doc, term, doclen) and is
-  immediately semi-joined against the broadcast query vocabulary, so
-  the one corpus-sized shuffle (the (doc, term) tf count) carries only
-  matching terms — work scales with the posting lists the queries
-  actually touch, the inverted-index access pattern.
-- document frequencies come from THAT restricted relation (only query
-  terms need df) — a Zipf-small (term, df) frame joined back broadcast.
-- N and avgdl are ONE global aggregate (a 1-row scalar cross join, the
-  sketch_prefilter scalar pattern).
-- final score = groupBy(query, doc) sum + a per-query top-k window.
+- ONE corpus scan total (round 12): the corpus tokenizes once, global
+  stats (N, Σ|d|) ride that same scan as ``observe()`` metrics, and the
+  vocabulary-restricted tf relation is eagerly localCheckpoint-ed so
+  its two consumers (the df(term) count and the score join) reuse the
+  materialized postings instead of re-tokenizing the corpus. The
+  cached relation is the AGGREGATED matched postings — four numeric
+  columns, no text — far smaller than the corpus bytes it replaces.
+- query handling is TWO-PATH (the ANN tier's bounded-collect design):
+  a ``limit(max_inline_queries+1)`` probe decides the branch. Small
+  query sets collect their (query, term) relation driver-side — the
+  vocabulary restriction becomes a literal IN-set filter (no join on
+  the corpus side at all) and the score join broadcasts a local
+  relation. Larger sets keep (query, term) executor-side (one tokenize
+  pass, lazily localCheckpoint-ed so the vocabulary projection and the
+  score join share it) with join strategies left to Catalyst/AQE — no
+  query-sized driver collect anywhere.
+- document frequencies come from the restricted tf relation (only
+  query terms need df) — a Zipf-small (term, df) frame.
+- final score = groupBy(query, doc) sum + a per-query top-k window
+  (:func:`bm25_topk`) or a pure relevance-floor filter with NO window
+  (:func:`bm25_filter` — the corpus-audit sweep shape at 100 TB).
 
 Every arithmetic step is expressible in ANSI SQL, so the DuckDB twin
 replays the formula exactly (scores grid-rounded at 4 dp on both sides
@@ -35,10 +45,190 @@ replays the formula exactly (scores grid-rounded at 4 dp on both sides
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from sgdnet_spark.operators import text
+
+N_TERM_BUCKETS = 64
+
+
+def _check_params(k1: float, b: float) -> None:
+    if k1 <= 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+
+
+def _q_terms(queries: DataFrame, q_text_col: str, q_id_col: str) -> DataFrame:
+    """(query_id, term) — distinct per query (classic BM25 ignores
+    query-side term multiplicity)."""
+    return (
+        queries.select(
+            F.col(q_id_col).alias("query_id"),
+            F.explode(text.tokens(q_text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def _with_score(
+    tf: DataFrame,
+    dft: DataFrame,
+    q_terms_rel: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    hint_broadcast: bool,
+) -> DataFrame:
+    """(query_id, doc_id, score) from the matched-postings relation.
+    Global stats enter as LITERALS (they are known driver-side in every
+    path — observed metrics or the stored index stats), so no scalar
+    cross join is needed. ``hint_broadcast`` marks the small-query
+    branch; without it Catalyst/AQE picks the join strategies (a
+    corpus-scale query relation must not be forced onto every
+    executor)."""
+    bcast = F.broadcast if hint_broadcast else (lambda x: x)
+    return (
+        tf.join(bcast(dft), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .join(bcast(q_terms_rel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", text.rpos(F.col("score"), 4).alias("score"), "rn")
+    )
+
+
+def _floor(scored: DataFrame, threshold: float) -> DataFrame:
+    """Relevance-floor mode: a pure filter on the RAW score — no
+    per-query window, no rank. The 100 TB corpus-audit shape (every
+    doc scoring ≥ threshold for any query), where a global per-query
+    regroup would be the bottleneck."""
+    return scored.filter(F.col("score") >= float(threshold)).select(
+        "query_id", "doc_id", text.rpos(F.col("score"), 4).alias("score")
+    )
+
+
+def _empty_result(spark, qid_type: str, did_type: str, with_rn: bool) -> DataFrame:
+    cols = f"query_id {qid_type}, doc_id {did_type}, score double"
+    if with_rn:
+        cols += ", rn int"
+    return spark.createDataFrame([], cols)
+
+
+def _scored_inmemory(
+    df: DataFrame,
+    queries: DataFrame,
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+    q_text_col: str,
+    q_id_col: str,
+    max_inline_queries: int,
+) -> DataFrame | None:
+    """The shared scoring pipeline over an in-memory corpus; returns
+    None when the query vocabulary (or the corpus) is empty — the
+    callers emit a typed empty frame. ONE corpus scan: stats are
+    observe() metrics on the tokenize pass that feeds the tf
+    aggregation, and tf is eagerly localCheckpoint-ed for its two
+    consumers."""
+    spark = df.sparkSession
+    # ONE bounded job over the query source decides the branch AND
+    # (small sets) feeds the driver-side term relation — tokenization
+    # re-runs the SAME SQL expression over the collected rows as a
+    # LocalRelation job, so term semantics cannot drift between paths
+    q_raw = queries.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
+    large = len(q_raw) > max_inline_queries
+    if large:
+        q_terms = _q_terms(queries, q_text_col, q_id_col)
+        # emptiness guard, first-row-short-circuit cheap: an empty
+        # build side under AQE would prune the corpus subtree INCLUDING
+        # the observe node, and the metrics row would never materialize
+        if q_terms.limit(1).count() == 0:
+            return None
+        q_rel = q_terms.localCheckpoint(eager=False)
+        vocab = q_rel.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+    else:
+        local_q = spark.createDataFrame(
+            q_raw, queries.select(q_id_col, q_text_col).schema
+        )
+        qt_rows = [
+            (r["query_id"], r["term"])
+            for r in _q_terms(local_q, q_text_col, q_id_col).collect()
+        ]
+        if not qt_rows:
+            return None
+        qid_t = queries.schema[q_id_col].dataType.simpleString()
+        q_rel = spark.createDataFrame(qt_rows, f"query_id {qid_t}, term string")
+        terms = sorted({t for _, t in qt_rows})
+        # literal IN-set restriction: no join on the corpus side at all
+        vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
+
+    obs = Observation()
+    doc_base = df.select(
+        F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t")
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("sum_dl"),
+        F.count(F.size("t")).alias("n_dl"),
+    )
+    toks = doc_base.select(
+        "doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term")
+    )
+    tf = (
+        vocab_join(toks)
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    # eager: THE one corpus scan happens here; obs is filled by the same
+    # job, and both downstream consumers (dft, score join) read the
+    # checkpointed matched postings
+    tf = tf.localCheckpoint(eager=True)
+    try:
+        st = obs.get
+    except Exception:
+        # when the optimizer can PROVE emptiness (LocalRelation corpus
+        # + no vocabulary hit, or an empty corpus), empty-relation
+        # propagation prunes the CollectMetrics node and the metrics
+        # row never materializes — obs.get surfaces that as a
+        # schema-less-row error. Pruning only fires on provably-empty
+        # subtrees, so verify and emit the empty result; anything else
+        # is a real failure
+        if tf.isEmpty():
+            return None
+        raise
+    if not st or not st.get("n_dl"):
+        return None  # no tokenizable docs -> no postings -> empty
+    # N counts every doc (BM25's idf denominator is corpus-wide);
+    # avgdl averages over docs that HAVE a token list — a NULL text row
+    # has no length, exactly what F.avg(size(tokens)) used to skip
+    n_docs = float(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / float(st["n_dl"])
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    return _with_score(tf, dft, q_rel, n_docs, avgdl, k1, b, hint_broadcast=not large)
 
 
 def bm25_topk(
@@ -51,75 +241,60 @@ def bm25_topk(
     id_col: str = "doc_id",
     q_text_col: str = "q_text",
     q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
 ) -> DataFrame:
     """Per-query BM25 top-k: (query_id, doc_id, score, rn).
 
-    ``queries`` is a (query_id, q_text) relation; each query's DISTINCT
-    normalized tokens are its terms (classic BM25 ignores query-side
-    term multiplicity). Ties break by doc_id ascending. Scores are
-    grid-rounded to 4 dp (ranking happens on the unrounded value).
+    ``queries`` is a (query_id, q_text) relation. Ties break by doc_id
+    ascending. Scores are grid-rounded to 4 dp (ranking happens on the
+    unrounded value). Query handling is two-path — beyond
+    ``max_inline_queries`` nothing query-sized touches the driver.
     """
-    if k1 <= 0 or not 0.0 <= b <= 1.0:
-        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
-    # (query_id, term) — distinct per query, broadcast-sized by contract
-    q_terms = (
-        queries.select(
-            F.col(q_id_col).alias("query_id"),
-            F.explode(text.tokens(q_text_col)).alias("term"),
+    _check_params(k1, b)
+    scored = _scored_inmemory(
+        df, queries, k1, b, text_col, id_col, q_text_col, q_id_col, max_inline_queries
+    )
+    if scored is None:
+        return _empty_result(
+            df.sparkSession,
+            queries.schema[q_id_col].dataType.simpleString(),
+            df.schema[id_col].dataType.simpleString(),
+            with_rn=True,
         )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    vocab = q_terms.select("term").distinct()
-
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t")
-    ).select("doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term"))
-    # restrict to the query vocabulary BEFORE the tf shuffle: the one
-    # corpus-sized aggregation carries only the touched posting lists
-    tf = (
-        toks.join(F.broadcast(vocab), "term")
-        .groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    # global stats: ONE 1-row aggregate (N over ALL docs, avgdl over
-    # ALL docs — BM25's normalizer is corpus-wide, not match-wide)
-    stats = df.select(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(text.tokens(text_col))).alias("avgdl"),
-    )
-    # df(term) from the restricted relation (tf rows are distinct per
-    # (doc, term) already) — Zipf-small, broadcast back
-    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
-    scored = (
-        tf.join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .join(F.broadcast(q_terms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("w").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "doc_id", text.rpos(F.col("score"), 4).alias("score"), "rn")
-    )
+    return _topk(scored, k)
 
 
-N_TERM_BUCKETS = 64
+def bm25_filter(
+    df: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
+) -> DataFrame:
+    """Relevance-floor BM25: every (query_id, doc_id, score) with RAW
+    score ≥ ``threshold`` — a pure filter, NO per-query window (plan-
+    asserted in tests). The corpus-audit sweep shape: at 100 TB a
+    per-query top-k regroup is the bottleneck when the consumer only
+    needs "everything above the floor". Equivalent to
+    ``bm25_topk(k=∞).filter(score ≥ threshold)`` minus the rank column
+    (asserted in tests)."""
+    _check_params(k1, b)
+    scored = _scored_inmemory(
+        df, queries, k1, b, text_col, id_col, q_text_col, q_id_col, max_inline_queries
+    )
+    if scored is None:
+        return _empty_result(
+            df.sparkSession,
+            queries.schema[q_id_col].dataType.simpleString(),
+            df.schema[id_col].dataType.simpleString(),
+            with_rn=False,
+        )
+    return _floor(scored, threshold)
 
 
 def write_bm25_index(
@@ -131,7 +306,7 @@ def write_bm25_index(
 ) -> None:
     """Materialize the inverted index: ``path/postings/bucket=<b>/``
     holds (term, doc_id, dl, tf) partitioned by a stable term-hash
-    bucket, ``path/stats`` the 1-row (n_docs, avgdl, n_buckets)
+    bucket, ``path/stats`` the 1-row (n_docs, sum_dl, n_dl, n_buckets)
     relation. A probe maps its query terms to buckets and
     partition-prunes the postings scan to those directories — the
     write_pq_index list-pruning design applied to the lexical tier
@@ -144,14 +319,18 @@ def write_bm25_index(
 
     Build cost: ONE corpus tokenize/explode pass + the (doc, term)
     count shuffle — the same work one query batch pays, paid once.
-    Stats are stored as RAW SUMS (n_docs, sum_dl) so
-    :func:`append_bm25_index` can fold a new batch in without
-    rescanning the corpus; avgdl is derived at probe time.
-    """
+    Stats are stored as RAW SUMS so :func:`append_bm25_index` can fold
+    a new batch in without rescanning the corpus; avgdl is derived at
+    probe time as sum_dl/n_dl, where n_dl counts only docs WITH a token
+    list — the same rows ``F.avg(size(tokens))`` aggregates in the
+    in-memory path, so indexed and in-memory scores agree on corpora
+    with NULL-text rows (n_docs = COUNT(*) keeps counting every doc:
+    BM25's idf denominator is corpus-wide)."""
     _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite")
     stats = df.select(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
+        F.count(F.size(text.tokens(text_col))).cast("double").alias("n_dl"),
         F.lit(n_buckets).cast("bigint").alias("n_buckets"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
@@ -173,6 +352,15 @@ def _write_postings(
     postings.write.mode(mode).partitionBy("bucket").parquet(f"{path}/postings")
 
 
+def _read_stats(spark, path: str):
+    """(n_docs, sum_dl, n_dl, n_buckets) floats from the stored stats;
+    indexes written before round 12 lack n_dl — fall back to n_docs
+    (their original avgdl denominator) so old indexes keep serving."""
+    row = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_dl = float(row["n_dl"]) if "n_dl" in row.__fields__ else float(row["n_docs"])
+    return float(row["n_docs"]), float(row["sum_dl"]), n_dl, int(row["n_buckets"])
+
+
 def append_bm25_index(
     spark,
     path: str,
@@ -184,30 +372,85 @@ def append_bm25_index(
     append_pq_index daily-ingest shape on the lexical tier: the batch's
     postings append into the existing bucket partitions (bucket count
     read from the stored stats, so batches can never fragment the
-    layout), and the corpus-wide (n_docs, sum_dl) sums fold the batch
-    in WITHOUT rescanning the corpus. Postings append BEFORE the stats
-    rewrite: a failure in between leaves slightly-stale global stats —
-    a bounded score perturbation every BM25 serving stack tolerates —
-    never missing postings (the vectors-before-codes ordering
-    rationale). df(term) is recounted per probe, so it needs no
-    maintenance at all."""
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
-    _write_postings(df, path, text_col, id_col, int(old["n_buckets"]), mode="append")
+    layout), and the corpus-wide (n_docs, sum_dl, n_dl) sums fold the
+    batch in WITHOUT rescanning the corpus. Postings append BEFORE the
+    stats rewrite: a failure in between leaves slightly-stale global
+    stats — a bounded score perturbation every BM25 serving stack
+    tolerates — never missing postings (the vectors-before-codes
+    ordering rationale). df(term) is recounted per probe, so it needs
+    no maintenance at all. Appends accumulate one parquet file per
+    batch per touched bucket; :func:`compact_bm25_index` rewrites the
+    layout when the file count degrades the probe scan."""
+    n_docs0, sum_dl0, n_dl0, n_buckets = _read_stats(spark, path)
+    _write_postings(df, path, text_col, id_col, n_buckets, mode="append")
     batch = df.select(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
+        F.count(F.size(text.tokens(text_col))).cast("double").alias("n_dl"),
     ).collect()[0]
     stats = spark.createDataFrame(
         [
             (
-                float(old["n_docs"]) + float(batch["n_docs"]),
-                float(old["sum_dl"]) + float(batch["sum_dl"]),
-                int(old["n_buckets"]),
+                n_docs0 + float(batch["n_docs"]),
+                sum_dl0 + float(batch["sum_dl"] or 0.0),
+                n_dl0 + float(batch["n_dl"]),
+                n_buckets,
             )
         ],
-        "n_docs double, sum_dl double, n_buckets bigint",
+        "n_docs double, sum_dl double, n_dl double, n_buckets bigint",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def compact_bm25_index(spark, path: str) -> int:
+    """Rewrite the postings layout so each bucket partition holds ONE
+    file again (daily appends accumulate a file per batch per bucket;
+    at ingest cadence the probe scan's file-listing and tiny-file
+    overhead degrade). One shuffle on the bucket column — each bucket
+    lands in exactly one task, so each partition directory gets one
+    output file — then an atomic-as-the-filesystem-allows directory
+    swap via the Hadoop FileSystem API (HDFS/ABFS renames are atomic;
+    S3A is copy-based — run compaction in the ingest pipeline's
+    maintenance window there). Returns the number of parquet files
+    before compaction.
+
+    Recovery note (the append_bm25_index stats-rewrite analog): the
+    swap is two renames; a crash between them leaves ``postings``
+    missing but ``postings_old`` intact — re-running the compaction (or
+    renaming ``postings_old`` back) restores service. The freshly
+    written ``postings_compact_tmp`` is self-contained, so no crash
+    point loses data. Probes and stats are untouched — compaction
+    changes file layout, never values (asserted in tests)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
+    fs = hpath.getFileSystem(conf)
+
+    # count via a listing walk (recursive): parquet part files only
+    it, before = fs.listFiles(hpath, True), 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            before += 1
+    tmp = f"{path}/postings_compact_tmp"
+    old = f"{path}/postings_old"
+    (
+        spark.read.parquet(f"{path}/postings")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(old_p, True)
+    if not fs.rename(hpath, old_p):
+        raise IOError(f"compact_bm25_index: could not stage {path}/postings aside")
+    if not fs.rename(tmp_p, hpath):
+        # put the original back — nothing lost
+        fs.rename(old_p, hpath)
+        raise IOError("compact_bm25_index: could not install compacted postings")
+    fs.delete(old_p, True)
+    return before
 
 
 def bm25_topk_indexed(
@@ -219,78 +462,140 @@ def bm25_topk_indexed(
     b: float = 0.75,
     q_text_col: str = "q_text",
     q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written BM25 index; returns (result, pruned_postings).
 
-    The query vocabulary (tiny by contract — it is typed by a human or
-    a seed benchmark) is collected once to derive the touched bucket
-    set; the postings scan prunes to those partitions, df(term) counts
-    over the pruned relation, and scoring/top-k mirror
-    :func:`bm25_topk`. Results equal the in-memory path on the same
+    The touched-bucket set is collected to drive partition pruning —
+    bounded by n_buckets regardless of query count (the pq probed-list
+    collect's analog); df(term) counts over the pruned relation, and
+    scoring/top-k mirror :func:`bm25_topk`. Query handling is two-path
+    (round 12): beyond ``max_inline_queries`` the (query, term)
+    relation stays executor-side — one tokenize pass, lazily
+    localCheckpoint-ed for its consumers — and join strategies are left
+    to Catalyst/AQE; results equal the collected path bit-for-bit
+    (asserted in tests). Results equal the in-memory path on the same
     corpus (asserted in tests)."""
-    if k1 <= 0 or not 0.0 <= b <= 1.0:
-        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
-    # avgdl derives from the stored raw sums (append-friendly); the
-    # integer-valued double sums divide to the exact same double the
-    # in-memory F.avg produces
-    stats = spark.read.parquet(f"{path}/stats").select(
-        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"), "n_buckets"
+    _check_params(k1, b)
+    scored, postings = _scored_indexed(
+        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries
     )
-    n_buckets = stats.select("n_buckets").first()["n_buckets"]
-    q_terms = (
-        queries.select(
-            F.col(q_id_col).alias("query_id"),
-            F.explode(text.tokens(q_text_col)).alias("term"),
+    if scored is None:
+        return (
+            _empty_result(
+                spark,
+                queries.schema[q_id_col].dataType.simpleString(),
+                _postings_doc_id_type(spark, path),
+                with_rn=True,
+            ),
+            spark.read.parquet(f"{path}/postings").limit(0),
         )
-        .filter(F.col("term") != "")
-        .distinct()
+    return _topk(scored, k), postings
+
+
+def bm25_filter_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_text_col: str = "q_text",
+    q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Relevance-floor probe of a written index: every doc with RAW
+    score ≥ ``threshold`` per query — a pure filter over the pruned
+    postings scan, no per-query window (see :func:`bm25_filter`)."""
+    _check_params(k1, b)
+    scored, postings = _scored_indexed(
+        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries
     )
-    # bounded by the query vocabulary (human/benchmark sized), never
-    # the corpus — the pq probed-list collect's analog
-    buckets = sorted(
-        {
-            r["b"]
-            for r in q_terms.select(
-                F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
-    )
-    empty = spark.createDataFrame(
-        [], "query_id string, doc_id long, score double, rn int"
-    )
-    if not buckets:
-        return empty, spark.read.parquet(f"{path}/postings").limit(0)
+    if scored is None:
+        return (
+            _empty_result(
+                spark,
+                queries.schema[q_id_col].dataType.simpleString(),
+                _postings_doc_id_type(spark, path),
+                with_rn=False,
+            ),
+            spark.read.parquet(f"{path}/postings").limit(0),
+        )
+    return _floor(scored, threshold), postings
+
+
+def _postings_doc_id_type(spark, path: str) -> str:
+    sch = spark.read.parquet(f"{path}/postings").schema
+    return sch["doc_id"].dataType.simpleString()
+
+
+def _scored_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k1: float,
+    b: float,
+    q_text_col: str,
+    q_id_col: str,
+    max_inline_queries: int,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Shared indexed scoring pipeline; (None, None) when the query
+    vocabulary is empty."""
+    n_docs, sum_dl, n_dl, n_buckets = _read_stats(spark, path)
+    if n_dl <= 0:
+        return None, None  # index over an untokenizable corpus
+    avgdl = sum_dl / n_dl
+    # ONE bounded job over the query source decides the branch AND
+    # (small sets) feeds the driver-side term+bucket relation
+    q_raw = queries.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
+    large = len(q_raw) > max_inline_queries
+    if large:
+        q_rel = _q_terms(queries, q_text_col, q_id_col).localCheckpoint(eager=False)
+        # bounded by n_buckets regardless of query count
+        buckets = sorted(
+            {
+                r["bk"]
+                for r in q_rel.select(
+                    F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("bk")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        if not buckets:
+            return None, None
+        vocab = q_rel.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+    else:
+        local_q = spark.createDataFrame(
+            q_raw, queries.select(q_id_col, q_text_col).schema
+        )
+        # one LocalRelation job yields terms AND their buckets (the
+        # same xxhash64 the postings writer used — never replicated
+        # driver-side); the query source is never rescanned
+        qt = _q_terms(local_q, q_text_col, q_id_col).select(
+            "query_id",
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("bk"),
+        ).collect()
+        if not qt:
+            return None, None
+        qid_t = queries.schema[q_id_col].dataType.simpleString()
+        q_rel = spark.createDataFrame(
+            [(r["query_id"], r["term"]) for r in qt], f"query_id {qid_t}, term string"
+        )
+        terms = sorted({r["term"] for r in qt})
+        buckets = sorted({r["bk"] for r in qt})
+        # term IN-set pushes into the pruned parquet scan next to the
+        # partition filter — posting lists of other same-bucket terms
+        # are skipped at the source
+        vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(*[int(x) for x in buckets])
     )
-    tf = postings.join(F.broadcast(q_terms.select("term").distinct()), "term")
+    tf = vocab_join(postings)
     dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
-    scored = (
-        tf.join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .join(F.broadcast(q_terms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("w").alias("score"))
+    scored = _with_score(
+        tf, dft, q_rel, n_docs, avgdl, k1, b, hint_broadcast=not large
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    out = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "doc_id", text.rpos(F.col("score"), 4).alias("score"), "rn")
-    )
-    return out, postings
+    return scored, postings

@@ -78,6 +78,7 @@ def hybrid_topk(
     doc_id_col: str = "doc_id",
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval over a corpus whose documents
     carry both a text row (``docs``) and an embedding row (``emb``,
@@ -88,7 +89,13 @@ def hybrid_topk(
     "more-like-this" shape where a query is itself a document (or any
     dual-encoded query). Each side is the existing tier — swap the
     dense side for ivfpq candidates at scale (rrf_fuse takes any
-    ranked lists)."""
+    ranked lists; :func:`hybrid_topk_approx` is that composition).
+
+    ``exclude_self`` (default True, the more-like-this convention)
+    forwards to the dense tier's self-exclusion; pass False when the
+    query ids live in a namespace unrelated to the corpus ids, so an
+    incidental id collision is not dropped from the dense list while
+    BM25 keeps it (which would skew the fused score)."""
     from sgdnet_spark.operators import bm25 as _bm25
     from sgdnet_spark.operators import similarity as _sim
 
@@ -103,6 +110,7 @@ def hybrid_topk(
         vec_col=vec_col,
         id_col=vec_id_col,
         with_rank=True,  # rank of the unrounded cut, not a 4dp re-rank
+        exclude_self=exclude_self,
     )
     dense_ranked = dense.select("query_id", F.col("nbr_id").alias("doc_id"), "rn")
     return rrf_fuse([lex, dense_ranked], k=k, k0=k0)

@@ -349,7 +349,13 @@ def ivf_topk_indexed(
         )
         hint = True
     else:
-        base = _probe_relations_ivf(queries, cents, nprobe, vec_col, id_col)
+        # lazy localCheckpoint (the pq.py _topk_indexed_with_model
+        # pattern): the probed-list collect materializes the probe frame
+        # once; the vectors join reuses it instead of re-running the
+        # query scan + nearest-centroid Arrow pass
+        base = _probe_relations_ivf(
+            queries, cents, nprobe, vec_col, id_col
+        ).localCheckpoint(eager=False)
         probed = {
             r["l"]
             for r in base.select(F.explode("lists").alias("l")).distinct().collect()

@@ -694,7 +694,14 @@ def _topk_indexed_with_model(
         qtabs = None
         hint = True
     else:
-        base = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
+        # lazy localCheckpoint: the probed-list collect below is the
+        # first action and materializes the per-query probe frame ONCE;
+        # the candidates join then reuses the checkpointed blocks
+        # instead of re-running the query scan + tokenize +
+        # nearest-centroid Arrow pass a second time
+        base = _probe_relations(
+            queries, cents, books, nprobe, vec_col, id_col
+        ).localCheckpoint(eager=False)
         # the probed-LIST-ID set is bounded by n_lists regardless of
         # query count — this collect is model-sized, never query-sized
         probed = {

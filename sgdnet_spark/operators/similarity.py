@@ -71,11 +71,15 @@ def brute_force_topk(
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
     with_rank: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × narrow scan of the corpus,
     per-query window top-k. Ties broken by neighbor id (deterministic).
     ``with_rank`` appends the 1-based rank column ``rn`` (rank fusion
-    consumers).
+    consumers). ``exclude_self`` (default True — the more-like-this
+    convention) drops a corpus row whose id equals the query's id; pass
+    False when the query id space is unrelated to the corpus id space,
+    so an incidental id collision is not silently filtered.
 
     Small query sets are inlined as literal expressions (one fused
     mult-add chain per query, whole-stage codegen, zero array allocs —
@@ -134,7 +138,8 @@ def brute_force_topk(
                 S = Vn @ Qn.T  # (m, q)
                 ids = pdf["nbr_id"].to_numpy()
                 out_q, out_n, out_c = [], [], []
-                kk = min(k + 1, len(ids))  # +1 in case the query itself is here
+                # +1 headroom only when the query's own row may be cut
+                kk = min(k + 1, len(ids)) if exclude_self else min(k, len(ids))
                 for j, qid in enumerate(q_ids):
                     # lexsort, not argpartition: ties at the kk boundary
                     # must keep the smallest nbr_id so the batch-local
@@ -144,7 +149,7 @@ def brute_force_topk(
                     # the output would depend on batch layout
                     top = np.lexsort((ids, -S[:, j]))[:kk]
                     for t in top:
-                        if ids[t] != qid:
+                        if not exclude_self or ids[t] != qid:
                             out_q.append(qid)
                             out_n.append(int(ids[t]))
                             out_c.append(float(S[t, j]))
@@ -161,7 +166,11 @@ def brute_force_topk(
         # string-keyed query set probing a long-keyed corpus would
         # otherwise force a CAST that throws on non-numeric ids
         same_type = queries.schema[id_col].dataType == df.schema[id_col].dataType
-        cond = F.col("nbr_id") != F.col("query_id") if same_type else F.lit(True)
+        cond = (
+            F.col("nbr_id") != F.col("query_id")
+            if same_type and exclude_self
+            else F.lit(True)
+        )
         scored = (
             corpus.join(F.broadcast(q), cond)
             .select(

@@ -217,3 +217,158 @@ def test_bm25_out_of_vocabulary_queries(spark, corpus, tmp_path):
     bm25.write_bm25_index(corpus, path)
     out, _ = bm25.bm25_topk_indexed(spark, path, q)
     assert out.count() == 0
+
+
+def test_bm25_indexed_null_text_avgdl_parity(spark, tmp_path):
+    """Round 12 (ADVICE): on a corpus WITH NULL-text rows, the indexed
+    path's stored-stats avgdl (sum_dl/n_dl) must equal the in-memory
+    path's F.avg(size(tokens)) — n_docs keeps counting every doc, but
+    the length normalizer averages only docs that have a token list."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["spark table scan", None, "table join slow", None],
+        })
+    )
+    path = str(tmp_path / "bm25_nulls")
+    bm25.write_bm25_index(df, path)
+    q = spark.createDataFrame(
+        [("qa", "table"), ("qb", "scan join")], "query_id string, q_text string"
+    )
+    a = {tuple(r) for r in bm25.bm25_topk(df, q, k=10).collect()}
+    got, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert {tuple(r) for r in got.collect()} == a and len(a) > 0
+
+
+def test_bm25_distributed_queries_match_inline(spark, corpus, tmp_path):
+    """Round 12: the two-path design — a 10k-query set takes the
+    executor-side branch (no query-sized driver collect) and returns
+    exactly what the inline branch returns, on BOTH the in-memory and
+    indexed paths."""
+    texts = ["table fast", "join window", "spark slow", "window table"]
+    big_q = (
+        spark.range(10_000)
+        .select(
+            F.col("id").cast("string").alias("query_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in texts]),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("q_text"),
+        )
+    )
+    # distributed branch (default max_inline_queries=64 is exceeded)
+    dist = bm25.bm25_topk(corpus, big_q, k=3)
+    # forced inline branch sees the identical query set
+    inline = bm25.bm25_topk(corpus, big_q, k=3, max_inline_queries=20_000)
+    a = {tuple(r) for r in dist.collect()}
+    b = {tuple(r) for r in inline.collect()}
+    assert a == b and len({qid for qid, _, _, _ in a}) == 10_000
+
+    path = str(tmp_path / "bm25_bigq")
+    bm25.write_bm25_index(corpus, path)
+    di, _ = bm25.bm25_topk_indexed(spark, path, big_q, k=3)
+    ii, _ = bm25.bm25_topk_indexed(spark, path, big_q, k=3, max_inline_queries=20_000)
+    ai = {tuple(r) for r in di.collect()}
+    bi = {tuple(r) for r in ii.collect()}
+    assert ai == bi == a
+
+
+def test_bm25_filter_threshold_mode(spark, corpus, tmp_path):
+    """Round 12: the relevance-floor variant ≡ top-k-above-threshold
+    (minus the rank column), and its plan has NO per-query window —
+    the corpus-audit sweep shape."""
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    ref = {
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in bm25.bm25_topk(corpus, q, k=1000).collect()
+        if r["score"] >= 0.4
+    }
+    flt = bm25.bm25_filter(corpus, q, threshold=0.4)
+    assert {tuple(r) for r in flt.collect()} == ref and len(ref) > 0
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    path = str(tmp_path / "bm25_thr")
+    bm25.write_bm25_index(corpus, path)
+    fi, _ = bm25.bm25_filter_indexed(spark, path, q, threshold=0.4)
+    assert {tuple(r) for r in fi.collect()} == ref
+    plan_i = fi._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan_i
+
+
+def test_bm25_empty_result_schemas_typed(spark, tmp_path):
+    """Round 12 (ADVICE): empty results carry the CALLER's id types —
+    query_id from the queries frame, doc_id from the corpus/postings —
+    on every path, including a long-keyed query frame over a
+    string-keyed corpus."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["spark table", "join window"]})
+    )
+    path = str(tmp_path / "bm25_typed")
+    bm25.write_bm25_index(sdf, path)
+    lq = spark.createDataFrame([], "query_id bigint, q_text string")
+    out_mem = bm25.bm25_topk(sdf, lq)
+    out_idx, _ = bm25.bm25_topk_indexed(spark, path, lq)
+    for out in (out_mem, out_idx):
+        assert out.schema["query_id"].dataType.simpleString() == "bigint"
+        assert out.schema["doc_id"].dataType.simpleString() == "string"
+        assert out.count() == 0
+    # non-empty long-keyed queries against the string corpus round-trip
+    lq2 = spark.createDataFrame([(7, "table")], "query_id bigint, q_text string")
+    got, _ = bm25.bm25_topk_indexed(spark, path, lq2, k=5)
+    rows = got.collect()
+    assert rows and all(isinstance(r["doc_id"], str) for r in rows)
+    assert got.schema["query_id"].dataType.simpleString() == "bigint"
+
+
+def test_bm25_compact_index_preserves_results(spark, corpus, tmp_path):
+    """Round 12: compaction rewrites each bucket partition down to one
+    file (appends accumulate a file per batch per bucket) and changes
+    NOTHING about probe results."""
+    path = str(tmp_path / "bm25_cmp")
+    parts = [corpus.filter(F.col("doc_id") == i) for i in (1, 2, 3, 4)]
+    bm25.write_bm25_index(parts[0], path)
+    for p in parts[1:]:
+        bm25.append_bm25_index(spark, path, p)
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    before_df, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    before = {tuple(r) for r in before_df.collect()}
+    n_before = bm25.compact_bm25_index(spark, path)
+    after_df, pruned = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert {tuple(r) for r in after_df.collect()} == before and len(before) > 0
+    # partition pruning still applies to the compacted layout
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # file count actually went down (4 single-doc batches -> 1 file per bucket)
+    import glob
+
+    n_after = len(glob.glob(f"{path}/postings/**/*.parquet", recursive=True))
+    assert n_after < n_before
+
+
+def test_bm25_one_corpus_scan(spark, tmp_path):
+    """Round 12: the in-memory path tokenizes the corpus ONCE — global
+    stats ride the tf scan as observe() metrics and tf is checkpointed
+    for its two consumers, so the RESULT plan contains no parquet scan
+    of the corpus at all (previously: three — stats, df(term), score)."""
+    src = str(tmp_path / "docs_pq")
+    spark.createDataFrame(
+        [(1, "spark table scan fast"), (2, "table join slow")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    q = spark.createDataFrame([("q", "table fast")], "query_id string, q_text string")
+    out = bm25.bm25_topk(docs, q, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan  # only the checkpointed RDD remains
+    assert out.count() > 0

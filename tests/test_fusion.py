@@ -98,3 +98,59 @@ def test_hybrid_null_vector_query_lexical_only(spark):
     # qa fuses both tiers; qb (NULL vector) still answers lexically
     assert {1, 2} <= by_q["qa"]
     assert by_q["qb"] == {3}
+
+
+def test_hybrid_exclude_self_forwarding(spark):
+    """Round 12 (ADVICE): a corpus doc whose id merely COLLIDES with a
+    query id from an unrelated namespace must not be dropped from the
+    dense list — exclude_self=False keeps it in both tiers, so the
+    fused score is not skewed. Default (True) keeps the more-like-this
+    convention."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spark table scan", "table join slow", "window agg group"],
+    }))
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # query id 1 collides with corpus doc 1 but is NOT doc 1
+    q = spark.createDataFrame(
+        [(1, "window agg", [0.95, 0.05])],
+        "query_id long, q_text string, q_vec array<double>",
+    )
+    dflt = fusion.hybrid_topk(docs, emb, q, k=5, pool=3)
+    kept = fusion.hybrid_topk(docs, emb, q, k=5, pool=3, exclude_self=False)
+    from sgdnet_spark.operators import similarity
+
+    dd = {r["doc_id"] for r in dflt.collect()}
+    dk = {r["doc_id"] for r in kept.collect()}
+    # doc 1 is the best DENSE hit; with exclusion it only enters via
+    # bm25 (here: no lexical overlap -> absent), without it it leads
+    assert 1 not in dd and 1 in dk
+    # and the raw dense tier agrees: self kept iff exclude_self=False
+    qe = q.select(F.col("query_id").alias("vec_id"), F.col("q_vec").alias("embedding"))
+    d0 = {r["nbr_id"] for r in similarity.brute_force_topk(emb, qe, k=3).collect()}
+    d1 = {r["nbr_id"] for r in similarity.brute_force_topk(
+        emb, qe, k=3, exclude_self=False).collect()}
+    assert 1 not in d0 and 1 in d1
+
+
+def test_brute_force_exclude_self_join_branch(spark):
+    """exclude_self=False on the join branch (non-integral ids force
+    it): the query's own row ranks first with cosine 1.0."""
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.6, 0.8]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    from sgdnet_spark.operators import similarity
+
+    q = emb.filter(F.col("vec_id") == "a")
+    out = similarity.brute_force_topk(emb, q, k=2, exclude_self=False,
+                                      with_rank=True).collect()
+    best = min(out, key=lambda r: r["rn"])
+    assert best["nbr_id"] == "a" and best["cos"] == 1.0
+    dflt = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert all(r["nbr_id"] != "a" for r in dflt)
