@@ -406,51 +406,14 @@ def compact_bm25_index(spark, path: str) -> int:
     """Rewrite the postings layout so each bucket partition holds ONE
     file again (daily appends accumulate a file per batch per bucket;
     at ingest cadence the probe scan's file-listing and tiny-file
-    overhead degrade). One shuffle on the bucket column — each bucket
-    lands in exactly one task, so each partition directory gets one
-    output file — then an atomic-as-the-filesystem-allows directory
-    swap via the Hadoop FileSystem API (HDFS/ABFS renames are atomic;
-    S3A is copy-based — run compaction in the ingest pipeline's
-    maintenance window there). Returns the number of parquet files
-    before compaction.
+    overhead degrade). Stats are untouched and probe results are
+    bit-identical — compaction changes file layout, never values
+    (asserted in tests). Returns the parquet file count before
+    compaction. Swap semantics + recovery: see
+    :func:`sgdnet_spark.operators.maintenance.compact_partitioned`."""
+    from sgdnet_spark.operators.maintenance import compact_partitioned
 
-    Recovery note (the append_bm25_index stats-rewrite analog): the
-    swap is two renames; a crash between them leaves ``postings``
-    missing but ``postings_old`` intact — re-running the compaction (or
-    renaming ``postings_old`` back) restores service. The freshly
-    written ``postings_compact_tmp`` is self-contained, so no crash
-    point loses data. Probes and stats are untouched — compaction
-    changes file layout, never values (asserted in tests)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
-    fs = hpath.getFileSystem(conf)
-
-    # count via a listing walk (recursive): parquet part files only
-    it, before = fs.listFiles(hpath, True), 0
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            before += 1
-    tmp = f"{path}/postings_compact_tmp"
-    old = f"{path}/postings_old"
-    (
-        spark.read.parquet(f"{path}/postings")
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(tmp)
-    )
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    old_p = jvm.org.apache.hadoop.fs.Path(old)
-    fs.delete(old_p, True)
-    if not fs.rename(hpath, old_p):
-        raise IOError(f"compact_bm25_index: could not stage {path}/postings aside")
-    if not fs.rename(tmp_p, hpath):
-        # put the original back — nothing lost
-        fs.rename(old_p, hpath)
-        raise IOError("compact_bm25_index: could not install compacted postings")
-    fs.delete(old_p, True)
-    return before
+    return compact_partitioned(spark, f"{path}/postings", "bucket")
 
 
 def bm25_topk_indexed(

@@ -114,3 +114,66 @@ def hybrid_topk(
     )
     dense_ranked = dense.select("query_id", F.col("nbr_id").alias("doc_id"), "rn")
     return rrf_fuse([lex, dense_ranked], k=k, k0=k0)
+
+
+def hybrid_topk_approx(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    k0: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 10,
+    kmeans_iters: int = 5,
+    train_frac: float | None = None,
+) -> DataFrame:
+    """:func:`hybrid_topk` with the dense arm served by IVF-PQ instead
+    of exact brute force — the actual 100 TB composition: the lexical
+    candidates come from the vocabulary-restricted inverted-index probe
+    and the dense candidates from the compressed-code ADC scan over
+    nprobe inverted lists (exact re-ranked), so NEITHER arm ever scans
+    the full corpus per query. rrf_fuse consumes the ivfpq ranks
+    decided on the unrounded re-rank cosine (``with_rank=True`` — the
+    same contract as the brute-force arm), so fused scores follow the
+    identical integer-rank arithmetic.
+
+    The pq tier is long-keyed throughout; query ids must be integral
+    (the more-like-this shape). ivfpq's recall<1 means a dense
+    candidate the exact arm would return can be absent — the fusion
+    then scores it from the lexical rank alone, which is the standard
+    production trade (tune n_lists/nprobe/refine for the recall
+    floor)."""
+    from sgdnet_spark.operators import bm25 as _bm25
+    from sgdnet_spark.operators import pq as _pq
+
+    lex = _bm25.bm25_topk(
+        docs, queries.select("query_id", "q_text"), k=pool,
+        text_col=text_col, id_col=doc_id_col,
+    )
+    dense = _pq.ivfpq_topk(
+        emb,
+        queries.select(
+            F.col("query_id").alias(vec_id_col), F.col("q_vec").alias(vec_col)
+        ),
+        k_neighbors=pool,
+        n_lists=n_lists,
+        nprobe=nprobe,
+        m=m,
+        ksub=ksub,
+        refine=refine,
+        kmeans_iters=kmeans_iters,
+        train_frac=train_frac,
+        vec_col=vec_col,
+        id_col=vec_id_col,
+        with_rank=True,
+    )
+    dense_ranked = dense.select("query_id", F.col("nbr_id").alias("doc_id"), "rn")
+    return rrf_fuse([lex, dense_ranked], k=k, k0=k0)

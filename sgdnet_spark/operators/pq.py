@@ -361,7 +361,13 @@ def _pool_join(
     )
 
 
-def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -> DataFrame:
+def _exact_rerank(
+    base: DataFrame,
+    cands: DataFrame,
+    q_rows,
+    k_neighbors: int,
+    with_rank: bool = False,
+) -> DataFrame:
     """Driver-path wrapper over :func:`_exact_rerank_df` for an
     already-collected small query set."""
     spark = base.sparkSession
@@ -369,7 +375,7 @@ def _exact_rerank(base: DataFrame, cands: DataFrame, q_rows, k_neighbors: int) -
         [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in q_rows],
         "query_id long, qv array<double>",
     )
-    return _exact_rerank_df(base, cands, qdf, k_neighbors)
+    return _exact_rerank_df(base, cands, qdf, k_neighbors, with_rank=with_rank)
 
 
 def _exact_rerank_df(
@@ -378,11 +384,14 @@ def _exact_rerank_df(
     qdf: DataFrame,
     k_neighbors: int,
     hint_broadcast: bool = True,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Exact cosine over the (nq·pool)-sized candidate set — candidate
     ids and query vectors join against the corpus vectors (broadcast
     for small query sets); quantization error cannot reach the
-    returned values."""
+    returned values. ``with_rank`` appends the 1-based ``rn`` decided
+    on the UNROUNDED cosine (rank-fusion consumers — the
+    brute_force_topk convention)."""
     pairs = _pool_join(base, cands, qdf, ["query_id", "id", "v", "qv"], hint_broadcast)
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -399,10 +408,13 @@ def _exact_rerank_df(
 
     exact_df = pairs.mapInPandas(exact, schema="query_id long, nbr_id long, cos double")
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    out_cols = ["query_id", "nbr_id", F.round("cos", 4).alias("cos")]
+    if with_rank:
+        out_cols.append("rn")
     return (
         exact_df.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k_neighbors)
-        .select("query_id", "nbr_id", F.round("cos", 4).alias("cos"))
+        .select(*out_cols)
     )
 
 
@@ -438,8 +450,11 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes with exact re-rank.
+    ``with_rank`` appends ``rn`` (1-based, decided on the unrounded
+    cosine) so the output can feed :func:`fusion.rrf_fuse` directly.
 
     Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
     CODES only → (query, probed list, ADC table) probe relation →
@@ -468,7 +483,10 @@ def ivfpq_topk(
         queries, vec_col, id_col, limit=max_inline_queries + 1
     )
     if not q_rows and not truncated:
-        return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+        schema = "query_id long, nbr_id long, cos double"
+        if with_rank:
+            schema += ", rn int"
+        return spark.createDataFrame([], schema)
     tr = _train_frame(df, train_frac, id_col)
     cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
     books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
@@ -477,7 +495,10 @@ def ivfpq_topk(
     if not truncated:
         probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
         cands = _adc_candidates(coded, probes, m, ksub, pool)
-        return _exact_rerank(_vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors)
+        return _exact_rerank(
+            _vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors,
+            with_rank=with_rank,
+        )
     base = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
     cands = _adc_candidates(
         coded, _explode_probes(base, "qtab"), m, ksub, pool, hint_broadcast=False
@@ -486,7 +507,8 @@ def ivfpq_topk(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
     return _exact_rerank_df(
-        _vec_frame(df, vec_col, id_col), cands, qdf, k_neighbors, hint_broadcast=False
+        _vec_frame(df, vec_col, id_col), cands, qdf, k_neighbors,
+        hint_broadcast=False, with_rank=with_rank,
     )
 
 
@@ -611,6 +633,26 @@ def append_pq_index(
         coded.unpersist()
 
 
+def compact_pq_index(spark, path: str) -> tuple[int, int]:
+    """Rewrite the codes and vectors layouts to one file per list_id
+    partition (append_pq_index accumulates a file per batch per touched
+    list; at daily-ingest cadence the ADC scan and the re-rank fetch
+    degrade on tiny files). Each relation is compacted independently
+    with the two-rename swap of
+    :func:`sgdnet_spark.operators.maintenance.compact_partitioned` —
+    vectors FIRST, then codes, mirroring append_pq_index's ordering
+    rationale: a failure in between leaves both relations complete and
+    self-consistent (compaction never changes membership), just one of
+    them still fragmented — re-running finishes the job. Returns the
+    (codes, vectors) parquet file counts before compaction. Probe
+    results are bit-identical pre/post (asserted in tests)."""
+    from sgdnet_spark.operators.maintenance import compact_partitioned
+
+    v_before = compact_partitioned(spark, f"{path}/vectors", "list_id")
+    c_before = compact_partitioned(spark, f"{path}/codes", "list_id")
+    return c_before, v_before
+
+
 def load_codebooks(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
     m = max(r["sub"] for r in rows) + 1
@@ -633,6 +675,7 @@ def pq_topk_indexed(
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
     where=None,
+    with_rank: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written IVF-PQ index; returns (result, pruned_codes_scan).
 
@@ -660,7 +703,7 @@ def pq_topk_indexed(
     books = load_codebooks(spark, path)
     return _topk_indexed_with_model(
         spark, path, queries, cents, books, k_neighbors, nprobe, refine,
-        vec_col, id_col, max_inline_queries, where,
+        vec_col, id_col, max_inline_queries, where, with_rank,
     )
 
 
@@ -677,6 +720,7 @@ def _topk_indexed_with_model(
     id_col: str,
     max_inline_queries: int = 64,
     where=None,
+    with_rank: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """pq_topk_indexed with preloaded quantizers — the repeated-probe
     path (streaming serving loads centroids/codebooks ONCE, then probes
@@ -687,7 +731,10 @@ def _topk_indexed_with_model(
         queries, vec_col, id_col, limit=max_inline_queries + 1
     )
     if not q_rows and not truncated:
-        empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+        schema = "query_id long, nbr_id long, cos double"
+        if with_rank:
+            schema += ", rn int"
+        empty = spark.createDataFrame([], schema)
         return empty, spark.read.parquet(f"{path}/codes").limit(0)
     if not truncated:
         probes, probed = _probe_frame(spark, q_rows, cents, books, nprobe)
@@ -709,7 +756,10 @@ def _topk_indexed_with_model(
             for r in base.select(F.explode("lists").alias("l")).distinct().collect()
         }
         if not probed:  # every query row had a NULL vector
-            empty = spark.createDataFrame([], "query_id long, nbr_id long, cos double")
+            schema = "query_id long, nbr_id long, cos double"
+            if with_rank:
+                schema += ", rn int"
+            empty = spark.createDataFrame([], schema)
             return empty, spark.read.parquet(f"{path}/codes").limit(0)
         probes = _explode_probes(base, "qtab")
         hint = False
@@ -723,8 +773,16 @@ def _topk_indexed_with_model(
         vectors = vectors.filter(where)
     vectors = vectors.select("id", "v")
     if hint:
-        return _exact_rerank(vectors, cands, q_rows, k_neighbors), codes
+        return (
+            _exact_rerank(vectors, cands, q_rows, k_neighbors, with_rank=with_rank),
+            codes,
+        )
     qdf = _vec_frame(queries, vec_col, id_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
-    return _exact_rerank_df(vectors, cands, qdf, k_neighbors, hint_broadcast=False), codes
+    return (
+        _exact_rerank_df(
+            vectors, cands, qdf, k_neighbors, hint_broadcast=False, with_rank=with_rank
+        ),
+        codes,
+    )

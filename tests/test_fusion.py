@@ -154,3 +154,49 @@ def test_brute_force_exclude_self_join_branch(spark):
     assert best["nbr_id"] == "a" and best["cos"] == 1.0
     dflt = similarity.brute_force_topk(emb, q, k=2).collect()
     assert all(r["nbr_id"] != "a" for r in dflt)
+
+
+def test_hybrid_approx_matches_python_replay(spark, sf_dir):
+    """Round 12: the 100 TB hybrid composition — dense arm from IVF-PQ
+    candidates (with_rank) instead of exact brute force. The fused
+    output is replayed exactly in python from the two tier lists
+    (integer-rank RRF arithmetic, 6 dp grid)."""
+    import math
+
+    from sgdnet_spark.operators import bm25, pq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("q_text")
+    )
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    q = qd.join(qv, "query_id")
+    kw = dict(n_lists=8, nprobe=3, m=8, ksub=16, refine=2, kmeans_iters=5)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["fused"], r["rn"])
+        for r in fusion.hybrid_topk_approx(docs, emb, q, k=10, pool=20, **kw).collect()
+    }
+    # replay: the SAME deterministic tiers, fused in python
+    lex = bm25.bm25_topk(docs, q.select("query_id", "q_text"), k=20).collect()
+    dense = pq.ivfpq_topk(
+        emb,
+        q.select(F.col("query_id").alias("vec_id"), F.col("q_vec").alias("embedding")),
+        k_neighbors=20, with_rank=True, **kw,
+    ).collect()
+    acc = {}
+    for r in lex:
+        acc[(r["query_id"], r["doc_id"])] = acc.get((r["query_id"], r["doc_id"]), 0.0) + 1.0 / (60 + r["rn"])
+    for r in dense:
+        acc[(r["query_id"], r["nbr_id"])] = acc.get((r["query_id"], r["nbr_id"]), 0.0) + 1.0 / (60 + r["rn"])
+    want = {}
+    per_q = {}
+    for (qid, did), f in acc.items():
+        per_q.setdefault(qid, []).append((did, f))
+    for qid, lst in per_q.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for rn, (did, f) in enumerate(lst[:10], start=1):
+            want[(qid, did)] = (math.floor(f * 1e6 + 0.5) / 1e6, rn)
+    assert got == want and len(got) == 30

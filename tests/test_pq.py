@@ -393,3 +393,30 @@ def test_indexed_all_null_truncated_queries_empty(spark, emb, tmp_path):
         spark, path, nulls, k_neighbors=3, max_inline_queries=64
     )
     assert got.count() == 0 and pruned.count() == 0
+
+
+def test_compact_pq_index_preserves_results(spark, sf_dir, tmp_path):
+    """Round 12: compaction rewrites codes/vectors to one file per list
+    partition and changes NOTHING about probe results; partition
+    pruning still applies to the compacted layout."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "pq_cmp")
+    lo = emb.filter(F.col("vec_id") % 2 == 0)
+    hi = emb.filter(F.col("vec_id") % 2 == 1)
+    pq.write_pq_index(lo, idx, n_lists=8, kmeans_iters=3)
+    pq.append_pq_index(spark, idx, hi)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before_df, _ = pq.pq_topk_indexed(spark, idx, queries, k_neighbors=5, nprobe=3)
+    before = {tuple(r) for r in before_df.collect()}
+    c_before, v_before = pq.compact_pq_index(spark, idx)
+    after_df, pruned = pq.pq_topk_indexed(spark, idx, queries, k_neighbors=5, nprobe=3)
+    assert {tuple(r) for r in after_df.collect()} == before and len(before) == 25
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    c_after = len(glob.glob(f"{idx}/codes/**/*.parquet", recursive=True))
+    v_after = len(glob.glob(f"{idx}/vectors/**/*.parquet", recursive=True))
+    assert c_after < c_before and v_after < v_before

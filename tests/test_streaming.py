@@ -707,3 +707,60 @@ def test_streaming_fuzzy_decontamination_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     assert {(r["id"], r["bench_id"], r["jaccard"]) for r in got} == want
     assert len(want) > 0
+
+
+def test_hybrid_stream_server_matches_batch(spark, sf_dir, tmp_path):
+    """Round 12: streaming HYBRID serving — queries stream in as
+    (query_id, q_text, q_vec); each micro-batch probes the persisted
+    BM25 and IVF-PQ indexes and fuses in-batch with RRF
+    (streaming/hybrid_stream.py). The union of streamed fused answers
+    equals one batch probe of all queries — every answer depends only
+    on the two static indexes."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import bm25, pq
+    from sgdnet_spark.streaming.hybrid_stream import HybridStreamServer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bidx = str(tmp_path / "hyb_bm25")
+    pidx = str(tmp_path / "hyb_pq")
+    bm25.write_bm25_index(docs, bidx)
+    pq.write_pq_index(emb, pidx, n_lists=8, kmeans_iters=5)
+
+    queries = (
+        docs.filter(F.col("doc_id") < 4)
+        .select(F.col("doc_id").alias("query_id"), F.col("text").alias("q_text"))
+        .join(
+            emb.filter(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+            ),
+            "query_id",
+        )
+    )
+    server = HybridStreamServer(spark, bidx, pidx, k=5, pool=10, nprobe=3, refine=2)
+    want = {tuple(r) for r in server.probe(queries).collect()}
+
+    stage = tmp_path / "hyb_qstream"
+    stage.mkdir()
+    for name, cond in (("a", "query_id < 2"), ("b", "query_id >= 2")):
+        scratch = str(tmp_path / f"hyb_scratch_{name}")
+        queries.filter(cond).coalesce(1).write.parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, str(stage / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .load(str(stage))
+    )
+    sq = stream.writeStream.foreachBatch(server.respond).outputMode("append").start()
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    got = {tuple(r) for r in server.results}
+    assert got == want and len(got) == 4 * 5
