@@ -303,6 +303,7 @@ def write_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_TERM_BUCKETS,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Materialize the inverted index: ``path/postings/bucket=<b>/``
     holds (term, doc_id, dl, tf) partitioned by a stable term-hash
@@ -325,8 +326,15 @@ def write_bm25_index(
     list — the same rows ``F.avg(size(tokens))`` aggregates in the
     in-memory path, so indexed and in-memory scores agree on corpora
     with NULL-text rows (n_docs = COUNT(*) keeps counting every doc:
-    BM25's idf denominator is corpus-wide)."""
-    _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite")
+    BM25's idf denominator is corpus-wide).
+
+    ``meta_cols`` write attribute columns into the postings rows (the
+    write_pq_index design) so probes can push a ``where=`` predicate
+    into the pruned parquet scan — metadata-FILTERED lexical retrieval
+    (e.g. ``lang = 'en'``). Meta rides the doc's rows in-row through
+    the one build pass: zero extra shuffle."""
+    _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite",
+                    meta_cols=meta_cols)
     stats = df.select(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
@@ -337,15 +345,27 @@ def write_bm25_index(
 
 
 def _write_postings(
-    df: DataFrame, path: str, text_col: str, id_col: str, n_buckets: int, mode: str
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    mode: str,
+    meta_cols: list[str] | None = None,
 ) -> None:
+    meta = list(meta_cols or [])
     postings = (
-        df.select(F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"))
+        df.select(
+            F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"), *meta
+        )
         .select(
-            "doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term")
+            "doc_id", F.size("t").cast("double").alias("dl"),
+            F.explode("t").alias("term"), *meta,
         )
         .filter(F.col("term") != "")
-        .groupBy("doc_id", "term", "dl")
+        # meta is functionally dependent on doc_id — grouping by it adds
+        # no groups, just carries the columns through the one shuffle
+        .groupBy("doc_id", "term", "dl", *meta)
         .agg(F.count("*").cast("double").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
@@ -380,9 +400,23 @@ def append_bm25_index(
     ordering rationale). df(term) is recounted per probe, so it needs
     no maintenance at all. Appends accumulate one parquet file per
     batch per touched bucket; :func:`compact_bm25_index` rewrites the
-    layout when the file count degrades the probe scan."""
+    layout when the file count degrades the probe scan. The index's
+    meta columns are INFERRED from the stored postings schema (the
+    append_pq_index rule): an append missing them would write rows
+    that silently vanish from every ``where=``-filtered probe."""
     n_docs0, sum_dl0, n_dl0, n_buckets = _read_stats(spark, path)
-    _write_postings(df, path, text_col, id_col, n_buckets, mode="append")
+    meta = [
+        f.name
+        for f in spark.read.parquet(f"{path}/postings").schema.fields
+        if f.name not in ("doc_id", "term", "dl", "tf", "bucket")
+    ]
+    missing = [c for c in meta if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"append_bm25_index: index at {path} carries meta columns {meta}; "
+            f"batch is missing {missing}"
+        )
+    _write_postings(df, path, text_col, id_col, n_buckets, mode="append", meta_cols=meta)
     batch = df.select(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
@@ -426,6 +460,7 @@ def bm25_topk_indexed(
     q_text_col: str = "q_text",
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
+    where=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written BM25 index; returns (result, pruned_postings).
 
@@ -438,10 +473,20 @@ def bm25_topk_indexed(
     localCheckpoint-ed for its consumers — and join strategies are left
     to Catalyst/AQE; results equal the collected path bit-for-bit
     (asserted in tests). Results equal the in-memory path on the same
-    corpus (asserted in tests)."""
+    corpus (asserted in tests).
+
+    ``where`` (a SQL string or Column over the index's ``meta_cols``,
+    e.g. ``"lang = 'en'"``) is metadata-FILTERED retrieval with the
+    Lucene filtered-query semantics: the predicate restricts the
+    CANDIDATE postings (pushed into the pruned parquet scan,
+    PushedFilters plan-asserted in tests) while the scoring statistics
+    — N, avgdl, df(term) — stay corpus-wide, so a document's score is
+    identical filtered or not and the filtered top-k equals the
+    unfiltered ranking with non-matching docs removed (asserted in
+    tests)."""
     _check_params(k1, b)
     scored, postings = _scored_indexed(
-        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries
+        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries, where
     )
     if scored is None:
         return (
@@ -466,13 +511,16 @@ def bm25_filter_indexed(
     q_text_col: str = "q_text",
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
+    where=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Relevance-floor probe of a written index: every doc with RAW
     score ≥ ``threshold`` per query — a pure filter over the pruned
-    postings scan, no per-query window (see :func:`bm25_filter`)."""
+    postings scan, no per-query window (see :func:`bm25_filter`).
+    ``where`` filters candidates on the index's meta columns with
+    corpus-wide scoring stats (see :func:`bm25_topk_indexed`)."""
     _check_params(k1, b)
     scored, postings = _scored_indexed(
-        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries
+        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries, where
     )
     if scored is None:
         return (
@@ -501,9 +549,13 @@ def _scored_indexed(
     q_text_col: str,
     q_id_col: str,
     max_inline_queries: int,
+    where=None,
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """Shared indexed scoring pipeline; (None, None) when the query
-    vocabulary is empty."""
+    vocabulary is empty. ``where`` restricts the candidate postings
+    AFTER df(term) is counted, so scoring statistics stay corpus-wide
+    (the Lucene filtered-query convention) and the predicate pushes
+    into the candidate branch's parquet scan."""
     n_docs, sum_dl, n_dl, n_buckets = _read_stats(spark, path)
     if n_dl <= 0:
         return None, None  # index over an untokenizable corpus
@@ -557,8 +609,11 @@ def _scored_indexed(
         F.col("bucket").isin(*[int(x) for x in buckets])
     )
     tf = vocab_join(postings)
+    # df(term) BEFORE the meta filter: scoring stats are corpus-level,
+    # the filter only restricts which docs may appear as candidates
     dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    cand = tf.filter(where) if where is not None else tf
     scored = _with_score(
-        tf, dft, q_rel, n_docs, avgdl, k1, b, hint_broadcast=not large
+        cand, dft, q_rel, n_docs, avgdl, k1, b, hint_broadcast=not large
     )
     return scored, postings

@@ -33,6 +33,7 @@ def rrf_fuse(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rn",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Fuse ≥2 ranked lists into (query_id, doc_id, fused, rn).
 
@@ -42,20 +43,31 @@ def rrf_fuse(
     ascending. ``fused`` is grid-rounded to 6 dp (ranking happens on
     the exact value; the sums are exact-enough rationals that both
     engines agree far below the grid).
+
+    ``weights`` (one positive float per list, default all 1.0) is
+    weighted RRF — fused = Σ_l w_l/(k0 + rank_l) — the standard
+    production knob for biasing the lexical or dense tier without
+    score calibration (rank arithmetic stays exact either way).
     """
     if len(lists) < 2:
         raise ValueError(f"rrf_fuse needs at least 2 lists, got {len(lists)}")
     if k0 <= 0:
         raise ValueError(f"k0 must be positive, got {k0}")
+    if weights is None:
+        weights = [1.0] * len(lists)
+    if len(weights) != len(lists) or any(w <= 0 for w in weights):
+        raise ValueError(
+            f"weights must be {len(lists)} positive floats, got {weights}"
+        )
     # union + one groupBy instead of a chain of full-outer joins: the
     # same (query, doc) key fold, one shuffle total, no null-handling
     # ladder as the list count grows
     unioned = None
-    for df in lists:
+    for df, w_l in zip(lists, weights):
         p = df.select(
             F.col(query_col).alias("query_id"),
             F.col(doc_col).alias("doc_id"),
-            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("c"),
+            (F.lit(float(w_l)) / (F.lit(float(k0)) + F.col(rank_col))).alias("c"),
         )
         unioned = p if unioned is None else unioned.unionByName(p)
     fused = unioned.groupBy("query_id", "doc_id").agg(F.sum("c").alias("fused"))

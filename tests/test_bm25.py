@@ -372,3 +372,59 @@ def test_bm25_one_corpus_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan  # only the checkpointed RDD remains
     assert out.count() > 0
+
+
+def test_bm25_meta_filtered_retrieval(spark, tmp_path):
+    """Round 12: meta_cols/where= parity with the pq tier — the
+    predicate restricts CANDIDATES (pushed into the pruned postings
+    scan) while scoring stats stay corpus-wide, so the filtered top-k
+    equals the unfiltered ranking minus non-matching docs (Lucene
+    filtered-query semantics). Appends must carry the meta columns."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["spark table scan fast fast", "table join join join slow",
+                 "window agg group by window", "table fast fast window"],
+        "lang": ["en", "de", "en", "de"],
+    }))
+    path = str(tmp_path / "bm25_meta")
+    bm25.write_bm25_index(df, path, meta_cols=["lang"])
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    full, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    filt, _ = bm25.bm25_topk_indexed(spark, path, q, k=10, where="lang = 'en'")
+    en_docs = {1, 3}
+    frows = filt.collect()
+    assert {r["doc_id"] for r in frows} <= en_docs and len(frows) > 0
+    # scores are IDENTICAL to the unfiltered ranking (corpus-wide stats);
+    # ranks are the filtered re-numbering of the surviving order
+    fscore = {(r["query_id"], r["doc_id"]): r["score"] for r in frows}
+    uscore = {(r["query_id"], r["doc_id"]): r["score"] for r in full.collect()}
+    for key, s in fscore.items():
+        assert uscore[key] == s
+    # predicate reached the parquet source next to the partition pruning
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+    # filter variant agrees with topk-then-filter
+    fthr, _ = bm25.bm25_filter_indexed(spark, path, q, threshold=0.1, where="lang = 'en'")
+    assert {(r["query_id"], r["doc_id"]) for r in fthr.collect()} == {
+        k for k, s in fscore.items() if s >= 0.1
+    }
+    # append without the meta column is refused loudly
+    import pytest as _pytest
+
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["table window"]})
+    )
+    with _pytest.raises(ValueError, match="meta columns"):
+        bm25.append_bm25_index(spark, path, extra)
+    # append WITH it lands in filtered probes
+    extra2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["table fast window"], "lang": ["en"]})
+    )
+    bm25.append_bm25_index(spark, path, extra2)
+    filt2, _ = bm25.bm25_topk_indexed(spark, path, q, k=10, where="lang = 'en'")
+    assert 9 in {r["doc_id"] for r in filt2.collect()}

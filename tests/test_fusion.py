@@ -200,3 +200,26 @@ def test_hybrid_approx_matches_python_replay(spark, sf_dir):
         for rn, (did, f) in enumerate(lst[:10], start=1):
             want[(qid, did)] = (math.floor(f * 1e6 + 0.5) / 1e6, rn)
     assert got == want and len(got) == 30
+
+
+def test_rrf_weighted(spark):
+    """Round 12: weighted RRF — fused = Σ w_l/(k0+rank); python replay
+    and validation."""
+    a = _mk(spark, [("q", 1, 1), ("q", 2, 2)])
+    b = _mk(spark, [("q", 2, 1), ("q", 3, 2)])
+    got = {r["doc_id"]: r["fused"] for r in
+           fusion.rrf_fuse([a, b], k=5, weights=[2.0, 0.5]).collect()}
+    want = {
+        1: 2.0 / 61,
+        2: 2.0 / 62 + 0.5 / 61,
+        3: 0.5 / 62,
+    }
+    import math
+
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d], math.floor(s * 1e6 + 0.5) / 1e6, abs_tol=1e-12)
+    with pytest.raises(ValueError, match="weights"):
+        fusion.rrf_fuse([a, b], weights=[1.0])
+    with pytest.raises(ValueError, match="weights"):
+        fusion.rrf_fuse([a, b], weights=[1.0, -1.0])
