@@ -242,6 +242,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
+    cents: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k probing only nprobe inverted lists.
 
@@ -250,7 +251,9 @@ def ivf_topk(
     the branch; larger query sets build the probe relations
     executor-side (``_probe_relations_ivf``) with join strategy left
     to AQE — no unbounded driver collect. Both paths bit-identical
-    (asserted in tests/test_ivf.py)."""
+    (asserted in tests/test_ivf.py). ``cents`` passes a pretrained
+    coarse quantizer (e.g. the shared kmeans_pq_fit model), skipping
+    the k-means fit."""
     spark = df.sparkSession
     # branch-decide BEFORE training (an empty query set must not pay a
     # quantizer fit for an empty answer)
@@ -259,7 +262,10 @@ def ivf_topk(
     )
     if not q_rows and not truncated:
         return spark.createDataFrame([], "query_id long, nbr_id long, cos double")
-    cents = kmeans_fit(df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    if cents is None:
+        cents = kmeans_fit(
+            df, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col
+        )
     lists = assign_lists(df, cents, vec_col, id_col)
     if not truncated:
         probe_rows, _ = _build_probes(cents, q_rows, nprobe)

@@ -56,7 +56,6 @@ from sgdnet_spark.operators.ivf import (
     _collect_vec,
     _nearest_lists_np,
     _vec_frame,
-    kmeans_fit,
 )
 
 
@@ -119,6 +118,117 @@ def pq_fit(
             break
         books = new
     return books
+
+
+def kmeans_pq_fit(
+    df: DataFrame,
+    k: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the coarse quantizer AND all m sub-quantizers in ONE
+    mapInPandas pass per Lloyd iteration — (k, dim+1) + (m, ksub,
+    dsub+1) partials ride the same scan. The two trainings are
+    independent (the coarse quantizer assigns raw vectors; PQ trains on
+    the L2-normalized subspaces, NOT residuals), so fusing them halves
+    the training passes of an IVF-PQ build — and a caller that also
+    needs a standalone IVF model (the ann_approx entry) reuses the same
+    ``cents``, collapsing 15 iteration passes to 5.
+
+    BIT-PARITY with the standalone fits is part of the contract (the
+    golden-constant oracles depend on it, asserted in tests/test_pq.py):
+    identical inits (first-by-id collect, sliced for each quantizer),
+    identical per-quantizer distance/update arithmetic, identical
+    driver-side partial reduction in partition order, and per-quantizer
+    convergence freezing — once a quantizer's allclose fires its model
+    stops updating (exactly where its standalone loop would have
+    break-ed) while the other keeps training on the shared pass.
+    """
+    init = _collect_vec(df, id_col, vec_col, max(k, ksub))
+    if len(init) == 0:
+        raise ValueError("kmeans_pq_fit: empty input")
+    dim = init.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"kmeans_pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(k, len(init))
+    ksub = min(ksub, len(init))
+    cents = init[:k].copy()
+    books = _normalize(init)[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    vecs = _vec_frame(df, vec_col)
+    done_c = done_b = False
+    nc, nb = k * (dim + 1), m * ksub * (dsub + 1)
+
+    for _ in range(iters):
+        if done_c and done_b:
+            break
+        c_bc, b_bc = cents, books
+        dc, db = done_c, done_b
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc_c = np.zeros((k, dim + 1))
+            acc_b = np.zeros((m, ksub, dsub + 1))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                if not dc:
+                    # identical arithmetic to ivf.kmeans_fit's pass
+                    d2 = (
+                        (V**2).sum(1)[:, None] - 2 * V @ c_bc.T + (c_bc**2).sum(1)[None, :]
+                    )
+                    a = d2.argmin(1)
+                    for c in range(k):
+                        sel = V[a == c]
+                        if len(sel):
+                            acc_c[c, 0] += len(sel)
+                            acc_c[c, 1:] += sel.sum(0)
+                if not db:
+                    # identical arithmetic to pq_fit's pass
+                    Vn = _normalize(V).reshape(-1, m, dsub)
+                    for s in range(m):
+                        X = Vn[:, s, :]
+                        d2s = (
+                            (X**2).sum(1)[:, None]
+                            - 2 * X @ b_bc[s].T
+                            + (b_bc[s] ** 2).sum(1)[None, :]
+                        )
+                        a = d2s.argmin(1)
+                        for c in range(ksub):
+                            sel = X[a == c]
+                            if len(sel):
+                                acc_b[s, c, 0] += len(sel)
+                                acc_b[s, c, 1:] += sel.sum(0)
+            yield pd.DataFrame(
+                {"part": [np.concatenate([acc_c.ravel(), acc_b.ravel()]).tolist()]}
+            )
+
+        parts = vecs.mapInPandas(run, schema="part array<double>").collect()
+        flat = np.sum([np.asarray(r["part"]) for r in parts], axis=0)
+        if not done_c:
+            tot_c = flat[:nc].reshape(k, dim + 1)
+            counts = tot_c[:, 0]
+            new_c = np.where(
+                counts[:, None] > 0, tot_c[:, 1:] / np.maximum(counts[:, None], 1), cents
+            )
+            if np.allclose(new_c, cents, atol=1e-12):
+                done_c = True
+            else:
+                cents = new_c
+        if not done_b:
+            tot_b = flat[nc : nc + nb].reshape(m, ksub, dsub + 1)
+            counts_b = tot_b[:, :, :1]
+            new_b = np.where(
+                counts_b > 0, tot_b[:, :, 1:] / np.maximum(counts_b, 1), books
+            )
+            if np.allclose(new_b, books, atol=1e-12):
+                done_b = True
+            else:
+                books = new_b
+    return cents, books
 
 
 def encode_np(V: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -451,10 +561,15 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     max_inline_queries: int = 64,
     with_rank: bool = False,
+    model: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes with exact re-rank.
     ``with_rank`` appends ``rn`` (1-based, decided on the unrounded
     cosine) so the output can feed :func:`fusion.rrf_fuse` directly.
+    ``model`` passes a pretrained (cents, books) pair — e.g. from ONE
+    :func:`kmeans_pq_fit` shared with an IVF consumer — skipping both
+    trainings (and ``n_lists``/``m``/``ksub``/``kmeans_iters``/
+    ``train_frac``, which only parameterize training).
 
     Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
     CODES only → (query, probed list, ADC table) probe relation →
@@ -487,9 +602,18 @@ def ivfpq_topk(
         if with_rank:
             schema += ", rn int"
         return spark.createDataFrame([], schema)
-    tr = _train_frame(df, train_frac, id_col)
-    cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    if model is not None:
+        cents, books = model
+        m, ksub, _ = books.shape
+    else:
+        tr = _train_frame(df, train_frac, id_col)
+        # ONE fused pass per Lloyd iteration trains both quantizers
+        # (bit-identical to the standalone kmeans_fit + pq_fit pair —
+        # asserted in tests/test_pq.py)
+        cents, books = kmeans_pq_fit(
+            tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
     coded = _assign_encode(df, cents, books, vec_col, id_col)
     pool = k_neighbors * refine
     if not truncated:
@@ -541,8 +665,11 @@ def write_pq_index(
     """
     meta = list(meta_cols or [])
     tr = _train_frame(df, train_frac, id_col)
-    cents = kmeans_fit(tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
-    books = pq_fit(tr, m=m, ksub=ksub, iters=kmeans_iters, vec_col=vec_col, id_col=id_col)
+    # fused training: one pass per iteration for both quantizers
+    cents, books = kmeans_pq_fit(
+        tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
     # assign+encode once, reuse for BOTH writes. persist, NOT
     # localCheckpoint: this relation is corpus-sized (raw vectors
     # included) — checkpoint would truncate lineage, so a lost executor

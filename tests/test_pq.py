@@ -420,3 +420,45 @@ def test_compact_pq_index_preserves_results(spark, sf_dir, tmp_path):
     c_after = len(glob.glob(f"{idx}/codes/**/*.parquet", recursive=True))
     v_after = len(glob.glob(f"{idx}/vectors/**/*.parquet", recursive=True))
     assert c_after < c_before and v_after < v_before
+
+
+def test_kmeans_pq_fit_bit_identical_to_standalone(spark, sf_dir):
+    """Round 12: the fused trainer (one pass per Lloyd iteration for
+    BOTH quantizers) returns BIT-identical models to the standalone
+    kmeans_fit + pq_fit pair — the golden-constant contract."""
+    import numpy as np
+
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_f, books_f = pq.kmeans_pq_fit(emb, k=8, m=8, ksub=16, iters=5)
+    cents_s = kmeans_fit(emb, k=8, iters=5)
+    books_s = pq.pq_fit(emb, m=8, ksub=16, iters=5)
+    assert np.array_equal(cents_f, cents_s)
+    assert np.array_equal(books_f, books_s)
+    # asymmetric iteration counts exercise the per-quantizer freeze:
+    # k=1 converges immediately (single mean), PQ keeps training
+    cents_f1, books_f1 = pq.kmeans_pq_fit(emb, k=1, m=8, ksub=16, iters=4)
+    assert np.array_equal(cents_f1, kmeans_fit(emb, k=1, iters=4))
+    assert np.array_equal(books_f1, pq.pq_fit(emb, m=8, ksub=16, iters=4))
+
+
+def test_ivfpq_topk_model_reuse_matches_training(spark, sf_dir):
+    """ivfpq_topk(model=...) with the fused trainer's pair returns
+    exactly what the self-training call returns; ivf_topk(cents=...)
+    likewise."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents, books = pq.kmeans_pq_fit(emb, k=8, m=8, ksub=16, iters=5)
+    a = {tuple(r) for r in pq.ivfpq_topk(
+        emb, q, k_neighbors=5, n_lists=8, nprobe=3, refine=2).collect()}
+    b = {tuple(r) for r in pq.ivfpq_topk(
+        emb, q, k_neighbors=5, nprobe=3, refine=2, model=(cents, books)).collect()}
+    assert a == b and len(a) == 25
+    c = {tuple(r) for r in ivf_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3).collect()}
+    d = {tuple(r) for r in ivf_topk(emb, q, k_neighbors=5, nprobe=3, cents=cents).collect()}
+    assert c == d and len(c) == 25
