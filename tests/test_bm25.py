@@ -428,3 +428,36 @@ def test_bm25_meta_filtered_retrieval(spark, tmp_path):
     bm25.append_bm25_index(spark, path, extra2)
     filt2, _ = bm25.bm25_topk_indexed(spark, path, q, k=10, where="lang = 'en'")
     assert 9 in {r["doc_id"] for r in filt2.collect()}
+
+
+def test_bm25_pre_round12_stats_compat(spark, corpus, tmp_path):
+    """An index written BEFORE round 12 (stats without n_dl) keeps
+    serving: _read_stats falls back to the old avgdl denominator
+    (n_docs), reproducing that index's original scores."""
+    path = str(tmp_path / "bm25_old")
+    bm25.write_bm25_index(corpus, path)
+    # rewrite stats in the r11 layout (no n_dl column)
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    spark.createDataFrame(
+        [(float(old["n_docs"]), float(old["sum_dl"]), int(old["n_buckets"]))],
+        "n_docs double, sum_dl double, n_buckets bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    got, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    rows = got.collect()
+    # full-text corpus: n_dl == n_docs, so old and new stats agree and
+    # the fallback must equal the in-memory path exactly
+    want = {tuple(r) for r in bm25.bm25_topk(corpus, q, k=10).collect()}
+    assert {tuple(r) for r in rows} == want and len(rows) > 0
+    # appends onto the old layout upgrade it in place (n_dl appears)
+    extra = spark.createDataFrame(
+        [(9, "table fast window")], "doc_id long, text string"
+    )
+    bm25.append_bm25_index(spark, path, extra)
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert "n_dl" in st.__fields__ and st["n_dl"] == 5.0
+    got2, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert 9 in {r["doc_id"] for r in got2.collect()}

@@ -223,3 +223,48 @@ def test_rrf_weighted(spark):
         fusion.rrf_fuse([a, b], weights=[1.0])
     with pytest.raises(ValueError, match="weights"):
         fusion.rrf_fuse([a, b], weights=[1.0, -1.0])
+
+
+def test_ann_approx_hybrid_rows_python_replay(spark, sf_dir):
+    """Round 12: the ann_approx entry's method='hybrid' rows (BM25
+    top-20 RRF-fused with the shared pq25 re-rank's unrounded-rank
+    top-20) replay exactly in python from the two tier lists."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import bm25, pq
+    from sgdnet_spark.queries import QUERIES, _t
+
+    out = QUERIES["ann_approx"](spark, sf_dir)
+    got = {
+        (r["query_id"], r["nbr_id"]): r["cos"]
+        for r in out.filter(F.col("method") == "hybrid").collect()
+    }
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("q_text")
+    )
+    lex = bm25.bm25_topk(docs, qd, k=20).collect()
+    cents, books = pq.kmeans_pq_fit(emb, k=8, m=8, ksub=16, iters=5)
+    dense = pq.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k_neighbors=25, nprobe=3,
+        refine=2, model=(cents, books), with_rank=True,
+    ).filter(F.col("query_id") < 3).filter(F.col("rn") <= 20).collect()
+    acc = {}
+    for r in lex:
+        k = (r["query_id"], r["doc_id"])
+        acc[k] = acc.get(k, 0.0) + 1.0 / (60 + r["rn"])
+    for r in dense:
+        k = (r["query_id"], r["nbr_id"])
+        acc[k] = acc.get(k, 0.0) + 1.0 / (60 + r["rn"])
+    per_q = {}
+    for (qid, did), f in acc.items():
+        per_q.setdefault(qid, []).append((did, f))
+    want = {}
+    for qid, lst in per_q.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for did, f in lst[:10]:
+            want[(qid, did)] = math.floor(f * 1e6 + 0.5) / 1e6
+    assert got == want and len(got) == 30
