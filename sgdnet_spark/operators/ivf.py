@@ -143,21 +143,32 @@ def _cosine_topk(joined: DataFrame, k_neighbors: int) -> DataFrame:
     )
 
 
+def _norm_rows(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 16,
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = False,
 ) -> np.ndarray:
     """Distributed Lloyd's iterations; deterministic init (first k by id).
 
     Returns (k, dim) centroids. Each iteration = one narrow pass; the
-    driver reduces #partitions × (k, dim+1) partials.
+    driver reduces #partitions × (k, dim+1) partials. ``normalize``
+    L2-normalizes every vector before init/assignment (the residual
+    IVF-PQ coarse quantizer lives in the normalized space the cosine
+    search operates on); default False keeps the historical raw-space
+    behavior bit-for-bit.
     """
     cents = _collect_vec(df, id_col, vec_col, k)
     if len(cents) == 0:
         raise ValueError("kmeans_fit: empty input")
+    if normalize:
+        cents = _norm_rows(cents)
     # fewer rows than requested centroids: clamp k to n (the accumulator
     # below is sized (k, dim+1) — a mismatch would crash with an obscure
     # numpy broadcast error instead of training on what exists)
@@ -175,6 +186,8 @@ def kmeans_fit(
                 if len(pdf) == 0:
                     continue
                 V = np.stack(pdf["v"].to_numpy())
+                if normalize:
+                    V = _norm_rows(V)
                 d2 = ((V**2).sum(1)[:, None] - 2 * V @ c_bc.T + (c_bc**2).sum(1)[None, :])
                 a = d2.argmin(1)
                 for c in range(k):

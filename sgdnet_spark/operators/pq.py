@@ -56,6 +56,7 @@ from sgdnet_spark.operators.ivf import (
     _collect_vec,
     _nearest_lists_np,
     _vec_frame,
+    kmeans_fit,
 )
 
 
@@ -112,6 +113,85 @@ def pq_fit(
 
         parts = vecs.mapInPandas(run, schema="part array<double>").collect()
         tot = np.sum([np.asarray(r["part"]).reshape(m, ksub, dsub + 1) for r in parts], axis=0)
+        counts = tot[:, :, :1]
+        new = np.where(counts > 0, tot[:, :, 1:] / np.maximum(counts, 1), books)
+        if np.allclose(new, books, atol=1e-12):
+            break
+        books = new
+    return books
+
+
+def pq_fit_residual(
+    df: DataFrame,
+    cents: np.ndarray,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train the m sub-quantizers on COARSE RESIDUALS r = v̂ − c_assign
+    (Jégou et al. §IV-A; FAISS ``by_residual``): after the coarse
+    quantizer explains a vector's position, PQ only has to encode the
+    displacement inside its cell — a far tighter distribution than the
+    whole sphere, so the same m·log2(ksub) bits buy a smaller
+    quantization error and better candidate recall. ``cents`` is the
+    NORMALIZED-space coarse quantizer (kmeans_fit(normalize=True)) —
+    assignments here must match encode/search assignments exactly.
+
+    Same sufficient-statistic shape as :func:`pq_fit`: one narrow pass
+    per Lloyd iteration, (m, ksub, dsub+1) partials, flat in n; init is
+    deterministic (the first ksub vectors' residuals, split per
+    subspace). Cannot fuse with the coarse fit (residuals depend on the
+    finished coarse model), so a residual build pays coarse + PQ passes
+    sequentially — the recall/build-cost trade is the caller's
+    ``residual=`` knob."""
+    init = _collect_vec(df, id_col, vec_col, ksub)
+    if len(init) == 0:
+        raise ValueError("pq_fit_residual: empty input")
+    dim = init.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_fit_residual: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(ksub, len(init))
+    Vn0 = _normalize(init)
+    d20 = (Vn0**2).sum(1)[:, None] - 2 * Vn0 @ cents.T + (cents**2).sum(1)[None, :]
+    R0 = Vn0 - cents[d20.argmin(1)]
+    books = R0[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    vecs = _vec_frame(df, vec_col)
+
+    for _ in range(iters):
+        b_bc = books
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((m, ksub, dsub + 1))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Vn = _normalize(np.stack(pdf["v"].to_numpy()))
+                d2 = (
+                    (Vn**2).sum(1)[:, None] - 2 * Vn @ cents.T + (cents**2).sum(1)[None, :]
+                )
+                R = (Vn - cents[d2.argmin(1)]).reshape(-1, m, dsub)
+                for s in range(m):
+                    X = R[:, s, :]
+                    d2s = (
+                        (X**2).sum(1)[:, None]
+                        - 2 * X @ b_bc[s].T
+                        + (b_bc[s] ** 2).sum(1)[None, :]
+                    )
+                    a = d2s.argmin(1)
+                    for c in range(ksub):
+                        sel = X[a == c]
+                        if len(sel):
+                            acc[s, c, 0] += len(sel)
+                            acc[s, c, 1:] += sel.sum(0)
+            yield pd.DataFrame({"part": [acc.ravel().tolist()]})
+
+        parts = vecs.mapInPandas(run, schema="part array<double>").collect()
+        tot = np.sum(
+            [np.asarray(r["part"]).reshape(m, ksub, dsub + 1) for r in parts], axis=0
+        )
         counts = tot[:, :, :1]
         new = np.where(counts > 0, tot[:, :, 1:] / np.maximum(counts, 1), books)
         if np.allclose(new, books, atol=1e-12):
@@ -278,13 +358,16 @@ def _assign_encode(
     id_col: str,
     keep_v: bool = False,
     meta_cols: list[str] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """(id, list_id, code[, v][, *meta]) — coarse assignment AND PQ
     encoding in ONE Arrow pass over the corpus (a separate assign →
     encode chain would run two Python passes for one logical map).
     ``meta_cols`` pass attribute columns (language, source, label …)
     through unchanged, so a written index can serve METADATA-FILTERED
-    probes with the predicate pushed into the parquet scan."""
+    probes with the predicate pushed into the parquet scan.
+    ``residual`` encodes v̂ − c_assign against residual codebooks in the
+    normalized space (cents must be the normalize=True coarse model)."""
     meta_cols = meta_cols or []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -292,11 +375,23 @@ def _assign_encode(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["v"].to_numpy())
-            d2 = (V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]
+            if residual:
+                Vn = _normalize(V)
+                d2 = (
+                    (Vn**2).sum(1)[:, None] - 2 * Vn @ cents.T + (cents**2).sum(1)[None, :]
+                )
+                lists = d2.argmin(1)
+                code = list(encode_np(Vn - cents[lists], books))
+            else:
+                d2 = (
+                    (V**2).sum(1)[:, None] - 2 * V @ cents.T + (cents**2).sum(1)[None, :]
+                )
+                lists = d2.argmin(1)
+                code = list(encode_np(_normalize(V), books))
             out = {
                 "id": pdf["id"],
-                "list_id": d2.argmin(1).astype(np.int64),
-                "code": list(encode_np(_normalize(V), books)),
+                "list_id": lists.astype(np.int64),
+                "code": code,
             }
             if keep_v:
                 out["v"] = pdf["v"]
@@ -338,21 +433,40 @@ def _collect_queries(
     return rows
 
 
-def _probe_frame(spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: int):
-    """Broadcast (query_id, probed list, flattened ADC table) relation
-    + the set of probed list ids (for partition pruning). The DRIVER
-    path — used only for small, bounded query sets (see
-    ``max_inline_queries``); large sets take ``_probe_relations``."""
+def _probe_frame(
+    spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: int,
+    residual: bool = False,
+):
+    """Broadcast (query_id, probed list, bias, flattened ADC table)
+    relation + the set of probed list ids (for partition pruning). The
+    DRIVER path — used only for small, bounded query sets (see
+    ``max_inline_queries``); large sets take ``_probe_relations``.
+
+    ``bias`` is the residual decomposition's per-(query, list) constant
+    q̂·c_l (approx ip = q̂·c_l + q̂·r, the FAISS by_residual ADC shape);
+    0.0 in the plain path — adding it is a float no-op, so one scoring
+    code path serves both modes. In residual mode both the probed-list
+    selection and the bias use the NORMALIZED query (the space the
+    coarse quantizer was trained in)."""
     Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
     tabs = adc_tables(Q, books)
+    Qn = _normalize(Q) if residual else Q
     probe_rows, probed = [], set()
     for i, r in enumerate(q_rows):
-        d2 = ((cents - Q[i]) ** 2).sum(1)
+        d2 = ((cents - Qn[i]) ** 2).sum(1)
+        # gemv, one row at a time — the executor path computes the same
+        # per-row product so both paths stay bit-identical
+        bias_vec = Qn[i] @ cents.T if residual else None
         for lid in np.argsort(d2)[:nprobe]:
-            probe_rows.append((int(r["qid"]), int(lid), [float(x) for x in tabs[i]]))
+            b = float(bias_vec[lid]) if residual else 0.0
+            probe_rows.append(
+                (int(r["qid"]), int(lid), b, [float(x) for x in tabs[i]])
+            )
             probed.add(int(lid))
     return (
-        spark.createDataFrame(probe_rows, "query_id long, list_id long, qtab array<double>"),
+        spark.createDataFrame(
+            probe_rows, "query_id long, list_id long, bias double, qtab array<double>"
+        ),
         probed,
     )
 
@@ -364,6 +478,7 @@ def _probe_relations(
     nprobe: int,
     vec_col: str,
     id_col: str,
+    residual: bool = False,
 ) -> DataFrame:
     """Executor-side probe construction — the DISTRIBUTED query path.
 
@@ -392,25 +507,53 @@ def _probe_relations(
                 continue
             Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             tabs = adc_tables(Q, books)
+            Qn = _normalize(Q) if residual else Q
             # _nearest_lists_np keeps the driver path's per-(q, c)
             # subtract-square-sum reduction order (the expanded form
             # Q² − 2QC + C² differs in float) and bounds the distance
             # intermediate — shared with the IVF distributed path
-            lists = _nearest_lists_np(Q, cents, nprobe)
+            lists = _nearest_lists_np(Qn, cents, nprobe)
+            if residual:
+                # per-row gemv, matching _probe_frame's product exactly
+                # (a batch gemm could differ in the last bit)
+                biases = [
+                    [float(x) for x in (Qn[i] @ cents.T)[lists[i]]]
+                    for i in range(len(Qn))
+                ]
+            else:
+                biases = [[0.0] * lists.shape[1]] * len(Qn)
             yield pd.DataFrame(
-                {"query_id": pdf["id"], "lists": list(lists), "qtab": list(tabs)}
+                {
+                    "query_id": pdf["id"],
+                    "lists": list(lists),
+                    "biases": biases,
+                    "qtab": list(tabs),
+                }
             )
 
     return _vec_frame(queries, vec_col, id_col).mapInPandas(
-        run, schema=f"query_id {id_type}, lists array<bigint>, qtab array<double>"
+        run,
+        schema=(
+            f"query_id {id_type}, lists array<bigint>, "
+            "biases array<double>, qtab array<double>"
+        ),
     )
 
 
 def _explode_probes(base: DataFrame, payload: str) -> DataFrame:
-    """(query_id, list_id, <payload>) from the per-query probe frame —
-    a pure in-row explode, one scan, zero joins."""
-    return base.select(
-        "query_id", F.explode("lists").alias("list_id"), payload
+    """(query_id, list_id, bias, <payload>) from the per-query probe
+    frame — a pure in-row zip-explode, one scan, zero joins (the bias
+    array is positionally aligned with the probed-list array)."""
+    z = base.select(
+        "query_id",
+        F.explode(F.arrays_zip("lists", "biases")).alias("lb"),
+        payload,
+    )
+    return z.select(
+        "query_id",
+        F.col("lb.lists").alias("list_id"),
+        F.col("lb.biases").alias("bias"),
+        payload,
     )
 
 
@@ -437,7 +580,9 @@ def _adc_candidates(
             C = np.stack(pdf["code"].to_numpy())  # (n, m)
             T = np.stack(pdf["qtab"].to_numpy())  # (n, m*ksub)
             idx = C + ksub * np.arange(m)[None, :]
-            approx = np.take_along_axis(T, idx, axis=1).sum(1)
+            # bias = q̂·c_list in residual mode (0.0 plain — a float
+            # no-op, one code path for both)
+            approx = pdf["bias"].to_numpy() + np.take_along_axis(T, idx, axis=1).sum(1)
             yield pd.DataFrame(
                 {"query_id": pdf["query_id"], "nbr_id": pdf["id"], "approx": approx}
             )
@@ -562,6 +707,7 @@ def ivfpq_topk(
     max_inline_queries: int = 64,
     with_rank: bool = False,
     model: tuple[np.ndarray, np.ndarray] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes with exact re-rank.
     ``with_rank`` appends ``rn`` (1-based, decided on the unrounded
@@ -569,7 +715,21 @@ def ivfpq_topk(
     ``model`` passes a pretrained (cents, books) pair — e.g. from ONE
     :func:`kmeans_pq_fit` shared with an IVF consumer — skipping both
     trainings (and ``n_lists``/``m``/``ksub``/``kmeans_iters``/
-    ``train_frac``, which only parameterize training).
+    ``train_frac``, which only parameterize training); with
+    ``residual=True`` the pair must be (normalize=True coarse,
+    pq_fit_residual books).
+
+    ``residual=True`` is the FAISS ``by_residual`` variant: the coarse
+    quantizer lives in the normalized space, PQ encodes the residual
+    v̂ − c_assign, and ADC scores candidates as q̂·c_list + Σ table
+    lookups — the same code bytes spend their precision on the
+    within-cell displacement instead of the whole sphere, buying
+    better candidate recall (recall floor vs plain asserted in
+    tests/test_pq.py). Training costs coarse + PQ passes sequentially
+    (residuals depend on the finished coarse model — the fused
+    single-scan trainer applies to the plain variant only). Returned
+    VALUES are identical-quality either way: the exact re-rank
+    restores true cosine, only candidate selection differs.
 
     Stages: coarse quantizer (ivf.py k-means) → inverted lists carrying
     CODES only → (query, probed list, ADC table) probe relation →
@@ -605,6 +765,16 @@ def ivfpq_topk(
     if model is not None:
         cents, books = model
         m, ksub, _ = books.shape
+    elif residual:
+        tr = _train_frame(df, train_frac, id_col)
+        cents = kmeans_fit(
+            tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
+            normalize=True,
+        )
+        books = pq_fit_residual(
+            tr, cents, m=m, ksub=ksub, iters=kmeans_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
     else:
         tr = _train_frame(df, train_frac, id_col)
         # ONE fused pass per Lloyd iteration trains both quantizers
@@ -614,16 +784,18 @@ def ivfpq_topk(
             tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
             vec_col=vec_col, id_col=id_col,
         )
-    coded = _assign_encode(df, cents, books, vec_col, id_col)
+    coded = _assign_encode(df, cents, books, vec_col, id_col, residual=residual)
     pool = k_neighbors * refine
     if not truncated:
-        probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe)
+        probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe, residual=residual)
         cands = _adc_candidates(coded, probes, m, ksub, pool)
         return _exact_rerank(
             _vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors,
             with_rank=with_rank,
         )
-    base = _probe_relations(queries, cents, books, nprobe, vec_col, id_col)
+    base = _probe_relations(
+        queries, cents, books, nprobe, vec_col, id_col, residual=residual
+    )
     cands = _adc_candidates(
         coded, _explode_probes(base, "qtab"), m, ksub, pool, hint_broadcast=False
     )
@@ -647,6 +819,7 @@ def write_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     meta_cols: list[str] | None = None,
+    residual: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the IVF-PQ index as a LIST-PARTITIONED layout:
     ``path/codes/list_id=<l>/`` holds the compressed (id, code) rows —
@@ -665,18 +838,31 @@ def write_pq_index(
     """
     meta = list(meta_cols or [])
     tr = _train_frame(df, train_frac, id_col)
-    # fused training: one pass per iteration for both quantizers
-    cents, books = kmeans_pq_fit(
-        tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
-        vec_col=vec_col, id_col=id_col,
-    )
+    if residual:
+        # residual books depend on the finished coarse model — the
+        # fused trainer applies to the plain variant only
+        cents = kmeans_fit(
+            tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
+            normalize=True,
+        )
+        books = pq_fit_residual(
+            tr, cents, m=m, ksub=ksub, iters=kmeans_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        # fused training: one pass per iteration for both quantizers
+        cents, books = kmeans_pq_fit(
+            tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
     # assign+encode once, reuse for BOTH writes. persist, NOT
     # localCheckpoint: this relation is corpus-sized (raw vectors
     # included) — checkpoint would truncate lineage, so a lost executor
     # block between the two writes kills the job; persist keeps the
     # assignment map recomputable for exactly the blocks that vanish
     coded = _assign_encode(
-        df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta
+        df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta,
+        residual=residual,
     ).persist()
     try:
         coded.select("id", "list_id", "code", *meta).write.mode("overwrite").partitionBy(
@@ -688,6 +874,11 @@ def write_pq_index(
     finally:
         coded.unpersist()
     spark = df.sparkSession
+    # the encoding VARIANT is part of the index: probes and appends read
+    # it back (indexes written before round 12 lack the file -> plain)
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(
         1
@@ -717,11 +908,14 @@ def append_pq_index(
     corpus scale, where re-encoding 100 TB for a 0.1% delta is not an
     option. Quantizers are statistics; they serve new data of the same
     distribution (FAISS's add-after-train contract). Searches see the
-    union immediately (append-mode parquet)."""
+    union immediately (append-mode parquet). The encoding variant
+    (plain/residual) is read from the stored meta, so a batch is always
+    encoded the way the index was built."""
     from sgdnet_spark.operators.ivf import load_centroids
 
     cents = load_centroids(spark, path)
     books = load_codebooks(spark, path)
+    residual = _load_residual_flag(spark, path)
     # the index's meta columns are INFERRED from the stored codes schema
     # (anything beyond id/list_id/code): an append missing them would
     # write rows that silently vanish from every filtered probe
@@ -739,7 +933,8 @@ def append_pq_index(
     # persist, not localCheckpoint — same recovery rationale as
     # write_pq_index (the batch may itself be large)
     coded = _assign_encode(
-        df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta
+        df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta,
+        residual=residual,
     ).persist()
     try:
         # vectors FIRST: a failure between the two appends must leave the
@@ -778,6 +973,16 @@ def compact_pq_index(spark, path: str) -> tuple[int, int]:
     v_before = compact_partitioned(spark, f"{path}/vectors", "list_id")
     c_before = compact_partitioned(spark, f"{path}/codes", "list_id")
     return c_before, v_before
+
+
+def _load_residual_flag(spark, path: str) -> bool:
+    """Whether the index at ``path`` was written with residual
+    encoding; indexes written before round 12 have no meta relation —
+    they are plain."""
+    try:
+        return bool(spark.read.parquet(f"{path}/meta").collect()[0]["residual"])
+    except Exception:
+        return False
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:
@@ -831,6 +1036,7 @@ def pq_topk_indexed(
     return _topk_indexed_with_model(
         spark, path, queries, cents, books, k_neighbors, nprobe, refine,
         vec_col, id_col, max_inline_queries, where, with_rank,
+        residual=_load_residual_flag(spark, path),
     )
 
 
@@ -848,10 +1054,13 @@ def _topk_indexed_with_model(
     max_inline_queries: int = 64,
     where=None,
     with_rank: bool = False,
+    residual: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """pq_topk_indexed with preloaded quantizers — the repeated-probe
     path (streaming serving loads centroids/codebooks ONCE, then probes
-    per micro-batch)."""
+    per micro-batch). ``residual`` must match how the index was written
+    (pq_topk_indexed reads it from the stored meta; streaming servers
+    load it once at construction)."""
     m, ksub, _ = books.shape
     pool = k_neighbors * refine
     q_rows, truncated = _collect_queries_bounded(
@@ -864,7 +1073,9 @@ def _topk_indexed_with_model(
         empty = spark.createDataFrame([], schema)
         return empty, spark.read.parquet(f"{path}/codes").limit(0)
     if not truncated:
-        probes, probed = _probe_frame(spark, q_rows, cents, books, nprobe)
+        probes, probed = _probe_frame(
+            spark, q_rows, cents, books, nprobe, residual=residual
+        )
         qtabs = None
         hint = True
     else:
@@ -874,7 +1085,7 @@ def _topk_indexed_with_model(
         # instead of re-running the query scan + tokenize +
         # nearest-centroid Arrow pass a second time
         base = _probe_relations(
-            queries, cents, books, nprobe, vec_col, id_col
+            queries, cents, books, nprobe, vec_col, id_col, residual=residual
         ).localCheckpoint(eager=False)
         # the probed-LIST-ID set is bounded by n_lists regardless of
         # query count — this collect is model-sized, never query-sized

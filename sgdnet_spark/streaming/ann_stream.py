@@ -66,9 +66,13 @@ class PqStreamServer:
         self.max_inline_queries = max_inline_queries
         self.where = where
         self.results: list = []
-        # load the quantizers ONCE; every batch reuses them
+        # load the quantizers (and the encoding variant) ONCE; every
+        # batch reuses them
+        from sgdnet_spark.operators.pq import _load_residual_flag
+
         self._cents = load_centroids(spark, path)
         self._books = load_codebooks(spark, path)
+        self._residual = _load_residual_flag(spark, path)
 
     def probe(self, queries: DataFrame) -> DataFrame:
         """Static probe with the preloaded quantizers (the per-batch
@@ -80,6 +84,7 @@ class PqStreamServer:
             self.k_neighbors, self.nprobe, self.refine,
             self.vec_col, self.id_col,
             self.max_inline_queries, self.where,
+            residual=self._residual,
         )
         return out
 

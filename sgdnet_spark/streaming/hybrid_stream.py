@@ -53,7 +53,7 @@ class HybridStreamServer:
         max_inline_queries: int = 64,
     ) -> None:
         from sgdnet_spark.operators.ivf import load_centroids
-        from sgdnet_spark.operators.pq import load_codebooks
+        from sgdnet_spark.operators.pq import _load_residual_flag, load_codebooks
 
         self.spark = spark
         self.bm25_path = bm25_path
@@ -68,9 +68,11 @@ class HybridStreamServer:
         self.sink = sink
         self.max_inline_queries = max_inline_queries
         self.results: list = []
-        # quantizers load ONCE; every batch reuses them
+        # quantizers (and the encoding variant) load ONCE; every batch
+        # reuses them
         self._cents = load_centroids(spark, pq_path)
         self._books = load_codebooks(spark, pq_path)
+        self._residual = _load_residual_flag(spark, pq_path)
 
     def probe(self, queries: DataFrame) -> DataFrame:
         """Static fused probe (the per-batch body; also usable directly
@@ -96,6 +98,7 @@ class HybridStreamServer:
             self.pool, self.nprobe, self.refine,
             "embedding", "vec_id",
             self.max_inline_queries, None, True,
+            residual=self._residual,
         )
         dense_ranked = dense.select(
             "query_id", F.col("nbr_id").alias("doc_id"), "rn"
