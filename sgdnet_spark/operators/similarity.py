@@ -252,10 +252,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_inline_queries: int = 64,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH:
     candidates share a bucket with the query in ANY of ``n_tables``
     independent tables (union-of-candidates, then exact cosine rerank).
+
+    Query handling is TWO-PATH (round 12, completing the ANN tier's
+    bounded-collect design): a ``limit(max_inline_queries+1)`` probe
+    decides; small query sets broadcast their (table, bucket) keys and
+    vectors, larger sets leave the join strategies to Catalyst/AQE so
+    a corpus-scale query relation is never forced onto the driver or
+    every executor. Both branches are the same plan modulo hints —
+    results identical (asserted in tests).
 
     A single table's recall collapses as n_planes grows (P[all sign
     bits agree] decays exponentially with the angle); L independent
@@ -275,6 +284,10 @@ def lsh_topk(
         n_tables, n_planes, dim
     )
     _check_dim(df, vec_col, dim)
+    # bounded branch probe: small query sets broadcast, larger ones
+    # leave join strategy to AQE (no query-sized broadcast/collect)
+    n_q = len(queries.select(id_col).limit(max_inline_queries + 1).collect())
+    bcast = F.broadcast if n_q <= max_inline_queries else (lambda x: x)
     # candidates carry IDS ONLY through the bucket join (the
     # cosine_pairs_lsh discipline): exploding (tbl, bk) keys next to the
     # full vector would shuffle every embedding n_tables times and drag
@@ -290,7 +303,7 @@ def lsh_topk(
     cand = (
         ckeys.alias("c")
         .join(
-            F.broadcast(qkeys).alias("q"),
+            bcast(qkeys).alias("q"),
             (F.col("c.tbl") == F.col("q.tbl"))
             & (F.col("c.bk") == F.col("q.bk"))
             & (F.col("c.nbr_id") != F.col("q.query_id")),
@@ -305,7 +318,7 @@ def lsh_topk(
                         norm(_as_double(vec_col)).alias("qn"))
     scored = (
         cand.join(cv, "nbr_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(bcast(qv), "query_id")
         .select(
             "query_id",
             "nbr_id",

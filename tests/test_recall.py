@@ -121,3 +121,19 @@ def test_embedding_lsh_pairs_recall_exact(spark, sf_dir):
     lsh = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs_lsh(emb, 0.45).collect()}
     assert lsh == exact
     assert len(exact) > 0
+
+
+def test_lsh_topk_two_path_identical(spark, sf_dir):
+    """Round 12: lsh_topk's large-query branch (no broadcast hints,
+    AQE-chosen joins) returns exactly what the small/broadcast branch
+    returns — the same plan modulo hints."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)  # > default max_inline_queries
+    a = {tuple(r) for r in similarity.lsh_topk(emb, q, k=5).collect()}
+    b = {tuple(r) for r in similarity.lsh_topk(
+        emb, q, k=5, max_inline_queries=500).collect()}
+    assert a == b and len(a) > 0
