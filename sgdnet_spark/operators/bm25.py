@@ -461,6 +461,7 @@ def bm25_topk_indexed(
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
     where=None,
+    stats: tuple[float, float, float, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a written BM25 index; returns (result, pruned_postings).
 
@@ -486,7 +487,8 @@ def bm25_topk_indexed(
     tests)."""
     _check_params(k1, b)
     scored, postings = _scored_indexed(
-        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries, where
+        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries,
+        where, stats,
     )
     if scored is None:
         return (
@@ -512,6 +514,7 @@ def bm25_filter_indexed(
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
     where=None,
+    stats: tuple[float, float, float, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Relevance-floor probe of a written index: every doc with RAW
     score ≥ ``threshold`` per query — a pure filter over the pruned
@@ -520,7 +523,8 @@ def bm25_filter_indexed(
     corpus-wide scoring stats (see :func:`bm25_topk_indexed`)."""
     _check_params(k1, b)
     scored, postings = _scored_indexed(
-        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries, where
+        spark, path, queries, k1, b, q_text_col, q_id_col, max_inline_queries,
+        where, stats,
     )
     if scored is None:
         return (
@@ -550,13 +554,19 @@ def _scored_indexed(
     q_id_col: str,
     max_inline_queries: int,
     where=None,
+    stats: tuple[float, float, float, int] | None = None,
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """Shared indexed scoring pipeline; (None, None) when the query
     vocabulary is empty. ``where`` restricts the candidate postings
     AFTER df(term) is counted, so scoring statistics stay corpus-wide
     (the Lucene filtered-query convention) and the predicate pushes
-    into the candidate branch's parquet scan."""
-    n_docs, sum_dl, n_dl, n_buckets = _read_stats(spark, path)
+    into the candidate branch's parquet scan. ``stats`` passes a
+    preloaded (n_docs, sum_dl, n_dl, n_buckets) tuple — the streaming
+    server's load-once path (Bm25StreamServer) — skipping the per-probe
+    stats read."""
+    n_docs, sum_dl, n_dl, n_buckets = (
+        stats if stats is not None else _read_stats(spark, path)
+    )
     if n_dl <= 0:
         return None, None  # index over an untokenizable corpus
     avgdl = sum_dl / n_dl

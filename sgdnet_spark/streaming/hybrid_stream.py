@@ -68,11 +68,14 @@ class HybridStreamServer:
         self.sink = sink
         self.max_inline_queries = max_inline_queries
         self.results: list = []
-        # quantizers (and the encoding variant) load ONCE; every batch
-        # reuses them
+        # quantizers (and the encoding variant) + the lexical stats
+        # load ONCE; every batch reuses them
+        from sgdnet_spark.operators.bm25 import _read_stats
+
         self._cents = load_centroids(spark, pq_path)
         self._books = load_codebooks(spark, pq_path)
         self._residual = _load_residual_flag(spark, pq_path)
+        self._bm25_stats = _read_stats(spark, bm25_path)
 
     def probe(self, queries: DataFrame) -> DataFrame:
         """Static fused probe (the per-batch body; also usable directly
@@ -88,6 +91,7 @@ class HybridStreamServer:
             queries.select("query_id", "q_text"),
             k=self.pool, k1=self.k1, b=self.b,
             max_inline_queries=self.max_inline_queries,
+            stats=self._bm25_stats,
         )
         dense, _ = _topk_indexed_with_model(
             self.spark, self.pq_path,

@@ -461,3 +461,62 @@ def test_bm25_pre_round12_stats_compat(spark, corpus, tmp_path):
     assert "n_dl" in st.__fields__ and st["n_dl"] == 5.0
     got2, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
     assert 9 in {r["doc_id"] for r in got2.collect()}
+
+
+def test_bm25_stream_server_matches_batch(spark, corpus, tmp_path):
+    """Round 12: Bm25StreamServer — stats load once at construction,
+    per-micro-batch probes equal batch probes, refresh() picks up
+    appends, and threshold mode serves windowless."""
+    import glob
+    import shutil
+
+    from sgdnet_spark.streaming.bm25_stream import Bm25StreamServer
+
+    path = str(tmp_path / "bm25_srv")
+    bm25.write_bm25_index(corpus, path)
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window"), ("qc", "spark slow")],
+        "query_id string, q_text string",
+    )
+    server = Bm25StreamServer(spark, path, k=10)
+    want_df, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    want = {tuple(r) for r in want_df.collect()}
+    assert {tuple(r) for r in server.probe(q).collect()} == want
+
+    stage = tmp_path / "srv_qstream"
+    stage.mkdir()
+    for name, cond in (("a", "query_id < 'qc'"), ("b", "query_id >= 'qc'")):
+        scratch = str(tmp_path / f"srv_scratch_{name}")
+        q.filter(cond).coalesce(1).write.parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, str(stage / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(q.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    sq = stream.writeStream.foreachBatch(server.respond).outputMode("append").start()
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    assert {tuple(r) for r in server.results} == want
+
+    # appended docs appear immediately (postings re-scan); refresh()
+    # realigns the global stats with a fresh probe
+    extra = spark.createDataFrame([(9, "table fast fast")], "doc_id long, text string")
+    bm25.append_bm25_index(spark, path, extra)
+    assert 9 in {r["doc_id"] for r in server.probe(q).collect()}
+    server.refresh()
+    aligned, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert {tuple(r) for r in server.probe(q).collect()} == {
+        tuple(r) for r in aligned.collect()
+    }
+
+    # threshold mode: windowless floor, equal to the batch floor probe
+    fsrv = Bm25StreamServer(spark, path, threshold=0.4)
+    fwant, _ = bm25.bm25_filter_indexed(spark, path, q, threshold=0.4)
+    assert {tuple(r) for r in fsrv.probe(q).collect()} == {
+        tuple(r) for r in fwant.collect()
+    }
