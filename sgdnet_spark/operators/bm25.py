@@ -51,6 +51,13 @@ from pyspark.sql import functions as F
 from sgdnet_spark.operators import text
 
 N_TERM_BUCKETS = 64
+# the small-query branch inlines the query vocabulary as a literal
+# IN-set; max_inline_queries bounds query COUNT, so a handful of
+# document-length "more-like-this" queries could still inline tens of
+# thousands of literals into the plan (driver plan bloat, slow
+# analysis). Beyond this many DISTINCT TERMS the small branch reroutes
+# to the distributed path even when the query count is tiny.
+MAX_INLINE_TERMS = 4096
 
 
 def _check_params(k1: float, b: float) -> None:
@@ -160,17 +167,8 @@ def _scored_inmemory(
     # LocalRelation job, so term semantics cannot drift between paths
     q_raw = queries.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
     large = len(q_raw) > max_inline_queries
-    if large:
-        q_terms = _q_terms(queries, q_text_col, q_id_col)
-        # emptiness guard, first-row-short-circuit cheap: an empty
-        # build side under AQE would prune the corpus subtree INCLUDING
-        # the observe node, and the metrics row would never materialize
-        if q_terms.limit(1).count() == 0:
-            return None
-        q_rel = q_terms.localCheckpoint(eager=False)
-        vocab = q_rel.select("term").distinct()
-        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
-    else:
+    qt_rows: list = []
+    if not large:
         local_q = spark.createDataFrame(
             q_raw, queries.select(q_id_col, q_text_col).schema
         )
@@ -180,6 +178,21 @@ def _scored_inmemory(
         ]
         if not qt_rows:
             return None
+        # few queries but a huge combined vocabulary (document-length
+        # more-like-this queries): inlining would bloat the plan with
+        # thousands of literals — reroute to the distributed branch
+        large = len({t for _, t in qt_rows}) > MAX_INLINE_TERMS
+    if large:
+        q_terms = _q_terms(queries, q_text_col, q_id_col)
+        # emptiness guard, first-row-short-circuit cheap: an empty
+        # build side under AQE would prune the corpus subtree INCLUDING
+        # the observe node, and the metrics row would never materialize
+        if not qt_rows and q_terms.limit(1).count() == 0:
+            return None
+        q_rel = q_terms.localCheckpoint(eager=False)
+        vocab = q_rel.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+    else:
         qid_t = queries.schema[q_id_col].dataType.simpleString()
         q_rel = spark.createDataFrame(qt_rows, f"query_id {qid_t}, term string")
         terms = sorted({t for _, t in qt_rows})
@@ -332,7 +345,10 @@ def write_bm25_index(
     write_pq_index design) so probes can push a ``where=`` predicate
     into the pruned parquet scan — metadata-FILTERED lexical retrieval
     (e.g. ``lang = 'en'``). Meta rides the doc's rows in-row through
-    the one build pass: zero extra shuffle."""
+    the one build pass: zero extra shuffle. Meta columns MUST be
+    functionally dependent on ``id_col`` (one meta tuple per doc) —
+    validated at write time with a doc-level distinct, raising rather
+    than silently splitting posting rows and inflating df(term)."""
     _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite",
                     meta_cols=meta_cols)
     stats = df.select(
@@ -354,6 +370,28 @@ def _write_postings(
     meta_cols: list[str] | None = None,
 ) -> None:
     meta = list(meta_cols or [])
+    if meta:
+        # the postings groupBy below RELIES on meta being functionally
+        # dependent on doc_id (one meta tuple per doc) — a meta column
+        # that varies within a doc would silently split (doc_id, term)
+        # rows, inflating df(term) and fragmenting tf. Validate the
+        # contract at write time: one doc-level distinct, far smaller
+        # than the postings explode the write pays anyway.
+        dup = (
+            df.select(F.col(id_col).alias("doc_id"), *meta)
+            .distinct()
+            .groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"write_bm25_index: meta columns {meta} must be functionally "
+                f"dependent on {id_col} (one meta tuple per doc); doc_id "
+                f"{dup[0]['doc_id']!r} carries more than one"
+            )
     postings = (
         df.select(
             F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"), *meta
@@ -363,8 +401,9 @@ def _write_postings(
             F.explode("t").alias("term"), *meta,
         )
         .filter(F.col("term") != "")
-        # meta is functionally dependent on doc_id — grouping by it adds
-        # no groups, just carries the columns through the one shuffle
+        # meta is functionally dependent on doc_id (validated above) —
+        # grouping by it adds no groups, just carries the columns
+        # through the one shuffle
         .groupBy("doc_id", "term", "dl", *meta)
         .agg(F.count("*").cast("double").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
@@ -574,24 +613,8 @@ def _scored_indexed(
     # (small sets) feeds the driver-side term+bucket relation
     q_raw = queries.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
     large = len(q_raw) > max_inline_queries
-    if large:
-        q_rel = _q_terms(queries, q_text_col, q_id_col).localCheckpoint(eager=False)
-        # bounded by n_buckets regardless of query count
-        buckets = sorted(
-            {
-                r["bk"]
-                for r in q_rel.select(
-                    F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("bk")
-                )
-                .distinct()
-                .collect()
-            }
-        )
-        if not buckets:
-            return None, None
-        vocab = q_rel.select("term").distinct()
-        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
-    else:
+    qt: list = []
+    if not large:
         local_q = spark.createDataFrame(
             q_raw, queries.select(q_id_col, q_text_col).schema
         )
@@ -605,6 +628,33 @@ def _scored_indexed(
         ).collect()
         if not qt:
             return None, None
+        # few queries but a huge combined vocabulary: inlining the
+        # IN-set would bloat the plan — keep the (query, term) relation
+        # executor-side instead (bucket pruning still applies: the
+        # collected rows already carry the bucket set)
+        large = len({r["term"] for r in qt}) > MAX_INLINE_TERMS
+    if large:
+        q_rel = _q_terms(queries, q_text_col, q_id_col).localCheckpoint(eager=False)
+        if qt:
+            # term-count reroute: the bucket set is already driver-side
+            buckets = sorted({r["bk"] for r in qt})
+        else:
+            # bounded by n_buckets regardless of query count
+            buckets = sorted(
+                {
+                    r["bk"]
+                    for r in q_rel.select(
+                        F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("bk")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            if not buckets:
+                return None, None
+        vocab = q_rel.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+    else:
         qid_t = queries.schema[q_id_col].dataType.simpleString()
         q_rel = spark.createDataFrame(
             [(r["query_id"], r["term"]) for r in qt], f"query_id {qid_t}, term string"

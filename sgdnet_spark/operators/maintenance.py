@@ -10,24 +10,61 @@ output file — followed by a two-rename directory swap via the Hadoop
 FileSystem API (works on HDFS/ABFS where rename is atomic; S3A renames
 are copy-based, so run compaction in a maintenance window there).
 
-Recovery: the freshly written ``<dir>.compact_tmp`` is self-contained,
-so no crash point loses data. A crash between the two renames leaves
-``<dir>`` missing but ``<dir>.old`` intact — re-running the compaction
-(or renaming ``.old`` back) restores service. Values never change —
-only file layout — asserted in tests.
+Crash recovery (round 13): the freshly written ``<dir>.compact_tmp``
+is self-contained, so no crash point loses data. A crash between the
+two renames leaves ``<dir>`` missing but ``<dir>.old`` intact;
+:func:`compact_partitioned` detects that state AT ENTRY and renames
+``.old`` back before doing anything else, so simply re-running the
+compaction restores service (:func:`recover_partitioned` does the same
+repair standalone, for probes that hit the window). ``.old`` is only
+deleted AFTER the installed directory passes a parquet-footer read.
+Values never change — only file layout — asserted in tests.
+
+Concurrent probes: the swap still has a brief window where ``<dir>``
+is absent, so a probe racing a compaction can fail with a missing-path
+error. The streaming servers (Bm25StreamServer / PqStreamServer)
+bound-retry their per-batch probe for exactly this reason; batch
+callers can either retry or call :func:`recover_partitioned` first.
 """
 
 from __future__ import annotations
 
 
+def _fs_path(spark, path_str: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(conf), hpath
+
+
+def recover_partitioned(spark, dir_path: str) -> bool:
+    """Repair the crash-between-renames state: if ``dir_path`` is
+    missing but ``dir_path + \".old\"`` exists (a compaction died after
+    staging the live directory aside and before installing the new
+    layout), rename ``.old`` back into place. Returns True if a repair
+    was performed, False if the directory was already healthy. Safe to
+    call unconditionally — a no-op when nothing is wrong."""
+    fs, hpath = _fs_path(spark, dir_path)
+    _, old_p = _fs_path(spark, f"{dir_path}.old")
+    if not fs.exists(hpath) and fs.exists(old_p):
+        if not fs.rename(old_p, hpath):
+            raise IOError(
+                f"recover_partitioned: could not restore {dir_path} from .old"
+            )
+        return True
+    return False
+
+
 def compact_partitioned(spark, dir_path: str, partition_col: str) -> int:
     """Rewrite a ``partitionBy(partition_col)`` parquet directory to one
     file per partition, swapping it in place. Returns the parquet file
-    count BEFORE compaction (callers/tests compare against after)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = hpath.getFileSystem(conf)
+    count BEFORE compaction (callers/tests compare against after).
+
+    Re-runnable after any crash: entry-time :func:`recover_partitioned`
+    repairs a half-finished previous swap, and ``.old`` is kept until
+    the installed layout passes a read check."""
+    recover_partitioned(spark, dir_path)
+    fs, hpath = _fs_path(spark, dir_path)
     it, before = fs.listFiles(hpath, True), 0
     while it.hasNext():
         if it.next().getPath().getName().endswith(".parquet"):
@@ -41,8 +78,8 @@ def compact_partitioned(spark, dir_path: str, partition_col: str) -> int:
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    _, tmp_p = _fs_path(spark, tmp)
+    _, old_p = _fs_path(spark, old)
     fs.delete(old_p, True)
     if not fs.rename(hpath, old_p):
         raise IOError(f"compact_partitioned: could not stage {dir_path} aside")
@@ -50,5 +87,14 @@ def compact_partitioned(spark, dir_path: str, partition_col: str) -> int:
         # put the original back — nothing lost
         fs.rename(old_p, hpath)
         raise IOError(f"compact_partitioned: could not install {tmp}")
+    # verify the installed layout is readable (parquet footer/schema
+    # read) BEFORE dropping the previous one; a bad install keeps .old
+    # on disk for recover_partitioned / manual repair
+    try:
+        spark.read.parquet(dir_path).schema
+    except Exception:
+        fs.delete(hpath, True)
+        fs.rename(old_p, hpath)
+        raise
     fs.delete(old_p, True)
     return before

@@ -89,9 +89,21 @@ class Bm25StreamServer:
         return out
 
     def respond(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch target."""
-        out = self.probe(batch_df)
-        if self.sink is not None:
-            self.sink(out, batch_id)
-        else:
-            self.results.extend(out.collect())
+        """foreachBatch target. Bound-retries on missing-path errors so
+        a probe racing ``compact_bm25_index``'s directory swap (or
+        landing after a crashed swap, which it repairs via
+        ``recover_partitioned``) recovers instead of failing the batch;
+        sinks must be idempotent on batch_id — the foreachBatch
+        contract the engine itself already imposes."""
+        from sgdnet_spark.streaming._retry import run_with_maintenance_retry
+
+        def body() -> None:
+            out = self.probe(batch_df)
+            if self.sink is not None:
+                self.sink(out, batch_id)
+            else:
+                self.results.extend(out.collect())
+
+        run_with_maintenance_retry(
+            self.spark, body, [f"{self.path}/postings"]
+        )

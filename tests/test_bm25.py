@@ -520,3 +520,46 @@ def test_bm25_stream_server_matches_batch(spark, corpus, tmp_path):
     assert {tuple(r) for r in fsrv.probe(q).collect()} == {
         tuple(r) for r in fwant.collect()
     }
+
+
+def test_bm25_inline_term_cap_reroutes(spark, corpus, tmp_path, monkeypatch):
+    """Round 13 (ADVICE): max_inline_queries bounds query COUNT, not
+    term count — a few document-length queries must not inline a huge
+    literal IN-set into the plan. With the cap forced tiny, the small
+    branch reroutes to the distributed path and results are identical
+    on BOTH the in-memory and indexed paths."""
+    q = spark.createDataFrame(
+        [("qa", "table fast join window spark slow"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    want = {tuple(r) for r in bm25.bm25_topk(corpus, q, k=3).collect()}
+    path = str(tmp_path / "bm25_termcap")
+    bm25.write_bm25_index(corpus, path)
+    ref_i, _ = bm25.bm25_topk_indexed(spark, path, q, k=3)
+    want_i = {tuple(r) for r in ref_i.collect()}
+
+    monkeypatch.setattr(bm25, "MAX_INLINE_TERMS", 3)
+    rerouted = bm25.bm25_topk(corpus, q, k=3)
+    assert {tuple(r) for r in rerouted.collect()} == want
+    # the plan carries no giant IN-list: term restriction is a join
+    plan = rerouted._jdf.queryExecution().executedPlan().toString()
+    assert "window IN" not in plan and " IN (table" not in plan
+    ri, _ = bm25.bm25_topk_indexed(spark, path, q, k=3)
+    assert {tuple(r) for r in ri.collect()} == want_i == want
+
+
+def test_bm25_meta_functional_dependence_validated(spark, tmp_path):
+    """Round 13 (ADVICE): a meta column that varies within a doc_id
+    would silently split posting rows and inflate df(term) — the write
+    validates one meta tuple per doc and raises."""
+    bad = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (1, "alpha beta", "fr"), (2, "beta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="functionally dependent"):
+        bm25.write_bm25_index(bad, str(tmp_path / "bm25_badmeta"), meta_cols=["lang"])
+    good = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "beta", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    bm25.write_bm25_index(good, str(tmp_path / "bm25_goodmeta"), meta_cols=["lang"])
