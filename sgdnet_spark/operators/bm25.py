@@ -348,16 +348,135 @@ def write_bm25_index(
     the one build pass: zero extra shuffle. Meta columns MUST be
     functionally dependent on ``id_col`` (one meta tuple per doc) —
     validated at write time with a doc-level distinct, raising rather
-    than silently splitting posting rows and inflating df(term)."""
+    than silently splitting posting rows and inflating df(term).
+
+    ``path/docs`` (round 13) is the doc-level catalog — one (doc_id,
+    dl) row per indexed document, dl NULL for NULL-text rows. It is
+    what makes :func:`delete_from_bm25_index` EXACT: the corpus-wide
+    stats after a delete recompute from the surviving catalog rows, so
+    a deleted index scores identically to one rebuilt without those
+    rows (docs with no postings — NULL or empty text — are invisible
+    in the postings relation but still carry n_docs/n_dl weight; only
+    the catalog knows them). The stored stats aggregate FROM the
+    catalog, so the two can never disagree."""
     _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite",
                     meta_cols=meta_cols)
-    stats = df.select(
-        F.count("*").cast("double").alias("n_docs"),
-        F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
-        F.count(F.size(text.tokens(text_col))).cast("double").alias("n_dl"),
-        F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(text.tokens(text_col)).cast("double").alias("dl"),
+    )
+    docs.write.mode("overwrite").parquet(f"{path}/docs")
+    _write_stats_from_docs(df.sparkSession, path, n_buckets)
+
+
+def _write_stats_from_docs(spark, path: str, n_buckets: int) -> None:
+    """(Re)derive the corpus-wide stats from the doc catalog minus any
+    tombstones — the single source of truth, so build/append/delete all
+    agree bit-for-bit with a from-scratch build over the same surviving
+    docs (count/sum of integer-valued doubles: exact)."""
+    stats = (
+        _live_docs(spark, path)
+        .select(
+            F.count("*").cast("double").alias("n_docs"),
+            F.sum("dl").cast("double").alias("sum_dl"),
+            F.count("dl").cast("double").alias("n_dl"),
+            F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+        )
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _dir_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf).exists(hpath)
+
+
+def _live_docs(spark, path: str) -> DataFrame:
+    """The doc catalog with tombstoned rows masked out."""
+    docs = spark.read.parquet(f"{path}/docs")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return docs
+
+
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """(doc_id) relation of deleted docs, or None when no deletes are
+    pending. Bounded by the deletes since the last compaction — the
+    broadcast in the probe anti-join assumes routine compaction, the
+    same operational contract as the append tiers' file-count growth."""
+    tdir = f"{path}/tombstones"
+    if not _dir_exists(spark, tdir):
+        return None
+    tomb = spark.read.parquet(tdir)
+    return tomb if len(tomb.take(1)) else None
+
+
+def _ids_frame(spark, ids, dtype: str) -> DataFrame:
+    """Normalize a deletion id set (python list or single-column
+    DataFrame) to a distinct (doc_id <dtype>) relation."""
+    if isinstance(ids, DataFrame):
+        return ids.select(
+            F.col(ids.columns[0]).cast(dtype).alias("doc_id")
+        ).distinct()
+    return spark.createDataFrame(
+        [(i,) for i in ids], f"doc_id {dtype}"
+    ).distinct()
+
+
+def delete_from_bm25_index(spark, path: str, ids) -> int:
+    """Delete documents from a written BM25 index WITHOUT rebuilding —
+    takedown support for the curation pipeline (the one operation a
+    write/append/compact index tier was missing). ``ids`` is a python
+    list or a single-column DataFrame of doc ids.
+
+    Tombstone design: deleted ids append to ``path/tombstones``; every
+    probe anti-joins them out of the pruned postings BEFORE df(term)
+    is counted, and the corpus-wide stats recompute from the doc
+    catalog minus tombstones — so a deleted index scores IDENTICALLY
+    (bit-for-bit) to one rebuilt without those rows (asserted in
+    tests). Deletes are idempotent (already-deleted and never-indexed
+    ids are no-ops) and physical space is reclaimed by
+    :func:`compact_bm25_index`, which drops tombstoned rows during its
+    rewrite and clears the tombstone set.
+
+    Crash ordering mirrors append's postings-before-stats: tombstones
+    land first, the stats rewrite second — a failure in between leaves
+    slightly-stale global stats (bounded score perturbation), never a
+    resurrected document. Streaming servers pick up the masked docs on
+    their next probe (tombstones are read per probe) but serve the
+    pre-delete stats until ``refresh()`` — the same staleness contract
+    as append. Returns the number of newly deleted documents.
+
+    Requires an index with the round-13 doc catalog (``path/docs``);
+    older indexes must be rebuilt once with :func:`write_bm25_index`
+    to enable deletion."""
+    if not _dir_exists(spark, f"{path}/docs"):
+        raise ValueError(
+            f"delete_from_bm25_index: index at {path} predates the doc "
+            "catalog (round 13); rebuild it with write_bm25_index to "
+            "enable deletion"
+        )
+    docs = spark.read.parquet(f"{path}/docs")
+    dtype = docs.schema["doc_id"].dataType.simpleString()
+    want = _ids_frame(spark, ids, dtype)
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        want = want.join(F.broadcast(tomb), "doc_id", "left_anti")
+    # only ids actually present in the catalog become tombstones —
+    # keeps the tombstone set bounded by real deletions (idempotent:
+    # re-deleting or deleting unknown ids adds nothing)
+    matched = docs.join(F.broadcast(want), "doc_id").select("doc_id").distinct()
+    matched = matched.localCheckpoint(eager=True)
+    n = matched.count()
+    if n == 0:
+        return 0
+    matched.write.mode("append").parquet(f"{path}/tombstones")
+    _, _, _, n_buckets = _read_stats(spark, path)
+    _write_stats_from_docs(spark, path, n_buckets)
+    return n
 
 
 def _write_postings(
@@ -455,7 +574,34 @@ def append_bm25_index(
             f"append_bm25_index: index at {path} carries meta columns {meta}; "
             f"batch is missing {missing}"
         )
+    has_catalog = _dir_exists(spark, f"{path}/docs")
+    tomb = _read_tombstones(spark, path) if has_catalog else None
+    if tomb is not None:
+        # re-adding a tombstoned id would RESURRECT its old postings
+        # alongside the new ones (the mask is id-level, not row-level)
+        # — and compaction would then physically drop both. Refuse;
+        # compact first to clear the tombstones, then append.
+        clash = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(F.broadcast(tomb), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append_bm25_index: batch re-adds deleted doc_id "
+                f"{clash[0]['doc_id']!r}; run compact_bm25_index first to "
+                "clear tombstones, then append"
+            )
     _write_postings(df, path, text_col, id_col, n_buckets, mode="append", meta_cols=meta)
+    if has_catalog:
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(text.tokens(text_col)).cast("double").alias("dl"),
+        ).write.mode("append").parquet(f"{path}/docs")
+        _write_stats_from_docs(spark, path, n_buckets)
+        return
+    # pre-round-13 index (no doc catalog): fold the batch sums in
     batch = df.select(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size(text.tokens(text_col))).cast("double").alias("sum_dl"),
@@ -479,14 +625,37 @@ def compact_bm25_index(spark, path: str) -> int:
     """Rewrite the postings layout so each bucket partition holds ONE
     file again (daily appends accumulate a file per batch per bucket;
     at ingest cadence the probe scan's file-listing and tiny-file
-    overhead degrade). Stats are untouched and probe results are
-    bit-identical — compaction changes file layout, never values
-    (asserted in tests). Returns the parquet file count before
-    compaction. Swap semantics + recovery: see
+    overhead degrade), physically dropping any tombstoned rows — the
+    anti-join folds into the rewrite's one shuffle, so deletion
+    reclamation is FREE at compaction cadence. Stats are untouched
+    (they were re-derived from the surviving catalog at delete time)
+    and probe results are bit-identical — compaction changes file
+    layout, never values (asserted in tests). Returns the postings
+    parquet file count before compaction.
+
+    Crash ordering: postings rewrite, then doc catalog rewrite, then
+    the tombstone clear LAST — every prefix leaves probes correct
+    (dropping already-masked rows, or masking already-dropped ids, are
+    both no-ops), and re-running finishes the job. Swap semantics +
+    recovery: see
     :func:`sgdnet_spark.operators.maintenance.compact_partitioned`."""
     from sgdnet_spark.operators.maintenance import compact_partitioned
 
-    return compact_partitioned(spark, f"{path}/postings", "bucket")
+    tomb = _read_tombstones(spark, path)
+    drop = (
+        None
+        if tomb is None
+        else (lambda rel: rel.join(F.broadcast(tomb), "doc_id", "left_anti"))
+    )
+    before = compact_partitioned(spark, f"{path}/postings", "bucket", transform=drop)
+    if tomb is not None:
+        if _dir_exists(spark, f"{path}/docs"):
+            compact_partitioned(spark, f"{path}/docs", None, transform=drop)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        tpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+        tpath.getFileSystem(conf).delete(tpath, True)
+    return before
 
 
 def bm25_topk_indexed(
@@ -668,6 +837,13 @@ def _scored_indexed(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(*[int(x) for x in buckets])
     )
+    # deletions mask out BEFORE df(term) is counted, so document
+    # frequencies (and therefore idf) equal a rebuild without the
+    # deleted rows; the stored stats were already re-derived from the
+    # surviving doc catalog at delete time
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
     tf = vocab_join(postings)
     # df(term) BEFORE the meta filter: scoring stats are corpus-level,
     # the filter only restricts which docs may appear as candidates

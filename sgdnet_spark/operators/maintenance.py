@@ -55,10 +55,19 @@ def recover_partitioned(spark, dir_path: str) -> bool:
     return False
 
 
-def compact_partitioned(spark, dir_path: str, partition_col: str) -> int:
+def compact_partitioned(
+    spark, dir_path: str, partition_col: str | None, transform=None
+) -> int:
     """Rewrite a ``partitionBy(partition_col)`` parquet directory to one
     file per partition, swapping it in place. Returns the parquet file
     count BEFORE compaction (callers/tests compare against after).
+
+    ``transform`` (optional ``DataFrame -> DataFrame``) is applied to
+    the read before the rewrite — how the index tiers physically drop
+    tombstoned rows during their compaction pass (an anti-join folded
+    into the one shuffle the rewrite pays anyway). ``partition_col=
+    None`` compacts an unpartitioned relation to a single file (the
+    small sidecar relations — doc catalogs).
 
     Re-runnable after any crash: entry-time :func:`recover_partitioned`
     repairs a half-finished previous swap, and ``.old`` is kept until
@@ -71,13 +80,18 @@ def compact_partitioned(spark, dir_path: str, partition_col: str) -> int:
             before += 1
     tmp = f"{dir_path}.compact_tmp"
     old = f"{dir_path}.old"
-    (
-        spark.read.parquet(dir_path)
-        .repartition(partition_col)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(tmp)
-    )
+    rel = spark.read.parquet(dir_path)
+    if transform is not None:
+        rel = transform(rel)
+    if partition_col is None:
+        rel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else:
+        (
+            rel.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
     _, tmp_p = _fs_path(spark, tmp)
     _, old_p = _fs_path(spark, old)
     fs.delete(old_p, True)

@@ -930,6 +930,22 @@ def append_pq_index(
             f"append_pq_index: index at {path} carries meta columns {meta}; "
             f"batch is missing {missing}"
         )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # re-adding a tombstoned id would resurrect its OLD rows next
+        # to the new ones (the mask is id-level); compact first
+        clash = (
+            df.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(tomb), "id")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append_pq_index: batch re-adds deleted id "
+                f"{clash[0]['id']!r}; run compact_pq_index first to clear "
+                "tombstones, then append"
+            )
     # persist, not localCheckpoint — same recovery rationale as
     # write_pq_index (the batch may itself be large)
     coded = _assign_encode(
@@ -955,6 +971,63 @@ def append_pq_index(
         coded.unpersist()
 
 
+def _dir_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf).exists(hpath)
+
+
+def _read_tombstones(spark, path: str):
+    """(id) relation of deleted vectors, or None when no deletes are
+    pending. Bounded by the deletes since the last compaction — the
+    probe anti-join broadcasts it, the same routine-compaction contract
+    as the append tiers' file-count growth."""
+    tdir = f"{path}/tombstones"
+    if not _dir_exists(spark, tdir):
+        return None
+    tomb = spark.read.parquet(tdir)
+    return tomb if len(tomb.take(1)) else None
+
+
+def delete_from_pq_index(spark, path: str, ids) -> int:
+    """Delete vectors from a written IVF-PQ index WITHOUT re-encoding
+    or rebuilding — takedown support for the curation pipeline. ``ids``
+    is a python list or a single-column DataFrame of vector ids.
+
+    Tombstone design: deleted ids append to ``path/tombstones``; every
+    probe anti-joins them out of the pruned CODES scan, so a deleted
+    vector is never ADC-scored, never a candidate, never re-ranked —
+    results equal an index holding only the surviving rows under the
+    SAME quantizers (asserted in tests; quantizers are statistics and
+    do not change on membership edits — the FAISS remove-after-train
+    contract, mirroring append's add-after-train). Deletes are
+    idempotent (already-deleted / never-indexed ids are no-ops);
+    physical space is reclaimed by :func:`compact_pq_index`, which
+    drops tombstoned rows from both relations during its rewrite and
+    clears the tombstone set. Returns the number of newly deleted
+    vectors."""
+    codes = spark.read.parquet(f"{path}/codes")
+    dtype = codes.schema["id"].dataType.simpleString()
+    if isinstance(ids, DataFrame):
+        want = ids.select(F.col(ids.columns[0]).cast(dtype).alias("id")).distinct()
+    else:
+        want = spark.createDataFrame([(i,) for i in ids], f"id {dtype}").distinct()
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        want = want.join(F.broadcast(tomb), "id", "left_anti")
+    # only ids actually present become tombstones — bounded by real
+    # deletions, and the scan pays the codes relation (32× smaller
+    # than vectors), not the raw corpus
+    matched = codes.join(F.broadcast(want), "id").select("id").distinct()
+    matched = matched.localCheckpoint(eager=True)
+    n = matched.count()
+    if n == 0:
+        return 0
+    matched.write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
 def compact_pq_index(spark, path: str) -> tuple[int, int]:
     """Rewrite the codes and vectors layouts to one file per list_id
     partition (append_pq_index accumulates a file per batch per touched
@@ -967,11 +1040,28 @@ def compact_pq_index(spark, path: str) -> tuple[int, int]:
     self-consistent (compaction never changes membership), just one of
     them still fragmented — re-running finishes the job. Returns the
     (codes, vectors) parquet file counts before compaction. Probe
-    results are bit-identical pre/post (asserted in tests)."""
+    results are bit-identical pre/post (asserted in tests).
+
+    Tombstoned rows (``delete_from_pq_index``) are physically dropped
+    during the rewrite — the anti-join folds into the one shuffle each
+    relation pays anyway — and the tombstone set clears LAST, so every
+    crash prefix leaves probes correct (dropping already-masked rows
+    and masking already-dropped ids are both no-ops)."""
     from sgdnet_spark.operators.maintenance import compact_partitioned
 
-    v_before = compact_partitioned(spark, f"{path}/vectors", "list_id")
-    c_before = compact_partitioned(spark, f"{path}/codes", "list_id")
+    tomb = _read_tombstones(spark, path)
+    drop = (
+        None
+        if tomb is None
+        else (lambda rel: rel.join(F.broadcast(tomb), "id", "left_anti"))
+    )
+    v_before = compact_partitioned(spark, f"{path}/vectors", "list_id", transform=drop)
+    c_before = compact_partitioned(spark, f"{path}/codes", "list_id", transform=drop)
+    if tomb is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        tpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+        tpath.getFileSystem(conf).delete(tpath, True)
     return c_before, v_before
 
 
@@ -1105,6 +1195,12 @@ def _topk_indexed_with_model(
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("list_id").isin(*in_list))
     if where is not None:
         codes = codes.filter(where)
+    # deletions mask the candidate source: a tombstoned vector is never
+    # ADC-scored, never a candidate, never re-ranked (the vectors scan
+    # needs no mask — the re-rank inner-joins the masked candidates)
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), "id", "left_anti")
     cands = _adc_candidates(codes, probes, int(m), int(ksub), pool, hint_broadcast=hint)
     vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("list_id").isin(*in_list))
     if where is not None:

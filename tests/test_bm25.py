@@ -563,3 +563,89 @@ def test_bm25_meta_functional_dependence_validated(spark, tmp_path):
         "doc_id long, text string, lang string",
     )
     bm25.write_bm25_index(good, str(tmp_path / "bm25_goodmeta"), meta_cols=["lang"])
+
+
+def test_bm25_delete_matches_rebuild_without_rows(spark, corpus, tmp_path):
+    """Round 13: delete_from_bm25_index == write_bm25_index over the
+    corpus minus those rows, bit-for-bit — df(term) recounts over the
+    masked postings and the stats re-derive from the surviving doc
+    catalog, so idf, avgdl and every score agree exactly. Idempotent
+    (re-delete / unknown ids are no-ops); compaction physically drops
+    the tombstoned rows with results unchanged."""
+    full = str(tmp_path / "bm25_del")
+    ref = str(tmp_path / "bm25_del_ref")
+    bm25.write_bm25_index(corpus, full)
+    bm25.write_bm25_index(corpus.filter(~F.col("doc_id").isin(2, 3)), ref)
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    assert bm25.delete_from_bm25_index(spark, full, [2, 3]) == 2
+    got, _ = bm25.bm25_topk_indexed(spark, full, q, k=10)
+    want, _ = bm25.bm25_topk_indexed(spark, ref, q, k=10)
+    want = {tuple(r) for r in want.collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    # floor mode masks deletions too
+    gf, _ = bm25.bm25_filter_indexed(spark, full, q, threshold=0.1)
+    wf, _ = bm25.bm25_filter_indexed(spark, ref, q, threshold=0.1)
+    assert {tuple(r) for r in gf.collect()} == {tuple(r) for r in wf.collect()}
+    # idempotent: re-deleting and deleting unknown ids change nothing
+    assert bm25.delete_from_bm25_index(spark, full, [2, 99]) == 0
+    got2, _ = bm25.bm25_topk_indexed(spark, full, q, k=10)
+    assert {tuple(r) for r in got2.collect()} == want
+    # compaction physically drops the rows and clears the tombstones
+    bm25.compact_bm25_index(spark, full)
+    import os
+    assert not os.path.exists(f"{full}/tombstones")
+    posted = {r["doc_id"] for r in spark.read.parquet(f"{full}/postings").collect()}
+    assert posted.isdisjoint({2, 3})
+    got3, _ = bm25.bm25_topk_indexed(spark, full, q, k=10)
+    assert {tuple(r) for r in got3.collect()} == want
+
+
+def test_bm25_delete_null_text_doc_exact_stats(spark, tmp_path):
+    """A NULL-text doc has no postings — only the doc catalog knows it
+    exists (n_docs weight, no n_dl weight). Deleting it must still
+    yield rebuild-exact stats, the case a postings-derived decrement
+    could never get right."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    full = str(tmp_path / "bm25_delnull")
+    ref = str(tmp_path / "bm25_delnull_ref")
+    bm25.write_bm25_index(docs, full)
+    bm25.write_bm25_index(docs.filter("doc_id <> 2"), ref)
+    assert bm25.delete_from_bm25_index(spark, full, [2]) == 1
+    assert bm25._read_stats(spark, full) == bm25._read_stats(spark, ref)
+    q = spark.createDataFrame([("q", "alpha")], "query_id string, q_text string")
+    a, _ = bm25.bm25_topk_indexed(spark, full, q, k=10)
+    b, _ = bm25.bm25_topk_indexed(spark, ref, q, k=10)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_bm25_delete_then_append_guard(spark, corpus, tmp_path):
+    """Re-adding a tombstoned id would resurrect its OLD postings next
+    to the new ones — the append refuses until a compaction clears the
+    tombstones, after which the re-add works."""
+    path = str(tmp_path / "bm25_readd")
+    bm25.write_bm25_index(corpus.filter("doc_id <= 3"), path)
+    bm25.delete_from_bm25_index(spark, path, [2])
+    with pytest.raises(ValueError, match="re-adds deleted"):
+        bm25.append_bm25_index(spark, path, corpus.filter("doc_id = 2"))
+    bm25.compact_bm25_index(spark, path)
+    bm25.append_bm25_index(spark, path, corpus.filter("doc_id = 2"))
+    q = spark.createDataFrame([("q", "join")], "query_id string, q_text string")
+    got, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert any(r["doc_id"] == 2 for r in got.collect())
+
+
+def test_bm25_delete_requires_doc_catalog(spark, corpus, tmp_path):
+    """Pre-round-13 indexes (no docs/ sidecar) get a clear error, not a
+    silent wrong-stats delete."""
+    path = str(tmp_path / "bm25_nocat")
+    bm25.write_bm25_index(corpus, path)
+    import shutil
+    shutil.rmtree(f"{path}/docs")
+    with pytest.raises(ValueError, match="doc catalog"):
+        bm25.delete_from_bm25_index(spark, path, [1])

@@ -593,3 +593,82 @@ def test_residual_recall_floors(spark, sf_dir):
         rec[res] = len(got & exact) / len(exact)
     assert rec[False] >= 0.40 and rec[True] >= 0.42
     assert rec[True] >= rec[False]
+
+
+def test_delete_from_pq_index_matches_rebuild(spark, emb, q, tmp_path):
+    """Round 13: delete == an index holding only the surviving rows
+    under the SAME quantizers (both indexes train on the identical lo
+    subset — training is deterministic — so the comparison isolates
+    membership). Idempotent; compaction physically drops the rows from
+    both relations and clears the tombstones with results unchanged."""
+    import glob
+    import os
+
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    p_del = str(tmp_path / "pq_del")
+    p_ref = str(tmp_path / "pq_del_ref")
+    pq.write_pq_index(lo, p_del, n_lists=8, kmeans_iters=5)
+    pq.append_pq_index(spark, p_del, hi)
+    # delete ids that actually APPEAR in pre-delete results, so the
+    # comparison exercises candidate masking, not a vacuous no-op
+    pre, _ = pq.pq_topk_indexed(spark, p_del, q, k_neighbors=5, nprobe=8)
+    dead = sorted({r["nbr_id"] for r in pre.collect() if r["nbr_id"] >= 250})[:3]
+    assert len(dead) == 3
+    pq.write_pq_index(lo, p_ref, n_lists=8, kmeans_iters=5)
+    pq.append_pq_index(spark, p_ref, hi.filter(~F.col("vec_id").isin(dead)))
+    assert pq.delete_from_pq_index(spark, p_del, dead) == 3
+    got, _ = pq.pq_topk_indexed(spark, p_del, q, k_neighbors=5, nprobe=8)
+    want, _ = pq.pq_topk_indexed(spark, p_ref, q, k_neighbors=5, nprobe=8)
+    want = {tuple(r) for r in want.collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    assert not any(r[1] in dead for r in want)
+
+    # idempotent: re-delete and unknown ids are no-ops
+    assert pq.delete_from_pq_index(spark, p_del, [dead[0], 10**9]) == 0
+    # compaction drops rows physically and clears the tombstone set
+    pq.compact_pq_index(spark, p_del)
+    assert not os.path.exists(f"{p_del}/tombstones")
+    left = {r["id"] for r in spark.read.parquet(f"{p_del}/codes").collect()}
+    leftv = {r["id"] for r in spark.read.parquet(f"{p_del}/vectors").collect()}
+    assert left.isdisjoint(dead) and leftv.isdisjoint(dead)
+    got2, _ = pq.pq_topk_indexed(spark, p_del, q, k_neighbors=5, nprobe=8)
+    assert {tuple(r) for r in got2.collect()} == want
+    assert len(glob.glob(f"{p_del}/codes/**/*.parquet", recursive=True)) <= 8
+
+
+def test_pq_delete_then_append_guard(spark, emb, tmp_path):
+    """Re-adding a tombstoned id would resurrect its old rows — append
+    refuses until compaction clears the tombstones, then works."""
+    path = str(tmp_path / "pq_readd")
+    pq.write_pq_index(emb.filter("vec_id < 300"), path, n_lists=8, kmeans_iters=3)
+    pq.delete_from_pq_index(spark, path, [100])
+    with pytest.raises(ValueError, match="re-adds deleted"):
+        pq.append_pq_index(spark, path, emb.filter("vec_id = 100"))
+    pq.compact_pq_index(spark, path)
+    pq.append_pq_index(spark, path, emb.filter("vec_id = 100"))
+    # probe with a FRESH query id carrying vector 100's embedding (the
+    # candidate stage excludes id == query_id): the re-added row wins
+    q1 = emb.filter("vec_id = 100").select(
+        F.lit(999_999).alias("vec_id"), "embedding"
+    )
+    got, _ = pq.pq_topk_indexed(spark, path, q1, k_neighbors=1, nprobe=8)
+    rows = got.collect()
+    assert rows and rows[0]["nbr_id"] == 100 and rows[0]["cos"] > 0.999
+
+
+def test_pq_streaming_server_sees_deletes_immediately(spark, emb, q, tmp_path):
+    """PqStreamServer reads tombstones per probe, so deletions mask
+    immediately without a refresh (quantizers are unaffected by
+    membership edits)."""
+    from sgdnet_spark.streaming.ann_stream import PqStreamServer
+
+    path = str(tmp_path / "pq_del_stream")
+    pq.write_pq_index(emb, path, n_lists=8, kmeans_iters=3)
+    server = PqStreamServer(spark, path, k_neighbors=5, nprobe=8)
+    dead = [3, 4]
+    pq.delete_from_pq_index(spark, path, dead)
+    server.respond(q, batch_id=0)
+    assert server.results and not any(r["nbr_id"] in dead for r in server.results)
+    batch, _ = pq.pq_topk_indexed(spark, path, q, k_neighbors=5, nprobe=8)
+    assert {tuple(r) for r in server.results} == {tuple(r) for r in batch.collect()}
