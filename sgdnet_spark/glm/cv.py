@@ -91,6 +91,12 @@ class CvSgdnetFit:
             gamma = self.gamma_min
         return self.fit.coef(self._resolve_s(s), gamma=gamma)
 
+    def deviance(self) -> np.ndarray:
+        """reference deviance.sgdnet.R: deviance.cv_sgdnet is a simple
+        wrapper calling deviance.sgdnet on the full-data fit —
+        (1 - dev.ratio) * nulldev along the retained path."""
+        return self.fit.deviance()
+
     def __repr__(self) -> str:
         return (
             f"cv_sgdnet: measure={self.name} alphas={self.alphas} "

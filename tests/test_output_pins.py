@@ -41,15 +41,20 @@ def test_every_rows_only_query_is_pinned():
     )
 
 
-@pytest.mark.parametrize("name", sorted(PINS))
-def test_rows_only_output_matches_pin(spark, name):
-    rows, h = canonical_hash(E.queries()[name](spark, PIN_SF_DIR))
-    want = PINS[name]
-    assert (rows, h) == (want["rows"], want["hash"]), (
-        f"{name} output drifted from its committed pin "
-        f"(got rows={rows} hash={h}, pinned {want}); if intentional, "
-        "rerun tools/pin_outputs.py"
-    )
+def test_rows_only_output_matches_pin(spark):
+    """A loop, not a parametrize: the pin store is EMPTY by design
+    (every current entry has a driver oracle or golden table), and an
+    empty parameter set would report as a skipped test — this is the
+    fallback mechanism for future rows-only entries, passing trivially
+    until one exists."""
+    for name in sorted(PINS):
+        rows, h = canonical_hash(E.queries()[name](spark, PIN_SF_DIR))
+        want = PINS[name]
+        assert (rows, h) == (want["rows"], want["hash"]), (
+            f"{name} output drifted from its committed pin "
+            f"(got rows={rows} hash={h}, pinned {want}); if intentional, "
+            "rerun tools/pin_outputs.py"
+        )
 
 
 # entries whose golden tables cover only part of the output (the rest is

@@ -104,6 +104,10 @@ def test_cv_structure(gauss_df, spark):
         assert row["ci_lo"] <= row["mean"] <= row["ci_up"]
     # the chosen fit is a full-data fit of the winning alpha
     assert cv.fit.alpha == cv.alpha_min
+    # deviance.cv_sgdnet parity (reference deviance.sgdnet.R: a simple
+    # wrapper over deviance.sgdnet on the full-data fit)
+    assert np.array_equal(cv.deviance(), cv.fit.deviance())
+    assert np.allclose(cv.deviance(), (1 - cv.fit.dev_ratio) * cv.fit.nulldev)
     with pytest.raises(ValueError):
         cv_sgdnet(df, cols, "y", nfolds=2)
 
