@@ -200,6 +200,114 @@ def pq_fit_residual(
     return books
 
 
+def opq_fit_rotation(
+    df: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Fit the OPQ rotation (parametric / eigenvalue-allocation variant
+    of Ge et al., CVPR 2013 "Optimized Product Quantization"): rotate
+    the space so the m PQ subspaces carry BALANCED variance — PQ's
+    independence assumption costs the most when one subspace holds all
+    the energy and the rest quantize noise.
+
+    Fit shape: ONE mapInPandas moments pass over the L2-normalized
+    vectors accumulating per-partition (count, Σ v̂v̂ᵀ) partials —
+    (dim² + 1)-sized, flat in n, the whiten.py sufficient-statistic
+    discipline — reduced driver-side, then a dim×dim ``eigh``
+    (micro-seconds) + a greedy eigenvalue allocation: eigen-directions
+    (λ descending) assign one at a time to the subspace with the
+    smallest current log-variance product, capacity dim/m each — the
+    parametric solution balancing Π λ across subspaces. The rotation's
+    rows are the allocated eigenvectors, so y = R·v̂ groups balanced
+    components into PQ's contiguous slices.
+
+    The second moment is UNCENTERED (about the origin, not the mean):
+    the rotation must be purely orthogonal — y·y' = v·v' exactly — so
+    cosine ranking, the exact re-rank, and every returned value are
+    unchanged; only CANDIDATE SELECTION quality improves. Eigenvector
+    signs fix deterministically (largest-|entry| coordinate positive,
+    the whiten.py convention), so the fit is reproducible."""
+    vecs = _vec_frame(df, vec_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, ss = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _normalize(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            n += len(V)
+            ss = V.T @ V if ss is None else ss + V.T @ V
+        if n == 0:
+            return
+        yield pd.DataFrame({"part": [np.concatenate(([float(n)], ss.ravel())).tolist()]})
+
+    parts = vecs.mapInPandas(run, schema="part array<double>").collect()
+    if not parts:
+        raise ValueError("opq_fit_rotation: empty input")
+    tot = np.sum([np.asarray(r["part"]) for r in parts], axis=0)
+    n = tot[0]
+    dim = int(round(np.sqrt(len(tot) - 1)))
+    if dim % m != 0:
+        raise ValueError(f"opq_fit_rotation: dim {dim} not divisible by m={m}")
+    s2 = tot[1:].reshape(dim, dim) / n
+    lam, vec = np.linalg.eigh(s2)
+    order = np.argsort(lam)[::-1]
+    lam, vec = lam[order], vec[:, order]
+    for j in range(dim):
+        i = int(np.argmax(np.abs(vec[:, j])))
+        if vec[i, j] < 0:
+            vec[:, j] = -vec[:, j]
+    alloc = _alloc_eigendims(lam, m)
+    # rows of R: subspace s's slice = its allocated eigenvectors
+    return vec[:, np.concatenate(alloc)].T.copy()
+
+
+def _alloc_eigendims(lam: np.ndarray, m: int) -> list:
+    """Greedy balanced-variance-product allocation: eigen-dims (λ
+    descending) go to the subspace with the smallest current Σ log λ,
+    capacity dim/m each. Deterministic: ties break to the lowest
+    subspace index. Returns m index arrays (each λ-descending)."""
+    dim = len(lam)
+    dsub = dim // m
+    logs = np.log(np.maximum(lam, 1e-300))
+    buckets: list = [[] for _ in range(m)]
+    loads = np.zeros(m)
+    for j in range(dim):
+        open_ = [s for s in range(m) if len(buckets[s]) < dsub]
+        s = min(open_, key=lambda i: (loads[i], i))
+        buckets[s].append(j)
+        loads[s] += logs[j]
+    return [np.asarray(b, dtype=np.int64) for b in buckets]
+
+
+def _rotate_rows(Q: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Per-row gemv rotation for the parity-critical query paths — the
+    driver and executor branches must produce bit-identical rotated
+    queries (a batch gemm's reduction order can differ in the last
+    bit; the residual bias comment's rationale)."""
+    return np.stack([rot @ q for q in Q])
+
+
+def _rotated_frame(df: DataFrame, rot: np.ndarray, vec_col: str, id_col: str) -> DataFrame:
+    """(id, v) with v rotated — the TRAINING view of an OPQ corpus (the
+    existing fits then run unchanged in the rotated space). Encoding /
+    probing rotate inside their own Arrow passes instead (no second
+    materialized corpus)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({"id": pdf["id"], "v": list(V @ rot.T)})
+
+    base = _vec_frame(df, vec_col, id_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(run, schema=f"id {id_type}, v array<double>")
+
+
 def kmeans_pq_fit(
     df: DataFrame,
     k: int = 8,
@@ -359,6 +467,7 @@ def _assign_encode(
     keep_v: bool = False,
     meta_cols: list[str] | None = None,
     residual: bool = False,
+    rot: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, list_id, code[, v][, *meta]) — coarse assignment AND PQ
     encoding in ONE Arrow pass over the corpus (a separate assign →
@@ -367,7 +476,11 @@ def _assign_encode(
     through unchanged, so a written index can serve METADATA-FILTERED
     probes with the predicate pushed into the parquet scan.
     ``residual`` encodes v̂ − c_assign against residual codebooks in the
-    normalized space (cents must be the normalize=True coarse model)."""
+    normalized space (cents must be the normalize=True coarse model).
+    ``rot`` (OPQ) rotates vectors before assignment/encoding — the
+    quantizers live in the rotated space; ``keep_v`` still stores the
+    RAW vector (the exact re-rank runs in the original space, where
+    cosines are identical by orthogonality)."""
     meta_cols = meta_cols or []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -375,6 +488,8 @@ def _assign_encode(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["v"].to_numpy())
+            if rot is not None:
+                V = V.astype(np.float64) @ rot.T
             if residual:
                 Vn = _normalize(V)
                 d2 = (
@@ -436,6 +551,7 @@ def _collect_queries(
 def _probe_frame(
     spark, q_rows, cents: np.ndarray, books: np.ndarray, nprobe: int,
     residual: bool = False,
+    rot: np.ndarray | None = None,
 ):
     """Broadcast (query_id, probed list, bias, flattened ADC table)
     relation + the set of probed list ids (for partition pruning). The
@@ -447,8 +563,12 @@ def _probe_frame(
     0.0 in the plain path — adding it is a float no-op, so one scoring
     code path serves both modes. In residual mode both the probed-list
     selection and the bias use the NORMALIZED query (the space the
-    coarse quantizer was trained in)."""
+    coarse quantizer was trained in). ``rot`` (OPQ) rotates queries
+    into the quantizers' space — per-row gemv, so the driver and
+    executor paths stay bit-identical."""
     Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    if rot is not None:
+        Q = _rotate_rows(Q, rot)
     tabs = adc_tables(Q, books)
     Qn = _normalize(Q) if residual else Q
     probe_rows, probed = [], set()
@@ -479,6 +599,7 @@ def _probe_relations(
     vec_col: str,
     id_col: str,
     residual: bool = False,
+    rot: np.ndarray | None = None,
 ) -> DataFrame:
     """Executor-side probe construction — the DISTRIBUTED query path.
 
@@ -506,6 +627,9 @@ def _probe_relations(
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if rot is not None:
+                # per-row gemv — bit-identical to _probe_frame's rotation
+                Q = _rotate_rows(Q, rot)
             tabs = adc_tables(Q, books)
             Qn = _normalize(Q) if residual else Q
             # _nearest_lists_np keeps the driver path's per-(q, c)
@@ -708,8 +832,19 @@ def ivfpq_topk(
     with_rank: bool = False,
     model: tuple[np.ndarray, np.ndarray] | None = None,
     residual: bool = False,
+    opq: bool = False,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes with exact re-rank.
+
+    ``opq=True`` (round 13) fits an OPQ rotation first
+    (:func:`opq_fit_rotation` — one moments pass + eigenvalue
+    allocation) and trains/encodes/probes in the rotated space; the
+    exact re-rank stays in the ORIGINAL space (rotation is orthogonal,
+    cosines identical), so only candidate recall improves. Composes
+    with ``residual=True`` (rotate → coarse → residual-PQ, the FAISS
+    OPQ+IVFPQ stack). ``rotation`` passes a prefitted matrix (with
+    ``model`` — the three fits then all skip).
     ``with_rank`` appends ``rn`` (1-based, decided on the unrounded
     cosine) so the output can feed :func:`fusion.rrf_fuse` directly.
     ``model`` passes a pretrained (cents, books) pair — e.g. from ONE
@@ -762,39 +897,53 @@ def ivfpq_topk(
         if with_rank:
             schema += ", rn int"
         return spark.createDataFrame([], schema)
+    rot = rotation
     if model is not None:
         cents, books = model
         m, ksub, _ = books.shape
-    elif residual:
-        tr = _train_frame(df, train_frac, id_col)
-        cents = kmeans_fit(
-            tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
-            normalize=True,
-        )
-        books = pq_fit_residual(
-            tr, cents, m=m, ksub=ksub, iters=kmeans_iters,
-            vec_col=vec_col, id_col=id_col,
-        )
     else:
         tr = _train_frame(df, train_frac, id_col)
-        # ONE fused pass per Lloyd iteration trains both quantizers
-        # (bit-identical to the standalone kmeans_fit + pq_fit pair —
-        # asserted in tests/test_pq.py)
-        cents, books = kmeans_pq_fit(
-            tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
-            vec_col=vec_col, id_col=id_col,
-        )
-    coded = _assign_encode(df, cents, books, vec_col, id_col, residual=residual)
+        if opq:
+            if rot is None:
+                rot = opq_fit_rotation(tr, m=m, vec_col=vec_col, id_col=id_col)
+            # the existing fits run UNCHANGED in the rotated space —
+            # rotation is a lazy Arrow map riding each training scan
+            tr = _rotated_frame(tr, rot, vec_col, id_col)
+            t_vec, t_id = "v", "id"
+        else:
+            t_vec, t_id = vec_col, id_col
+        if residual:
+            cents = kmeans_fit(
+                tr, k=n_lists, iters=kmeans_iters, vec_col=t_vec, id_col=t_id,
+                normalize=True,
+            )
+            books = pq_fit_residual(
+                tr, cents, m=m, ksub=ksub, iters=kmeans_iters,
+                vec_col=t_vec, id_col=t_id,
+            )
+        else:
+            # ONE fused pass per Lloyd iteration trains both quantizers
+            # (bit-identical to the standalone kmeans_fit + pq_fit pair —
+            # asserted in tests/test_pq.py)
+            cents, books = kmeans_pq_fit(
+                tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
+                vec_col=t_vec, id_col=t_id,
+            )
+    coded = _assign_encode(
+        df, cents, books, vec_col, id_col, residual=residual, rot=rot
+    )
     pool = k_neighbors * refine
     if not truncated:
-        probes, _ = _probe_frame(spark, q_rows, cents, books, nprobe, residual=residual)
+        probes, _ = _probe_frame(
+            spark, q_rows, cents, books, nprobe, residual=residual, rot=rot
+        )
         cands = _adc_candidates(coded, probes, m, ksub, pool)
         return _exact_rerank(
             _vec_frame(df, vec_col, id_col), cands, q_rows, k_neighbors,
             with_rank=with_rank,
         )
     base = _probe_relations(
-        queries, cents, books, nprobe, vec_col, id_col, residual=residual
+        queries, cents, books, nprobe, vec_col, id_col, residual=residual, rot=rot
     )
     cands = _adc_candidates(
         coded, _explode_probes(base, "qtab"), m, ksub, pool, hint_broadcast=False
@@ -820,6 +969,7 @@ def write_pq_index(
     id_col: str = "vec_id",
     meta_cols: list[str] | None = None,
     residual: bool = False,
+    opq: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the IVF-PQ index as a LIST-PARTITIONED layout:
     ``path/codes/list_id=<l>/`` holds the compressed (id, code) rows —
@@ -838,22 +988,32 @@ def write_pq_index(
     """
     meta = list(meta_cols or [])
     tr = _train_frame(df, train_frac, id_col)
+    rot = None
+    if opq:
+        # OPQ (round 13): fit the rotation first (one moments pass),
+        # then train BOTH quantizers in the rotated space — the
+        # rotation is a lazy Arrow map riding each training scan
+        rot = opq_fit_rotation(tr, m=m, vec_col=vec_col, id_col=id_col)
+        tr = _rotated_frame(tr, rot, vec_col, id_col)
+        t_vec, t_id = "v", "id"
+    else:
+        t_vec, t_id = vec_col, id_col
     if residual:
         # residual books depend on the finished coarse model — the
         # fused trainer applies to the plain variant only
         cents = kmeans_fit(
-            tr, k=n_lists, iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
+            tr, k=n_lists, iters=kmeans_iters, vec_col=t_vec, id_col=t_id,
             normalize=True,
         )
         books = pq_fit_residual(
             tr, cents, m=m, ksub=ksub, iters=kmeans_iters,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=t_vec, id_col=t_id,
         )
     else:
         # fused training: one pass per iteration for both quantizers
         cents, books = kmeans_pq_fit(
             tr, k=n_lists, m=m, ksub=ksub, iters=kmeans_iters,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=t_vec, id_col=t_id,
         )
     # assign+encode once, reuse for BOTH writes. persist, NOT
     # localCheckpoint: this relation is corpus-sized (raw vectors
@@ -862,7 +1022,7 @@ def write_pq_index(
     # assignment map recomputable for exactly the blocks that vanish
     coded = _assign_encode(
         df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta,
-        residual=residual,
+        residual=residual, rot=rot,
     ).persist()
     try:
         coded.select("id", "list_id", "code", *meta).write.mode("overwrite").partitionBy(
@@ -879,6 +1039,11 @@ def write_pq_index(
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if rot is not None:
+        rot_rows = [(int(i), [float(x) for x in r]) for i, r in enumerate(rot)]
+        spark.createDataFrame(
+            rot_rows, "i long, row array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(
         1
@@ -950,7 +1115,7 @@ def append_pq_index(
     # write_pq_index (the batch may itself be large)
     coded = _assign_encode(
         df, cents, books, vec_col, id_col, keep_v=True, meta_cols=meta,
-        residual=residual,
+        residual=residual, rot=_load_rotation(spark, path),
     ).persist()
     try:
         # vectors FIRST: a failure between the two appends must leave the
@@ -1075,6 +1240,15 @@ def _load_residual_flag(spark, path: str) -> bool:
         return False
 
 
+def _load_rotation(spark, path: str) -> np.ndarray | None:
+    """The OPQ rotation the index was written with, or None (plain /
+    residual / pre-round-13 indexes have no rotation relation)."""
+    if not _dir_exists(spark, f"{path}/rotation"):
+        return None
+    rows = spark.read.parquet(f"{path}/rotation").orderBy("i").collect()
+    return np.asarray([r["row"] for r in rows], dtype=np.float64)
+
+
 def load_codebooks(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
     m = max(r["sub"] for r in rows) + 1
@@ -1127,6 +1301,7 @@ def pq_topk_indexed(
         spark, path, queries, cents, books, k_neighbors, nprobe, refine,
         vec_col, id_col, max_inline_queries, where, with_rank,
         residual=_load_residual_flag(spark, path),
+        rot=_load_rotation(spark, path),
     )
 
 
@@ -1145,12 +1320,14 @@ def _topk_indexed_with_model(
     where=None,
     with_rank: bool = False,
     residual: bool = False,
+    rot: np.ndarray | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """pq_topk_indexed with preloaded quantizers — the repeated-probe
     path (streaming serving loads centroids/codebooks ONCE, then probes
-    per micro-batch). ``residual`` must match how the index was written
-    (pq_topk_indexed reads it from the stored meta; streaming servers
-    load it once at construction)."""
+    per micro-batch). ``residual`` / ``rot`` must match how the index
+    was written (pq_topk_indexed reads them from the stored meta /
+    rotation relations; streaming servers load them once at
+    construction)."""
     m, ksub, _ = books.shape
     pool = k_neighbors * refine
     q_rows, truncated = _collect_queries_bounded(
@@ -1164,7 +1341,7 @@ def _topk_indexed_with_model(
         return empty, spark.read.parquet(f"{path}/codes").limit(0)
     if not truncated:
         probes, probed = _probe_frame(
-            spark, q_rows, cents, books, nprobe, residual=residual
+            spark, q_rows, cents, books, nprobe, residual=residual, rot=rot
         )
         qtabs = None
         hint = True
@@ -1175,7 +1352,8 @@ def _topk_indexed_with_model(
         # instead of re-running the query scan + tokenize +
         # nearest-centroid Arrow pass a second time
         base = _probe_relations(
-            queries, cents, books, nprobe, vec_col, id_col, residual=residual
+            queries, cents, books, nprobe, vec_col, id_col, residual=residual,
+            rot=rot,
         ).localCheckpoint(eager=False)
         # the probed-LIST-ID set is bounded by n_lists regardless of
         # query count — this collect is model-sized, never query-sized

@@ -66,13 +66,14 @@ class PqStreamServer:
         self.max_inline_queries = max_inline_queries
         self.where = where
         self.results: list = []
-        # load the quantizers (and the encoding variant) ONCE; every
-        # batch reuses them
-        from sgdnet_spark.operators.pq import _load_residual_flag
+        # load the quantizers (and the encoding variant + OPQ rotation)
+        # ONCE; every batch reuses them
+        from sgdnet_spark.operators.pq import _load_residual_flag, _load_rotation
 
         self._cents = load_centroids(spark, path)
         self._books = load_codebooks(spark, path)
         self._residual = _load_residual_flag(spark, path)
+        self._rot = _load_rotation(spark, path)
 
     def probe(self, queries: DataFrame) -> DataFrame:
         """Static probe with the preloaded quantizers (the per-batch
@@ -84,7 +85,7 @@ class PqStreamServer:
             self.k_neighbors, self.nprobe, self.refine,
             self.vec_col, self.id_col,
             self.max_inline_queries, self.where,
-            residual=self._residual,
+            residual=self._residual, rot=self._rot,
         )
         return out
 

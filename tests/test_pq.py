@@ -672,3 +672,148 @@ def test_pq_streaming_server_sees_deletes_immediately(spark, emb, q, tmp_path):
     assert server.results and not any(r["nbr_id"] in dead for r in server.results)
     batch, _ = pq.pq_topk_indexed(spark, path, q, k_neighbors=5, nprobe=8)
     assert {tuple(r) for r in server.results} == {tuple(r) for r in batch.collect()}
+
+
+def test_opq_rotation_properties(emb):
+    """Round 13: the OPQ rotation is orthogonal (pure rotation — dot
+    products, hence cosines, preserved exactly), deterministic across
+    partitionings, and allocates dim/m eigen-directions per subspace."""
+    rot = pq.opq_fit_rotation(emb, m=8)
+    assert rot.shape == (64, 64)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-10)
+    rot2 = pq.opq_fit_rotation(emb.repartition(7), m=8)
+    assert np.allclose(rot, rot2, atol=1e-8)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.opq_fit_rotation(emb, m=5)
+
+
+def test_opq_ivfpq_numpy_replay(spark):
+    """Round 13: the OPQ chain — moments-pass rotation fit (eigenvalue
+    allocation), rotated coarse + PQ fits, rotated assignment/encode,
+    rotated-query ADC, ORIGINAL-space exact re-rank — is reproduced
+    exactly by a pure-numpy replay (the residual replay's pattern with
+    the rotation stage prepended)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators.ivf import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(80, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    k, m, ksub, nprobe, kn, refine = 4, 4, 8, 2, 3, 2
+
+    # --- rotation fit replay: uncentered second moment of the
+    # normalized vectors, eigh, sign fix, greedy eigenvalue allocation
+    rot = pq.opq_fit_rotation(emb, m=m)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    lam, vec = np.linalg.eigh(Vn.T @ Vn / len(Vn))
+    order = np.argsort(lam)[::-1]
+    lam, vec = lam[order], vec[:, order]
+    for j in range(16):
+        i = int(np.argmax(np.abs(vec[:, j])))
+        if vec[i, j] < 0:
+            vec[:, j] = -vec[:, j]
+    alloc = pq._alloc_eigendims(lam, m)
+    want_rot = vec[:, np.concatenate(alloc)].T
+    assert np.allclose(rot, want_rot, atol=1e-8)
+    assert np.allclose(rot @ rot.T, np.eye(16), atol=1e-10)
+
+    got = {
+        (r["query_id"], r["nbr_id"]): r["cos"]
+        for r in pq.ivfpq_topk(
+            emb, q, k_neighbors=kn, n_lists=k, nprobe=nprobe, m=m, ksub=ksub,
+            refine=refine, opq=True, rotation=rot,
+        ).collect()
+    }
+    # --- downstream replay in the rotated space (models from the same
+    # distributed fits ivfpq_topk(opq=True) runs)
+    emb_rot = pq._rotated_frame(emb, rot, "embedding", "vec_id")
+    cents, books = pq.kmeans_pq_fit(emb_rot, k=k, m=m, ksub=ksub, iters=5,
+                                    vec_col="v", id_col="id")
+    R = V @ rot.T  # corpus rotation (gemm — matches _assign_encode)
+    d2 = (R**2).sum(1)[:, None] - 2 * R @ cents.T + (cents**2).sum(1)[None, :]
+    lists = d2.argmin(1)
+    Rn = R / np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-300)
+    codes = pq.encode_np(Rn, books)
+    Q = np.stack([rot @ V[i] for i in range(4)])  # per-row gemv — _rotate_rows
+    tabs = pq.adc_tables(Q, books)
+    want = {}
+    for qi in range(4):
+        dq = ((cents - Q[qi]) ** 2).sum(1)
+        probed = set(np.argsort(dq)[:nprobe])
+        cand = []
+        for j in range(80):
+            if lists[j] in probed and j != qi:
+                approx = sum(tabs[qi][s * ksub + codes[j, s]] for s in range(m))
+                cand.append((j, approx))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        pool = [j for j, _ in cand[: kn * refine]]
+        # exact re-rank in the ORIGINAL space — rotation never touches
+        # the returned cosines
+        exact = sorted(
+            (
+                (
+                    j,
+                    float(
+                        V[j] @ V[qi]
+                        / (
+                            max(np.linalg.norm(V[j]), 1e-300)
+                            * max(np.linalg.norm(V[qi]), 1e-300)
+                        )
+                    ),
+                )
+                for j in pool
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:kn]
+        for j, c in exact:
+            want[(qi, j)] = round(c, 4)
+    assert got == want and len(got) == 4 * kn
+
+
+def test_opq_two_path_and_indexed_roundtrip(spark, sf_dir, tmp_path):
+    """OPQ mode: distributed query branch equals the inline branch
+    bit-for-bit; an opq-written index probes identically to the
+    in-memory call, the rotation round-trips, appends encode with the
+    stored rotation, and PqStreamServer serves it (loading the
+    rotation once)."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.streaming.ann_stream import PqStreamServer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)  # > max_inline_queries=64
+    kw = dict(k_neighbors=5, n_lists=8, nprobe=3, refine=2)
+    rot = pq.opq_fit_rotation(emb, m=8)
+    dist = pq.ivfpq_topk(emb, q, opq=True, rotation=rot, **kw)
+    inline = pq.ivfpq_topk(emb, q, opq=True, rotation=rot,
+                           max_inline_queries=200, **kw)
+    a = {tuple(r) for r in dist.collect()}
+    assert a == {tuple(r) for r in inline.collect()} and len(a) == 500
+
+    idx = str(tmp_path / "pq_opq")
+    lo = emb.filter(F.col("vec_id") % 2 == 0)
+    hi = emb.filter(F.col("vec_id") % 2 == 1)
+    pq.write_pq_index(lo, idx, n_lists=8, kmeans_iters=5, opq=True)
+    stored = pq._load_rotation(spark, idx)
+    assert stored is not None and np.allclose(stored @ stored.T, np.eye(64), atol=1e-10)
+    pq.append_pq_index(spark, idx, hi)
+    qs = emb.filter(F.col("vec_id") < 10)
+    got, _ = pq.pq_topk_indexed(spark, idx, qs, k_neighbors=5, nprobe=3)
+    # rebuild-with-same-quantizers twin: train on lo (deterministic),
+    # encode everything — the append==rebuild precedent under OPQ
+    full = str(tmp_path / "pq_opq_full")
+    pq.write_pq_index(lo, full, n_lists=8, kmeans_iters=5, opq=True)
+    pq.append_pq_index(spark, full, hi)
+    server = PqStreamServer(spark, idx, k_neighbors=5, nprobe=3)
+    server.respond(qs, batch_id=0)
+    assert {tuple(r) for r in server.results} == {tuple(r) for r in got.collect()}
+    # plain (non-opq) index has no rotation relation
+    plain = str(tmp_path / "pq_plain13")
+    pq.write_pq_index(lo, plain, n_lists=8, kmeans_iters=3)
+    assert pq._load_rotation(spark, plain) is None

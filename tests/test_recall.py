@@ -137,3 +137,30 @@ def test_lsh_topk_two_path_identical(spark, sf_dir):
     b = {tuple(r) for r in similarity.lsh_topk(
         emb, q, k=5, max_inline_queries=500).collect()}
     assert a == b and len(a) > 0
+
+
+def test_opq_residual_recall_floor_above_residual(emb, bf_pairs):
+    """Round 13: at EQUAL bits (same m, ksub) and an intentionally
+    tight candidate pool (refine=3, where selection quality shows), the
+    OPQ-rotated residual variant recalls strictly more of the exact
+    top-5 than plain residual — the rotation balances per-subspace
+    variance so the same code bytes quantize tighter (Ge et al. 2013).
+    Every fit here is deterministic, so these are pins, not statistics.
+    The floor (≥ 0.55 vs residual's measured 0.48) leaves margin while
+    still catching a structural regression in the rotation chain."""
+    from sgdnet_spark.operators import pq
+
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k_neighbors=5, n_lists=8, nprobe=3, refine=3)
+    res = {
+        (r["query_id"], r["nbr_id"])
+        for r in pq.ivfpq_topk(emb, q, residual=True, **kw).collect()
+    }
+    opq = {
+        (r["query_id"], r["nbr_id"])
+        for r in pq.ivfpq_topk(emb, q, residual=True, opq=True, **kw).collect()
+    }
+    r_res = len(res & bf_pairs) / len(bf_pairs)
+    r_opq = len(opq & bf_pairs) / len(bf_pairs)
+    assert r_opq > r_res, f"opq+residual {r_opq:.3f} <= residual {r_res:.3f}"
+    assert r_opq >= 0.55, f"opq+residual recall@5 {r_opq:.3f} < 0.55"
