@@ -317,6 +317,7 @@ def write_bm25_index(
     id_col: str = "doc_id",
     n_buckets: int = N_TERM_BUCKETS,
     meta_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> None:
     """Materialize the inverted index: ``path/postings/bucket=<b>/``
     holds (term, doc_id, dl, tf) partitioned by a stable term-hash
@@ -358,9 +359,16 @@ def write_bm25_index(
     rows (docs with no postings — NULL or empty text — are invisible
     in the postings relation but still carry n_docs/n_dl weight; only
     the catalog knows them). The stored stats aggregate FROM the
-    catalog, so the two can never disagree."""
+    catalog, so the two can never disagree.
+
+    ``positions=True`` (round 13) writes POSITIONAL postings — each
+    (doc, term) row carries its sorted occurrence offsets — enabling
+    :func:`phrase_match_indexed` (exact-phrase contamination audits,
+    the GPT-3 appendix-C scrub at phrase granularity). BM25 scoring is
+    unchanged (tf is still the count); the postings rows grow by the
+    offsets array, the price of phrase queries."""
     _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite",
-                    meta_cols=meta_cols)
+                    meta_cols=meta_cols, positions=positions)
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(text.tokens(text_col)).cast("double").alias("dl"),
@@ -487,6 +495,7 @@ def _write_postings(
     n_buckets: int,
     mode: str,
     meta_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> None:
     meta = list(meta_cols or [])
     if meta:
@@ -511,20 +520,36 @@ def _write_postings(
                 f"dependent on {id_col} (one meta tuple per doc); doc_id "
                 f"{dup[0]['doc_id']!r} carries more than one"
             )
-    postings = (
-        df.select(
-            F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"), *meta
+    base = df.select(
+        F.col(id_col).alias("doc_id"), text.tokens(text_col).alias("t"), *meta
+    )
+    if positions:
+        # positional postings (round 13): each (doc, term) row carries
+        # the sorted token offsets of its occurrences — what
+        # :func:`phrase_match_indexed` intersects. Offsets are RAW
+        # token-array indexes (pre-empty-filter), matching the
+        # in-memory posexplode and the DuckDB twin's enumeration.
+        exploded = base.select(
+            "doc_id", F.size("t").cast("double").alias("dl"),
+            F.posexplode("t").alias("pos", "term"), *meta,
         )
-        .select(
+        agg = [
+            F.count("*").cast("double").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias("pos"),
+        ]
+    else:
+        exploded = base.select(
             "doc_id", F.size("t").cast("double").alias("dl"),
             F.explode("t").alias("term"), *meta,
         )
-        .filter(F.col("term") != "")
+        agg = [F.count("*").cast("double").alias("tf")]
+    postings = (
+        exploded.filter(F.col("term") != "")
         # meta is functionally dependent on doc_id (validated above) —
         # grouping by it adds no groups, just carries the columns
         # through the one shuffle
         .groupBy("doc_id", "term", "dl", *meta)
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(*agg)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
     postings.write.mode(mode).partitionBy("bucket").parquet(f"{path}/postings")
@@ -563,10 +588,12 @@ def append_bm25_index(
     append_pq_index rule): an append missing them would write rows
     that silently vanish from every ``where=``-filtered probe."""
     n_docs0, sum_dl0, n_dl0, n_buckets = _read_stats(spark, path)
+    p_schema = spark.read.parquet(f"{path}/postings").schema
+    positional = "pos" in p_schema.fieldNames()
     meta = [
         f.name
-        for f in spark.read.parquet(f"{path}/postings").schema.fields
-        if f.name not in ("doc_id", "term", "dl", "tf", "bucket")
+        for f in p_schema.fields
+        if f.name not in ("doc_id", "term", "dl", "tf", "bucket", "pos")
     ]
     missing = [c for c in meta if c not in df.columns]
     if missing:
@@ -593,7 +620,8 @@ def append_bm25_index(
                 f"{clash[0]['doc_id']!r}; run compact_bm25_index first to "
                 "clear tombstones, then append"
             )
-    _write_postings(df, path, text_col, id_col, n_buckets, mode="append", meta_cols=meta)
+    _write_postings(df, path, text_col, id_col, n_buckets, mode="append",
+                    meta_cols=meta, positions=positional)
     if has_catalog:
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -853,3 +881,212 @@ def _scored_indexed(
         cand, dft, q_rel, n_docs, avgdl, k1, b, hint_broadcast=not large
     )
     return scored, postings
+
+
+# --- phrase queries over positional postings (round 13) -------------
+#
+# The exact-phrase contamination audit: GPT-3's appendix-C scrub drops
+# training documents sharing 13-gram overlap with benchmarks; at phrase
+# granularity the same question is "which documents contain THIS exact
+# token sequence". Relational shape — the classic positional-index
+# intersection expressed as one anchor aggregation, zero UDFs:
+#
+#   phrase terms   (query_id, off, term)     off = 0..k-1
+#   doc positions  (doc_id, pos, term)       posexplode / stored offsets
+#   join on term, anchor = pos - off: a phrase occurrence at anchor a
+#   is exactly an anchor covering ALL k distinct offsets — one groupBy
+#   counting distinct offsets per (query, doc, anchor), then per-doc
+#   occurrence counts. Duplicate phrase terms ("the cat the") work
+#   because cover is counted over OFFSETS, not terms.
+#
+# Every step is ANSI-expressible; the DuckDB twin replays token
+# positions with the same enumeration (raw token-array indexes).
+
+
+def _phrase_terms(phrases: DataFrame, q_text_col: str, q_id_col: str) -> DataFrame:
+    """(query_id, off, term) — one row per phrase token, offset-kept
+    (NOT distinct: position matching needs every occurrence)."""
+    return (
+        phrases.select(
+            F.col(q_id_col).alias("query_id"),
+            F.posexplode(text.tokens(q_text_col)).alias("off", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("query_id", F.col("off").cast("bigint").alias("off"), "term")
+    )
+
+
+def _phrase_hits(
+    dt: DataFrame, qt: DataFrame, bcast
+) -> DataFrame:
+    """(query_id, doc_id, n_occurrences) from (doc_id, pos, term)
+    document positions and (query_id, off, term) phrase terms."""
+    k_rel = qt.groupBy("query_id").agg(F.count_distinct("off").alias("k"))
+    j = dt.join(bcast(qt), "term").filter(F.col("pos") >= F.col("off"))
+    cov = (
+        j.groupBy("query_id", "doc_id", (F.col("pos") - F.col("off")).alias("anchor"))
+        .agg(F.count_distinct("off").alias("c"))
+    )
+    return (
+        cov.join(bcast(k_rel), "query_id")
+        .filter(F.col("c") == F.col("k"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+
+
+def _phrase_empty(spark, qid_type: str, did_type: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"query_id {qid_type}, doc_id {did_type}, n_occurrences bigint"
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "phrase",
+    q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
+) -> DataFrame:
+    """Exact-phrase scan over an in-memory corpus: (query_id, doc_id,
+    n_occurrences) for every document containing each phrase as a
+    CONSECUTIVE token sequence (the tokenizer's normalization applies
+    to both sides). Query handling is the bm25 two-path design — small
+    phrase sets restrict the corpus explode with a literal IN-set and
+    broadcast the phrase relation; beyond ``max_inline_queries`` (or
+    ``MAX_INLINE_TERMS`` combined vocabulary) everything stays
+    executor-side."""
+    spark = df.sparkSession
+    q_raw = phrases.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
+    large = len(q_raw) > max_inline_queries
+    qt_rows: list = []
+    if not large:
+        local_q = spark.createDataFrame(
+            q_raw, phrases.select(q_id_col, q_text_col).schema
+        )
+        qt_rows = [
+            (r["query_id"], r["off"], r["term"])
+            for r in _phrase_terms(local_q, q_text_col, q_id_col).collect()
+        ]
+        if not qt_rows:
+            return _phrase_empty(
+                spark,
+                phrases.schema[q_id_col].dataType.simpleString(),
+                df.schema[id_col].dataType.simpleString(),
+            )
+        large = len({t for _, _, t in qt_rows}) > MAX_INLINE_TERMS
+    if large:
+        qt = _phrase_terms(phrases, q_text_col, q_id_col).localCheckpoint(eager=False)
+        vocab = qt.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+        bcast = lambda x: x  # noqa: E731
+    else:
+        qid_t = phrases.schema[q_id_col].dataType.simpleString()
+        qt = spark.createDataFrame(
+            qt_rows, f"query_id {qid_t}, off bigint, term string"
+        )
+        terms = sorted({t for _, _, t in qt_rows})
+        vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
+        bcast = F.broadcast
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(text.tokens(text_col)).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+    )
+    return _phrase_hits(vocab_join(dt), qt, bcast)
+
+
+def phrase_match_indexed(
+    spark,
+    path: str,
+    phrases: DataFrame,
+    q_text_col: str = "phrase",
+    q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
+    where=None,
+) -> DataFrame:
+    """Exact-phrase scan over a POSITIONAL index (``write_bm25_index(
+    positions=True)``): the phrase vocabulary's term-hash buckets prune
+    the postings scan exactly as BM25 probes do — at corpus scale the
+    audit touches |phrase vocabulary| buckets of postings, never the
+    text. Tombstoned (deleted) docs are masked; ``where`` filters
+    candidates on the index's meta columns. Results equal
+    :func:`phrase_match` over the same corpus (asserted in tests)."""
+    p_schema = spark.read.parquet(f"{path}/postings").schema
+    if "pos" not in p_schema.fieldNames():
+        raise ValueError(
+            f"phrase_match_indexed: index at {path} was written without "
+            "positions=True; rebuild with write_bm25_index(positions=True)"
+        )
+    _, _, _, n_buckets = _read_stats(spark, path)
+    q_raw = phrases.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
+    large = len(q_raw) > max_inline_queries
+    qt_rows: list = []
+    if not large:
+        local_q = spark.createDataFrame(
+            q_raw, phrases.select(q_id_col, q_text_col).schema
+        )
+        qt_rows = [
+            (r["query_id"], r["off"], r["term"], r["bk"])
+            for r in _phrase_terms(local_q, q_text_col, q_id_col)
+            .withColumn("bk", F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))))
+            .collect()
+        ]
+        if not qt_rows:
+            return _phrase_empty(
+                spark,
+                phrases.schema[q_id_col].dataType.simpleString(),
+                p_schema["doc_id"].dataType.simpleString(),
+            )
+        large = len({t for _, _, t, _ in qt_rows}) > MAX_INLINE_TERMS
+    if large:
+        qt = _phrase_terms(phrases, q_text_col, q_id_col).localCheckpoint(eager=False)
+        if qt_rows:
+            buckets = sorted({bk for _, _, _, bk in qt_rows})
+        else:
+            buckets = sorted(
+                {
+                    r["bk"]
+                    for r in qt.select(
+                        F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("bk")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            if not buckets:
+                return _phrase_empty(
+                    spark,
+                    phrases.schema[q_id_col].dataType.simpleString(),
+                    p_schema["doc_id"].dataType.simpleString(),
+                )
+        vocab = qt.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+        bcast = lambda x: x  # noqa: E731
+    else:
+        qid_t = phrases.schema[q_id_col].dataType.simpleString()
+        qt = spark.createDataFrame(
+            [(q, o, t) for q, o, t, _ in qt_rows],
+            f"query_id {qid_t}, off bigint, term string",
+        )
+        terms = sorted({t for _, _, t, _ in qt_rows})
+        buckets = sorted({bk for _, _, _, bk in qt_rows})
+        vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
+        bcast = F.broadcast
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(*[int(x) for x in buckets])
+    )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+    if where is not None:
+        postings = postings.filter(where)
+    dt = vocab_join(postings).select(
+        "doc_id", "term", F.explode("pos").alias("pos")
+    )
+    return _phrase_hits(dt, qt, bcast)

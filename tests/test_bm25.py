@@ -649,3 +649,97 @@ def test_bm25_delete_requires_doc_catalog(spark, corpus, tmp_path):
     shutil.rmtree(f"{path}/docs")
     with pytest.raises(ValueError, match="doc catalog"):
         bm25.delete_from_bm25_index(spark, path, [1])
+
+
+def test_phrase_match_hand_corpus(spark):
+    """Round 13: exact-phrase semantics on a hand corpus — consecutive
+    positions only, duplicate phrase terms handled (cover is counted
+    over offsets), overlapping occurrences each counted, no substring
+    false positives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat the cat the cat"),
+            (3, "the dog"),
+            (4, "cat mat the"),
+        ],
+        "doc_id long, text string",
+    )
+    phr = spark.createDataFrame(
+        [("a", "the cat"), ("b", "cat the cat"), ("c", "cat mat")],
+        "query_id string, phrase string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_occurrences"]
+        for r in bm25.phrase_match(docs, phr).collect()
+    }
+    assert got == {
+        ("a", 1): 2,   # "the cat" at 0 and 4
+        ("a", 2): 2,   # at 1 and 3
+        ("b", 2): 2,   # "cat the cat" at 0 and 2 (overlapping)
+        ("c", 1): 1,   # "cat mat" at 5
+        ("c", 4): 1,
+    }
+
+
+def test_phrase_match_indexed_matches_inmemory(spark, corpus, tmp_path):
+    """The positional-index path equals the in-memory scan, prunes to
+    the phrase vocabulary's buckets, masks deletions, and a
+    non-positional index raises the actionable error. BM25 scoring on
+    a positional index is unchanged."""
+    phr = spark.createDataFrame(
+        [("a", "join join"), ("b", "fast fast"), ("c", "window agg")],
+        "query_id string, phrase string",
+    )
+    want = {tuple(r) for r in bm25.phrase_match(corpus, phr).collect()}
+    assert len(want) >= 3
+
+    path = str(tmp_path / "bm25_pos")
+    bm25.write_bm25_index(corpus, path, positions=True)
+    got_df = bm25.phrase_match_indexed(spark, path, phr)
+    assert {tuple(r) for r in got_df.collect()} == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # scoring parity: positional postings change nothing about BM25
+    q = spark.createDataFrame(
+        [("qa", "table fast"), ("qb", "join window")],
+        "query_id string, q_text string",
+    )
+    plain = str(tmp_path / "bm25_plain13")
+    bm25.write_bm25_index(corpus, plain)
+    a, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    b, _ = bm25.bm25_topk_indexed(spark, plain, q, k=10)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    # deletions mask phrase hits too
+    hit_doc = next(iter({d for _, d, _ in want}))
+    bm25.delete_from_bm25_index(spark, path, [hit_doc])
+    after = {tuple(r) for r in bm25.phrase_match_indexed(spark, path, phr).collect()}
+    assert after == {t for t in want if t[1] != hit_doc}
+
+    # appends keep the positional layout (pos inferred, not meta)
+    bm25.compact_bm25_index(spark, path)
+    bm25.append_bm25_index(
+        spark, path,
+        spark.createDataFrame([(99, "join join forever")], "doc_id long, text string"),
+    )
+    re = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25.phrase_match_indexed(spark, path, phr).collect()
+    }
+    assert ("a", 99) in re
+
+    with pytest.raises(ValueError, match="positions=True"):
+        bm25.phrase_match_indexed(spark, plain, phr)
+
+
+def test_phrase_match_empty_and_oov(spark, corpus):
+    """Empty phrase sets and out-of-vocabulary phrases yield typed
+    empty results."""
+    empty = spark.createDataFrame([], "query_id string, phrase string")
+    out = bm25.phrase_match(corpus, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "n_occurrences"]
+    oov = spark.createDataFrame([("x", "zzz qqq")], "query_id string, phrase string")
+    assert bm25.phrase_match(corpus, oov).count() == 0
