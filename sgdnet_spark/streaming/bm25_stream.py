@@ -33,7 +33,13 @@ class Bm25StreamServer:
     ...      .outputMode("append").start())
 
     ``threshold`` switches to relevance-floor mode (no per-query
-    window; results carry no rank column). ``sink(result_df,
+    window; results carry no rank column). ``phrase=True`` (round 13)
+    switches to exact-phrase serving over a POSITIONAL index
+    (``write_bm25_index(positions=True)``): each micro-batch is a
+    (query_id, phrase) relation answered by
+    :func:`~sgdnet_spark.operators.bm25.phrase_match_indexed` — the
+    streaming shape of a continuous contamination audit (benchmark
+    phrases arrive, matching documents stream out). ``sink(result_df,
     batch_id)`` receives each micro-batch's answers (collected rows
     append to ``server.results`` if no sink is given — test/demo
     mode)."""
@@ -49,7 +55,10 @@ class Bm25StreamServer:
         where=None,
         sink: Callable[[DataFrame, int], None] | None = None,
         max_inline_queries: int = 64,
+        phrase: bool = False,
     ) -> None:
+        if phrase and threshold is not None:
+            raise ValueError("phrase mode has no relevance threshold")
         self.spark = spark
         self.path = path
         self.k = k
@@ -59,6 +68,7 @@ class Bm25StreamServer:
         self.where = where
         self.sink = sink
         self.max_inline_queries = max_inline_queries
+        self.phrase = phrase
         self.results: list = []
         self.refresh()
 
@@ -74,6 +84,11 @@ class Bm25StreamServer:
         also usable directly for batch queries)."""
         from sgdnet_spark.operators import bm25 as _bm25
 
+        if self.phrase:
+            return _bm25.phrase_match_indexed(
+                self.spark, self.path, queries, where=self.where,
+                max_inline_queries=self.max_inline_queries,
+            )
         if self.threshold is not None:
             out, _ = _bm25.bm25_filter_indexed(
                 self.spark, self.path, queries, self.threshold,

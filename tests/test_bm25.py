@@ -743,3 +743,47 @@ def test_phrase_match_empty_and_oov(spark, corpus):
     assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "n_occurrences"]
     oov = spark.createDataFrame([("x", "zzz qqq")], "query_id string, phrase string")
     assert bm25.phrase_match(corpus, oov).count() == 0
+
+
+def test_phrase_stream_server_matches_batch(spark, corpus, tmp_path):
+    """Round 13: Bm25StreamServer(phrase=True) serves exact-phrase
+    matching over a positional index per micro-batch — the continuous
+    contamination-audit shape; streamed == batch asserted through a
+    real readStream, and a non-positional index fails actionably."""
+    import glob
+    import shutil
+
+    from sgdnet_spark.streaming.bm25_stream import Bm25StreamServer
+
+    path = str(tmp_path / "bm25_psrv")
+    bm25.write_bm25_index(corpus, path, positions=True)
+    phr = spark.createDataFrame(
+        [("a", "join join"), ("b", "fast fast"), ("c", "window agg")],
+        "query_id string, phrase string",
+    )
+    server = Bm25StreamServer(spark, path, phrase=True)
+    want = {tuple(r) for r in bm25.phrase_match_indexed(spark, path, phr).collect()}
+    assert want and {tuple(r) for r in server.probe(phr).collect()} == want
+
+    stage = tmp_path / "psrv_qstream"
+    stage.mkdir()
+    for name, cond in (("a", "query_id < 'c'"), ("b", "query_id >= 'c'")):
+        scratch = str(tmp_path / f"psrv_scratch_{name}")
+        phr.filter(cond).coalesce(1).write.parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, str(stage / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(phr.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    sq = stream.writeStream.foreachBatch(server.respond).outputMode("append").start()
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    assert {tuple(r) for r in server.results} == want
+
+    with pytest.raises(ValueError, match="phrase mode has no relevance"):
+        Bm25StreamServer(spark, path, phrase=True, threshold=1.0)
