@@ -53,7 +53,11 @@ class HybridStreamServer:
         max_inline_queries: int = 64,
     ) -> None:
         from sgdnet_spark.operators.ivf import load_centroids
-        from sgdnet_spark.operators.pq import _load_residual_flag, load_codebooks
+        from sgdnet_spark.operators.pq import (
+            _load_residual_flag,
+            _load_rotation,
+            load_codebooks,
+        )
 
         self.spark = spark
         self.bm25_path = bm25_path
@@ -75,6 +79,7 @@ class HybridStreamServer:
         self._cents = load_centroids(spark, pq_path)
         self._books = load_codebooks(spark, pq_path)
         self._residual = _load_residual_flag(spark, pq_path)
+        self._rot = _load_rotation(spark, pq_path)
         self._bm25_stats = _read_stats(spark, bm25_path)
 
     def probe(self, queries: DataFrame) -> DataFrame:
@@ -102,7 +107,7 @@ class HybridStreamServer:
             self.pool, self.nprobe, self.refine,
             "embedding", "vec_id",
             self.max_inline_queries, None, True,
-            residual=self._residual,
+            residual=self._residual, rot=self._rot,
         )
         dense_ranked = dense.select(
             "query_id", F.col("nbr_id").alias("doc_id"), "rn"
@@ -110,9 +115,24 @@ class HybridStreamServer:
         return _fusion.rrf_fuse([lex, dense_ranked], k=self.k, k0=self.k0)
 
     def respond(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch target."""
-        out = self.probe(batch_df)
-        if self.sink is not None:
-            self.sink(out, batch_id)
-        else:
-            self.results.extend(out.collect())
+        """foreachBatch target. Bound-retries on missing-path errors so
+        a probe racing either index's compaction swap recovers instead
+        of failing the batch (see streaming/_retry.py)."""
+        from sgdnet_spark.streaming._retry import run_with_maintenance_retry
+
+        def body() -> None:
+            out = self.probe(batch_df)
+            if self.sink is not None:
+                self.sink(out, batch_id)
+            else:
+                self.results.extend(out.collect())
+
+        run_with_maintenance_retry(
+            self.spark,
+            body,
+            [
+                f"{self.bm25_path}/postings",
+                f"{self.pq_path}/vectors",
+                f"{self.pq_path}/codes",
+            ],
+        )

@@ -764,3 +764,63 @@ def test_hybrid_stream_server_matches_batch(spark, sf_dir, tmp_path):
         sq.stop()
     got = {tuple(r) for r in server.results}
     assert got == want and len(got) == 4 * 5
+
+
+def test_hybrid_stream_server_opq_and_deletes(spark, sf_dir, tmp_path):
+    """Round 13: the hybrid server composes correctly with the new
+    index variants — it loads the OPQ rotation once at construction
+    (an unrotated probe of a rotated index would silently degrade
+    candidate recall), and deletions in EITHER index mask from the
+    fused answers on the very next probe."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import bm25, pq
+    from sgdnet_spark.streaming.hybrid_stream import HybridStreamServer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bidx = str(tmp_path / "hyb13_bm25")
+    pidx = str(tmp_path / "hyb13_pq")
+    bm25.write_bm25_index(docs, bidx)
+    pq.write_pq_index(emb, pidx, n_lists=8, kmeans_iters=5, opq=True)
+
+    queries = (
+        docs.filter(F.col("doc_id") < 4)
+        .select(F.col("doc_id").alias("query_id"), F.col("text").alias("q_text"))
+        .join(
+            emb.filter(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+            ),
+            "query_id",
+        )
+    )
+    server = HybridStreamServer(spark, bidx, pidx, k=5, pool=10, nprobe=3, refine=2)
+    assert server._rot is not None
+    got = server.probe(queries)
+    # batch twin through the public indexed probes (pq_topk_indexed
+    # loads the rotation itself) — the server must equal it
+    from sgdnet_spark.operators import fusion
+
+    lex, _ = bm25.bm25_topk_indexed(
+        spark, bidx, queries.select("query_id", "q_text"), k=10
+    )
+    dense, _ = pq.pq_topk_indexed(
+        spark, pidx,
+        queries.select(F.col("query_id").alias("vec_id"),
+                       F.col("q_vec").alias("embedding")),
+        k_neighbors=10, nprobe=3, refine=2, with_rank=True,
+    )
+    want_df = fusion.rrf_fuse(
+        [lex, dense.select("query_id", F.col("nbr_id").alias("doc_id"), "rn")], k=5
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    assert {tuple(r) for r in got.collect()} == want and len(want) == 20
+
+    # deletions in either tier mask immediately (tombstones read per
+    # probe; fused ranks re-close over the survivors)
+    fused_docs = {r["doc_id"] for r in got.collect()}
+    dead = sorted(fused_docs)[:2]
+    bm25.delete_from_bm25_index(spark, bidx, dead)
+    pq.delete_from_pq_index(spark, pidx, dead)
+    after = server.probe(queries).collect()
+    assert after and not any(r["doc_id"] in dead for r in after)
