@@ -340,3 +340,22 @@ def test_hits_validation(spark):
         G.hits(e, n_iter=0)
     with pytest.raises(ValueError, match="solver"):
         G.hits(e, solver="nope")
+
+
+def test_duplicate_components_pointer_jumping_chain(spark):
+    """Round 13: pointer jumping makes convergence O(log diameter) —
+    a 300-node path graph converges inside 12 rounds (pure one-hop
+    min-propagation would need ~300) with the correct single
+    component, and NO split-labels warning fires."""
+    import warnings
+
+    from sgdnet_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a convergence warning fails the test
+        out = duplicate_components(pairs, max_iters=12).collect()
+    assert len(out) == 300
+    assert {r["canonical"] for r in out} == {0}
