@@ -1090,3 +1090,38 @@ def phrase_match_indexed(
         "doc_id", "term", F.explode("pos").alias("pos")
     )
     return _phrase_hits(dt, qt, bcast)
+
+
+def bm25_index_info(spark, path: str) -> dict:
+    """Operational snapshot of a written BM25 index — the maintenance
+    dashboard read: corpus stats, layout health (parquet file count —
+    the compact-when-degraded signal), pending tombstones, and the
+    capability flags (positional? doc catalog? meta columns?). One
+    stats read + one schema read + a file listing + a tombstone count;
+    never scans postings rows."""
+    n_docs, sum_dl, n_dl, n_buckets = _read_stats(spark, path)
+    schema = spark.read.parquet(f"{path}/postings").schema
+    meta = [
+        f.name
+        for f in schema.fields
+        if f.name not in ("doc_id", "term", "dl", "tf", "bucket", "pos")
+    ]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
+    it = hpath.getFileSystem(conf).listFiles(hpath, True)
+    n_files = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_files += 1
+    tomb = _read_tombstones(spark, path)
+    return {
+        "n_docs": n_docs,
+        "avgdl": (sum_dl / n_dl) if n_dl else None,
+        "n_buckets": n_buckets,
+        "n_posting_files": n_files,
+        "pending_tombstones": int(tomb.count()) if tomb is not None else 0,
+        "positional": "pos" in schema.fieldNames(),
+        "has_doc_catalog": _dir_exists(spark, f"{path}/docs"),
+        "meta_cols": meta,
+    }

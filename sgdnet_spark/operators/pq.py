@@ -1398,3 +1398,45 @@ def _topk_indexed_with_model(
         ),
         codes,
     )
+
+
+def pq_index_info(spark, path: str) -> dict:
+    """Operational snapshot of a written IVF-PQ index — the maintenance
+    dashboard read: model shape, encoding variant flags, layout health
+    (per-relation parquet file counts — the compact-when-degraded
+    signal), pending tombstones, and meta columns. Model-sized reads
+    plus file listings; never scans codes/vectors rows."""
+    books = load_codebooks(spark, path)
+    cents = spark.read.parquet(f"{path}/centroids").count()
+    schema = spark.read.parquet(f"{path}/codes").schema
+    meta = [
+        f.name
+        for f in schema.fields
+        if f.name not in ("id", "list_id", "code")
+    ]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _files(sub: str) -> int:
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        it = hpath.getFileSystem(conf).listFiles(hpath, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    tomb = _read_tombstones(spark, path)
+    m, ksub, dsub = books.shape
+    return {
+        "n_lists": int(cents),
+        "m": int(m),
+        "ksub": int(ksub),
+        "dim": int(m * dsub),
+        "residual": _load_residual_flag(spark, path),
+        "opq": _load_rotation(spark, path) is not None,
+        "n_code_files": _files("codes"),
+        "n_vector_files": _files("vectors"),
+        "pending_tombstones": int(tomb.count()) if tomb is not None else 0,
+        "meta_cols": meta,
+    }

@@ -85,3 +85,36 @@ def test_relaxed_path_survives_persistence(spark, tmp_path):
     back = SgdnetFit.load(path)
     assert np.allclose(back.beta_relaxed, fit.beta_relaxed)
     assert np.allclose(back.coef(gamma=0.3), fit.coef(gamma=0.3))
+
+
+def test_index_info_snapshots(spark, tmp_path):
+    """Round 13: bm25_index_info / pq_index_info — the operational
+    dashboard reads (layout health, pending tombstones, capability
+    flags) without scanning index rows."""
+    from pyspark.sql import functions as F
+
+    from sgdnet_spark.operators import bm25, pq
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    bidx = str(tmp_path / "info_bm25")
+    bm25.write_bm25_index(docs, bidx, positions=True, meta_cols=["lang"])
+    bm25.delete_from_bm25_index(spark, bidx, [3])
+    info = bm25.bm25_index_info(spark, bidx)
+    assert info["n_docs"] == 5.0 and info["pending_tombstones"] == 1
+    assert info["positional"] and info["has_doc_catalog"]
+    assert info["meta_cols"] == ["lang"] and info["n_posting_files"] >= 1
+    bm25.compact_bm25_index(spark, bidx)
+    assert bm25.bm25_index_info(spark, bidx)["pending_tombstones"] == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pidx = str(tmp_path / "info_pq")
+    pq.write_pq_index(emb, pidx, n_lists=8, kmeans_iters=2, opq=True)
+    pq.delete_from_pq_index(spark, pidx, [1, 2])
+    pinfo = pq.pq_index_info(spark, pidx)
+    assert pinfo["n_lists"] == 8 and pinfo["m"] == 8 and pinfo["dim"] == 64
+    assert pinfo["opq"] is True and pinfo["residual"] is False
+    assert pinfo["pending_tombstones"] == 2
+    assert pinfo["n_code_files"] >= 1 and pinfo["n_vector_files"] >= 1
