@@ -676,9 +676,11 @@ def compact_bm25_index(spark, path: str) -> int:
         else (lambda rel: rel.join(F.broadcast(tomb), "doc_id", "left_anti"))
     )
     before = compact_partitioned(spark, f"{path}/postings", "bucket", transform=drop)
+    if _dir_exists(spark, f"{path}/docs"):
+        # the doc catalog accumulates a file per append too — compact
+        # it to one file every run (tombstoned rows dropped with it)
+        compact_partitioned(spark, f"{path}/docs", None, transform=drop)
     if tomb is not None:
-        if _dir_exists(spark, f"{path}/docs"):
-            compact_partitioned(spark, f"{path}/docs", None, transform=drop)
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         tpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")

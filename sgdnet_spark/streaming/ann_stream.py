@@ -66,14 +66,24 @@ class PqStreamServer:
         self.max_inline_queries = max_inline_queries
         self.where = where
         self.results: list = []
-        # load the quantizers (and the encoding variant + OPQ rotation)
-        # ONCE; every batch reuses them
-        from sgdnet_spark.operators.pq import _load_residual_flag, _load_rotation
+        self.refresh()
 
-        self._cents = load_centroids(spark, path)
-        self._books = load_codebooks(spark, path)
-        self._residual = _load_residual_flag(spark, path)
-        self._rot = _load_rotation(spark, path)
+    def refresh(self) -> None:
+        """(Re)load the quantizers, encoding variant, and OPQ rotation
+        — call after an index rebuild (appends/deletes need no refresh:
+        postings re-scan per probe and the quantizers are membership-
+        independent; only a retrain changes this state)."""
+        from sgdnet_spark.operators.ivf import load_centroids
+        from sgdnet_spark.operators.pq import (
+            _load_residual_flag,
+            _load_rotation,
+            load_codebooks,
+        )
+
+        self._cents = load_centroids(self.spark, self.path)
+        self._books = load_codebooks(self.spark, self.path)
+        self._residual = _load_residual_flag(self.spark, self.path)
+        self._rot = _load_rotation(self.spark, self.path)
 
     def probe(self, queries: DataFrame) -> DataFrame:
         """Static probe with the preloaded quantizers (the per-batch
