@@ -367,6 +367,12 @@ def write_bm25_index(
     the GPT-3 appendix-C scrub at phrase granularity). BM25 scoring is
     unchanged (tf is still the count); the postings rows grow by the
     offsets array, the price of phrase queries."""
+    from sgdnet_spark.operators.maintenance import drop_dir
+
+    # a REBUILD over a previously-deleted-from index must not inherit
+    # its tombstones: they would silently mask re-indexed docs from
+    # every probe and exclude them from the freshly derived stats
+    drop_dir(df.sparkSession, f"{path}/tombstones")
     _write_postings(df, path, text_col, id_col, n_buckets, mode="overwrite",
                     meta_cols=meta_cols, positions=positions)
     docs = df.select(
@@ -377,16 +383,24 @@ def write_bm25_index(
     _write_stats_from_docs(df.sparkSession, path, n_buckets)
 
 
-def _write_stats_from_docs(spark, path: str, n_buckets: int) -> None:
+def _write_stats_from_docs(spark, path: str, n_buckets: int, minus=None) -> None:
     """(Re)derive the corpus-wide stats from the doc catalog minus any
     tombstones — the single source of truth, so build/append/delete all
     agree bit-for-bit with a from-scratch build over the same surviving
-    docs (count/sum of integer-valued doubles: exact)."""
+    docs (count/sum of integer-valued doubles: exact). ``minus``
+    additionally excludes an explicit (doc_id) relation — the
+    about-to-be-tombstoned set when a delete derives its stats BEFORE
+    the tombstones land (crash-heal ordering)."""
+    live = _live_docs(spark, path)
+    if minus is not None:
+        live = live.join(F.broadcast(minus), "doc_id", "left_anti")
     stats = (
-        _live_docs(spark, path)
+        live
         .select(
             F.count("*").cast("double").alias("n_docs"),
-            F.sum("dl").cast("double").alias("sum_dl"),
+            # coalesce: an all-deleted catalog sums dl over zero rows
+            # (NULL) — stats must stay readable, probes answer empty
+            F.coalesce(F.sum("dl"), F.lit(0.0)).cast("double").alias("sum_dl"),
             F.count("dl").cast("double").alias("n_dl"),
             F.lit(n_buckets).cast("bigint").alias("n_buckets"),
         )
@@ -395,10 +409,9 @@ def _write_stats_from_docs(spark, path: str, n_buckets: int) -> None:
 
 
 def _dir_exists(spark, path: str) -> bool:
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(conf).exists(hpath)
+    from sgdnet_spark.operators.maintenance import dir_exists
+
+    return dir_exists(spark, path)
 
 
 def _live_docs(spark, path: str) -> DataFrame:
@@ -411,15 +424,11 @@ def _live_docs(spark, path: str) -> DataFrame:
 
 
 def _read_tombstones(spark, path: str) -> DataFrame | None:
-    """(doc_id) relation of deleted docs, or None when no deletes are
-    pending. Bounded by the deletes since the last compaction — the
-    broadcast in the probe anti-join assumes routine compaction, the
-    same operational contract as the append tiers' file-count growth."""
-    tdir = f"{path}/tombstones"
-    if not _dir_exists(spark, tdir):
-        return None
-    tomb = spark.read.parquet(tdir)
-    return tomb if len(tomb.take(1)) else None
+    """(doc_id) pending-deletes relation or None — the shared
+    maintenance.read_tombstones on this tier's id column."""
+    from sgdnet_spark.operators.maintenance import read_tombstones
+
+    return read_tombstones(spark, path, "doc_id")
 
 
 def _ids_frame(spark, ids, dtype: str) -> DataFrame:
@@ -450,11 +459,18 @@ def delete_from_bm25_index(spark, path: str, ids) -> int:
     :func:`compact_bm25_index`, which drops tombstoned rows during its
     rewrite and clears the tombstone set.
 
-    Crash ordering mirrors append's postings-before-stats: tombstones
-    land first, the stats rewrite second — a failure in between leaves
-    slightly-stale global stats (bounded score perturbation), never a
-    resurrected document. Streaming servers pick up the masked docs on
-    their next probe (tombstones are read per probe) but serve the
+    Crash ordering (round-13 review fix): the stats rewrite lands
+    FIRST — derived from the catalog minus the explicit matched set —
+    and the tombstones append second. Every crash point then heals by
+    RE-RUNNING the same delete: a crash inside or just after the stats
+    rewrite leaves the matched ids un-tombstoned, so the re-run still
+    sees them as new, rewrites the stats, and appends the tombstones
+    (the reverse order could strand broken stats behind the
+    ``n == 0`` idempotency short-circuit forever). Between the two
+    writes the matched docs are still probe-visible while the stats
+    already exclude them — a bounded score perturbation, the append
+    contract's mirror image. Streaming servers pick up the masked docs
+    on their next probe (tombstones are read per probe) but serve the
     pre-delete stats until ``refresh()`` — the same staleness contract
     as append. Returns the number of newly deleted documents.
 
@@ -481,9 +497,11 @@ def delete_from_bm25_index(spark, path: str, ids) -> int:
     n = matched.count()
     if n == 0:
         return 0
-    matched.write.mode("append").parquet(f"{path}/tombstones")
     _, _, _, n_buckets = _read_stats(spark, path)
-    _write_stats_from_docs(spark, path, n_buckets)
+    # stats FIRST (catalog minus the explicit matched set), tombstones
+    # second — see the crash-ordering note in the docstring
+    _write_stats_from_docs(spark, path, n_buckets, minus=matched)
+    matched.write.mode("append").parquet(f"{path}/tombstones")
     return n
 
 
@@ -667,7 +685,7 @@ def compact_bm25_index(spark, path: str) -> int:
     both no-ops), and re-running finishes the job. Swap semantics +
     recovery: see
     :func:`sgdnet_spark.operators.maintenance.compact_partitioned`."""
-    from sgdnet_spark.operators.maintenance import compact_partitioned
+    from sgdnet_spark.operators.maintenance import compact_partitioned, drop_dir
 
     tomb = _read_tombstones(spark, path)
     drop = (
@@ -681,10 +699,7 @@ def compact_bm25_index(spark, path: str) -> int:
         # it to one file every run (tombstoned rows dropped with it)
         compact_partitioned(spark, f"{path}/docs", None, transform=drop)
     if tomb is not None:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        tpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-        tpath.getFileSystem(conf).delete(tpath, True)
+        drop_dir(spark, f"{path}/tombstones")
     return before
 
 
@@ -1011,21 +1026,24 @@ def phrase_match_indexed(
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
     where=None,
+    stats: tuple[float, float, float, int] | None = None,
 ) -> DataFrame:
     """Exact-phrase scan over a POSITIONAL index (``write_bm25_index(
     positions=True)``): the phrase vocabulary's term-hash buckets prune
     the postings scan exactly as BM25 probes do — at corpus scale the
     audit touches |phrase vocabulary| buckets of postings, never the
     text. Tombstoned (deleted) docs are masked; ``where`` filters
-    candidates on the index's meta columns. Results equal
-    :func:`phrase_match` over the same corpus (asserted in tests)."""
+    candidates on the index's meta columns; ``stats`` passes the
+    preloaded stats tuple (only n_buckets is used) — the stream
+    server's load-once path. Results equal :func:`phrase_match` over
+    the same corpus (asserted in tests)."""
     p_schema = spark.read.parquet(f"{path}/postings").schema
     if "pos" not in p_schema.fieldNames():
         raise ValueError(
             f"phrase_match_indexed: index at {path} was written without "
             "positions=True; rebuild with write_bm25_index(positions=True)"
         )
-    _, _, _, n_buckets = _read_stats(spark, path)
+    _, _, _, n_buckets = stats if stats is not None else _read_stats(spark, path)
     q_raw = phrases.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
     large = len(q_raw) > max_inline_queries
     qt_rows: list = []

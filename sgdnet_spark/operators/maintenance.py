@@ -37,6 +37,32 @@ def _fs_path(spark, path_str: str):
     return hpath.getFileSystem(conf), hpath
 
 
+def dir_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check (works on hdfs://, file:, abfs…)."""
+    fs, hpath = _fs_path(spark, path)
+    return fs.exists(hpath)
+
+
+def drop_dir(spark, path: str) -> None:
+    """Recursively delete a directory if present (no-op otherwise)."""
+    fs, hpath = _fs_path(spark, path)
+    fs.delete(hpath, True)
+
+
+def read_tombstones(spark, index_path: str, id_col: str):
+    """The pending-deletes relation (one ``id_col`` column) of an index
+    at ``index_path``, or None when no deletes are pending. Shared by
+    the BM25 (doc_id) and IVF-PQ (id) tiers. Bounded by the deletes
+    since the last compaction — probe anti-joins broadcast it under
+    the routine-compaction contract the append tiers' file-count
+    growth already imposes."""
+    tdir = f"{index_path}/tombstones"
+    if not dir_exists(spark, tdir):
+        return None
+    tomb = spark.read.parquet(tdir)
+    return tomb if len(tomb.take(1)) else None
+
+
 def recover_partitioned(spark, dir_path: str) -> bool:
     """Repair the crash-between-renames state: if ``dir_path`` is
     missing but ``dir_path + \".old\"`` exists (a compaction died after
@@ -83,7 +109,14 @@ def compact_partitioned(
     rel = spark.read.parquet(dir_path)
     if transform is not None:
         rel = transform(rel)
-    if partition_col is None:
+    if partition_col is None or rel.isEmpty():
+        # a transform may drop EVERY row (e.g. the whole index was
+        # tombstoned): a partitionBy write of an empty relation emits
+        # no parquet file and the installed dir would be unreadable
+        # (schema inference fails) — write unpartitioned instead, which
+        # emits one schema-ful empty file; the partition column becomes
+        # a plain data column, which every probe's .filter() still
+        # accepts
         rel.coalesce(1).write.mode("overwrite").parquet(tmp)
     else:
         (
@@ -97,18 +130,43 @@ def compact_partitioned(
     fs.delete(old_p, True)
     if not fs.rename(hpath, old_p):
         raise IOError(f"compact_partitioned: could not stage {dir_path} aside")
+    if fs.exists(hpath):
+        # the live dir REAPPEARED between our two renames — a
+        # concurrent recover_partitioned (stream-server retry) decided
+        # we had crashed and restored it. Renaming tmp now would move
+        # it INSIDE the restored dir (the Hadoop rename-into-existing-
+        # dir trap) and corrupt the layout: lose the race safely —
+        # drop our output, leave the restored original serving
+        fs.delete(tmp_p, True)
+        fs.delete(old_p, True)
+        raise IOError(
+            f"compact_partitioned: {dir_path} was concurrently restored "
+            "mid-swap (probe-side recovery); compaction aborted, original "
+            "layout intact — re-run it"
+        )
     if not fs.rename(tmp_p, hpath):
-        # put the original back — nothing lost
-        fs.rename(old_p, hpath)
+        # put the original back — nothing lost; a failed rollback is
+        # loudly fatal, never silent (the .old copy is still on disk)
+        if not fs.rename(old_p, hpath):
+            raise IOError(
+                f"compact_partitioned: could not install {tmp} AND could "
+                f"not restore {old} — restore {old} to {dir_path} manually"
+            )
         raise IOError(f"compact_partitioned: could not install {tmp}")
     # verify the installed layout is readable (parquet footer/schema
     # read) BEFORE dropping the previous one; a bad install keeps .old
-    # on disk for recover_partitioned / manual repair
+    # on disk for recover_partitioned / manual repair. Never delete the
+    # live dir unless the .old copy still exists to replace it
     try:
         spark.read.parquet(dir_path).schema
     except Exception:
-        fs.delete(hpath, True)
-        fs.rename(old_p, hpath)
+        if fs.exists(old_p):
+            fs.delete(hpath, True)
+            if not fs.rename(old_p, hpath):
+                raise IOError(
+                    f"compact_partitioned: verify failed and rollback "
+                    f"rename failed — restore {old} to {dir_path} manually"
+                )
         raise
     fs.delete(old_p, True)
     return before

@@ -898,6 +898,13 @@ def ivfpq_topk(
             schema += ", rn int"
         return spark.createDataFrame([], schema)
     rot = rotation
+    if rotation is not None and model is None and not opq:
+        # training would run in the UNROTATED space while encode/probe
+        # rotate — silently mismatched quantizers; refuse
+        raise ValueError(
+            "ivfpq_topk: rotation= without model= requires opq=True "
+            "(training must run in the rotated space)"
+        )
     if model is not None:
         cents, books = model
         m, ksub, _ = books.shape
@@ -986,6 +993,16 @@ def write_pq_index(
     predicate (``where=`` in :func:`pq_topk_indexed`) into the parquet
     scans alongside the list_id partition pruning.
     """
+    from sgdnet_spark.operators.maintenance import drop_dir
+
+    # a REBUILD must not inherit a previous index's sidecars: stale
+    # tombstones would silently mask re-indexed ids from every probe,
+    # and a stale rotation (opq=True before, opq=False now) would
+    # rotate queries against unrotated quantizers — silent garbage
+    # candidate selection (the meta relation is overwritten below; these
+    # two are only ever written conditionally, so they need the drop)
+    drop_dir(df.sparkSession, f"{path}/tombstones")
+    drop_dir(df.sparkSession, f"{path}/rotation")
     meta = list(meta_cols or [])
     tr = _train_frame(df, train_frac, id_col)
     rot = None
@@ -1137,22 +1154,17 @@ def append_pq_index(
 
 
 def _dir_exists(spark, path: str) -> bool:
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(conf).exists(hpath)
+    from sgdnet_spark.operators.maintenance import dir_exists
+
+    return dir_exists(spark, path)
 
 
 def _read_tombstones(spark, path: str):
-    """(id) relation of deleted vectors, or None when no deletes are
-    pending. Bounded by the deletes since the last compaction — the
-    probe anti-join broadcasts it, the same routine-compaction contract
-    as the append tiers' file-count growth."""
-    tdir = f"{path}/tombstones"
-    if not _dir_exists(spark, tdir):
-        return None
-    tomb = spark.read.parquet(tdir)
-    return tomb if len(tomb.take(1)) else None
+    """(id) pending-deletes relation or None — the shared
+    maintenance.read_tombstones on this tier's id column."""
+    from sgdnet_spark.operators.maintenance import read_tombstones
+
+    return read_tombstones(spark, path, "id")
 
 
 def delete_from_pq_index(spark, path: str, ids) -> int:
@@ -1223,10 +1235,9 @@ def compact_pq_index(spark, path: str) -> tuple[int, int]:
     v_before = compact_partitioned(spark, f"{path}/vectors", "list_id", transform=drop)
     c_before = compact_partitioned(spark, f"{path}/codes", "list_id", transform=drop)
     if tomb is not None:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        tpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-        tpath.getFileSystem(conf).delete(tpath, True)
+        from sgdnet_spark.operators.maintenance import drop_dir
+
+        drop_dir(spark, f"{path}/tombstones")
     return c_before, v_before
 
 

@@ -59,6 +59,13 @@ def run_with_maintenance_retry(
                 raise
             attempt += 1
             time.sleep(wait_s)
+            # only repair from the SECOND retry on: the first failure is
+            # usually an IN-FLIGHT swap that completes by itself within
+            # the wait — recovering too eagerly races the compactor's
+            # install rename (which now detects the race and aborts,
+            # but aborting a healthy compaction helps nobody)
+            if attempt < 2:
+                continue
             for d in watched_dirs:
                 try:
                     recover_partitioned(spark, d)

@@ -49,9 +49,6 @@ class PqStreamServer:
         max_inline_queries: int = 64,
         where=None,
     ) -> None:
-        from sgdnet_spark.operators.ivf import load_centroids
-        from sgdnet_spark.operators.pq import load_codebooks
-
         self.spark = spark
         self.path = path
         self.k_neighbors = k_neighbors
@@ -71,8 +68,8 @@ class PqStreamServer:
     def refresh(self) -> None:
         """(Re)load the quantizers, encoding variant, and OPQ rotation
         — call after an index rebuild (appends/deletes need no refresh:
-        postings re-scan per probe and the quantizers are membership-
-        independent; only a retrain changes this state)."""
+        codes/vectors re-scan per probe and the quantizers are
+        membership-independent; only a retrain changes this state)."""
         from sgdnet_spark.operators.ivf import load_centroids
         from sgdnet_spark.operators.pq import (
             _load_residual_flag,

@@ -88,6 +88,7 @@ class Bm25StreamServer:
             return _bm25.phrase_match_indexed(
                 self.spark, self.path, queries, where=self.where,
                 max_inline_queries=self.max_inline_queries,
+                stats=self._stats,
             )
         if self.threshold is not None:
             out, _ = _bm25.bm25_filter_indexed(

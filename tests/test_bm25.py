@@ -787,3 +787,37 @@ def test_phrase_stream_server_matches_batch(spark, corpus, tmp_path):
 
     with pytest.raises(ValueError, match="phrase mode has no relevance"):
         Bm25StreamServer(spark, path, phrase=True, threshold=1.0)
+
+
+def test_bm25_rebuild_clears_stale_tombstones(spark, corpus, tmp_path):
+    """Round 13 (review): a rebuild over a previously-deleted-from path
+    must not inherit tombstones — they would silently mask re-indexed
+    docs and corrupt the fresh stats."""
+    path = str(tmp_path / "bm25_rebuild")
+    bm25.write_bm25_index(corpus, path)
+    bm25.delete_from_bm25_index(spark, path, [2])
+    bm25.write_bm25_index(corpus, path)  # full rebuild, doc 2 included
+    q = spark.createDataFrame([("q", "join")], "query_id string, q_text string")
+    got, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert any(r["doc_id"] == 2 for r in got.collect())
+    ref = str(tmp_path / "bm25_rebuild_ref")
+    bm25.write_bm25_index(corpus, ref)
+    assert bm25._read_stats(spark, path) == bm25._read_stats(spark, ref)
+
+
+def test_bm25_compact_fully_deleted_index(spark, corpus, tmp_path):
+    """Round 13 (review): compacting an index whose EVERY doc is
+    tombstoned must succeed (empty relations write unpartitioned but
+    schema-ful), clear the tombstones, and keep probes answering
+    typed-empty."""
+    import os
+
+    path = str(tmp_path / "bm25_alldel")
+    bm25.write_bm25_index(corpus, path)
+    assert bm25.delete_from_bm25_index(spark, path, [1, 2, 3, 4]) == 4
+    bm25.compact_bm25_index(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    q = spark.createDataFrame([("q", "join")], "query_id string, q_text string")
+    got, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
+    assert got.count() == 0

@@ -181,3 +181,20 @@ def test_scan_read_schema_nested_and_wide(spark, tmp_path):
     cols = I.scan_read_schema(back)
     assert "y" not in cols and "s" in cols
     assert f"very_long_column_name_number_7" in cols  # past 100-char cutoff
+
+
+def test_ann_approx_unforced_plan_pinned(spark, sf_dir):
+    """Round 13 (review): ann_approx's returned frame is a union of
+    eagerly-checkpointed rows (the probe-phase overlap), so its
+    snapshot in plan_snapshots.json reads 0/0 and pins nothing. This
+    pins the REAL pipelines instead: force=False returns the same
+    composition uncheckpointed, exposing every lsh/ivf/ivfpq/mmr/
+    hybrid/opq join and shuffle to introspection. A broadcast
+    degrading to sort-merge or an extra exchange appearing moves
+    these counts."""
+    from sgdnet_spark.plans import introspect
+    from sgdnet_spark.queries import ann_approx
+
+    df = ann_approx(spark, sf_dir, force=False)
+    assert introspect.shuffle_count(df) == 15
+    assert introspect.broadcast_join_count(df) == 20

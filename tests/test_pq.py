@@ -817,3 +817,30 @@ def test_opq_two_path_and_indexed_roundtrip(spark, sf_dir, tmp_path):
     plain = str(tmp_path / "pq_plain13")
     pq.write_pq_index(lo, plain, n_lists=8, kmeans_iters=3)
     assert pq._load_rotation(spark, plain) is None
+
+
+def test_pq_rebuild_clears_stale_sidecars(spark, emb, q, tmp_path):
+    """Round 13 (review): rebuilding an index at the same path must not
+    inherit the previous build's rotation or tombstones — a stale
+    rotation would rotate queries against unrotated quantizers (silent
+    recall collapse), stale tombstones would mask re-indexed ids."""
+    path = str(tmp_path / "pq_rebuild")
+    pq.write_pq_index(emb, path, n_lists=8, kmeans_iters=3, opq=True)
+    pq.delete_from_pq_index(spark, path, [0, 1])
+    assert pq._load_rotation(spark, path) is not None
+    # rebuild PLAIN: rotation and tombstones must both be gone
+    pq.write_pq_index(emb, path, n_lists=8, kmeans_iters=3)
+    assert pq._load_rotation(spark, path) is None
+    assert pq._read_tombstones(spark, path) is None
+    got, _ = pq.pq_topk_indexed(spark, path, q, k_neighbors=5, nprobe=3)
+    mem = pq.ivfpq_topk(emb, q, k_neighbors=5, n_lists=8, nprobe=3, kmeans_iters=3)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in mem.collect()}
+
+
+def test_ivfpq_rotation_without_opq_rejected(emb, q):
+    """Round 13 (review): rotation= with neither model= nor opq=True
+    would train unrotated quantizers and probe rotated — refuse."""
+    import numpy as np
+
+    with pytest.raises(ValueError, match="requires opq=True"):
+        pq.ivfpq_topk(emb, q, k_neighbors=5, rotation=np.eye(64))
