@@ -1145,3 +1145,190 @@ def bm25_index_info(spark, path: str) -> dict:
         "has_doc_catalog": _dir_exists(spark, f"{path}/docs"),
         "meta_cols": meta,
     }
+
+
+# --- proximity (windowed co-occurrence) queries (round 13) ----------
+#
+# The unordered complement of phrase_match: "all of this query's terms
+# within a W-token window", Lucene's sloppy-span shape — the
+# contamination/citation audit for near-verbatim text that reorders or
+# interleaves a few words (an exact-phrase scan misses it, a bag-of-
+# words BM25 floor is too loose). Relational shape: restrict token
+# positions to the query vocabulary, then one match-sized self-join
+# per (query, doc) — every matched position anchors a window
+# [pos, pos+W) and a hit is an anchor whose window covers ALL k
+# distinct query terms. Work is quadratic only in each doc's MATCHED
+# positions (query-vocabulary occurrences, not the doc length); a
+# stopword-heavy query inflates that the same way it inflates any
+# posting-list probe — curate the query terms, not the operator.
+
+
+def _proximity_hits(dt: DataFrame, qt: DataFrame, window: int, bcast) -> DataFrame:
+    """(query_id, doc_id, n_spans) from (doc_id, pos, term) positions
+    and a DISTINCT (query_id, term) vocabulary."""
+    k_rel = qt.groupBy("query_id").agg(F.count_distinct("term").alias("k"))
+    m = dt.join(bcast(qt), "term").select("query_id", "doc_id", "pos", "term")
+    a = m.select(
+        F.col("query_id").alias("qa"), F.col("doc_id").alias("da"),
+        F.col("pos").alias("apos"),
+    )
+    j = a.join(
+        m,
+        (a.qa == m.query_id) & (a.da == m.doc_id)
+        & (m.pos >= a.apos) & (m.pos < a.apos + F.lit(int(window))),
+    )
+    cov = j.groupBy("qa", "da", "apos").agg(F.count_distinct("term").alias("c"))
+    return (
+        cov.join(bcast(k_rel), cov.qa == k_rel.query_id)
+        .filter(F.col("c") == F.col("k"))
+        .groupBy(F.col("qa").alias("query_id"), F.col("da").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_spans"))
+    )
+
+
+def proximity_match(
+    df: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
+) -> DataFrame:
+    """Windowed co-occurrence scan: (query_id, doc_id, n_spans) where
+    n_spans counts the anchor positions whose [pos, pos+window) span
+    contains ALL of the query's distinct terms. Order and multiplicity
+    inside the window are ignored (the unordered sloppy-span
+    semantics). Two-path query handling as :func:`phrase_match`."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    spark = df.sparkSession
+    q_raw = queries.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
+    large = len(q_raw) > max_inline_queries
+    qt_rows: list = []
+    if not large:
+        local_q = spark.createDataFrame(
+            q_raw, queries.select(q_id_col, q_text_col).schema
+        )
+        qt_rows = [
+            (r["query_id"], r["term"])
+            for r in _q_terms(local_q, q_text_col, q_id_col).collect()
+        ]
+        if not qt_rows:
+            return spark.createDataFrame(
+                [],
+                f"query_id {queries.schema[q_id_col].dataType.simpleString()}, "
+                f"doc_id {df.schema[id_col].dataType.simpleString()}, n_spans bigint",
+            )
+        large = len({t for _, t in qt_rows}) > MAX_INLINE_TERMS
+    if large:
+        qt = _q_terms(queries, q_text_col, q_id_col).localCheckpoint(eager=False)
+        vocab = qt.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+        bcast = lambda x: x  # noqa: E731
+    else:
+        qid_t = queries.schema[q_id_col].dataType.simpleString()
+        qt = spark.createDataFrame(qt_rows, f"query_id {qid_t}, term string")
+        terms = sorted({t for _, t in qt_rows})
+        vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
+        bcast = F.broadcast
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(text.tokens(text_col)).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+    )
+    return _proximity_hits(vocab_join(dt), qt, window, bcast)
+
+
+def proximity_match_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    window: int = 8,
+    q_text_col: str = "q_text",
+    q_id_col: str = "query_id",
+    max_inline_queries: int = 64,
+    where=None,
+    stats: tuple[float, float, float, int] | None = None,
+) -> DataFrame:
+    """Windowed co-occurrence over a POSITIONAL index — the
+    :func:`phrase_match_indexed` pruning (phrase-vocabulary term-hash
+    buckets, tombstone mask, ``where`` meta filter, preloaded
+    ``stats``) with the sloppy-span aggregation."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    p_schema = spark.read.parquet(f"{path}/postings").schema
+    if "pos" not in p_schema.fieldNames():
+        raise ValueError(
+            f"proximity_match_indexed: index at {path} was written without "
+            "positions=True; rebuild with write_bm25_index(positions=True)"
+        )
+    _, _, _, n_buckets = stats if stats is not None else _read_stats(spark, path)
+    q_raw = queries.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
+    large = len(q_raw) > max_inline_queries
+    qt_rows: list = []
+    if not large:
+        local_q = spark.createDataFrame(
+            q_raw, queries.select(q_id_col, q_text_col).schema
+        )
+        qt_rows = [
+            (r["query_id"], r["term"], r["bk"])
+            for r in _q_terms(local_q, q_text_col, q_id_col)
+            .withColumn("bk", F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))))
+            .collect()
+        ]
+        if not qt_rows:
+            return spark.createDataFrame(
+                [],
+                f"query_id {queries.schema[q_id_col].dataType.simpleString()}, "
+                f"doc_id {p_schema['doc_id'].dataType.simpleString()}, n_spans bigint",
+            )
+        large = len({t for _, t, _ in qt_rows}) > MAX_INLINE_TERMS
+    if large:
+        qt = _q_terms(queries, q_text_col, q_id_col).localCheckpoint(eager=False)
+        if qt_rows:
+            buckets = sorted({bk for _, _, bk in qt_rows})
+        else:
+            buckets = sorted(
+                {
+                    r["bk"]
+                    for r in qt.select(
+                        F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("bk")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            if not buckets:
+                return spark.createDataFrame(
+                    [],
+                    f"query_id {queries.schema[q_id_col].dataType.simpleString()}, "
+                    f"doc_id {p_schema['doc_id'].dataType.simpleString()}, "
+                    "n_spans bigint",
+                )
+        vocab = qt.select("term").distinct()
+        vocab_join = lambda t: t.join(vocab, "term")  # noqa: E731 — AQE picks
+        bcast = lambda x: x  # noqa: E731
+    else:
+        qid_t = queries.schema[q_id_col].dataType.simpleString()
+        qt = spark.createDataFrame(
+            [(q, t) for q, t, _ in qt_rows], f"query_id {qid_t}, term string"
+        )
+        terms = sorted({t for _, t, _ in qt_rows})
+        buckets = sorted({bk for _, _, bk in qt_rows})
+        vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
+        bcast = F.broadcast
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(*[int(x) for x in buckets])
+    )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+    if where is not None:
+        postings = postings.filter(where)
+    dt = vocab_join(postings).select("doc_id", "term", F.explode("pos").alias("pos"))
+    return _proximity_hits(dt, qt, window, bcast)

@@ -821,3 +821,71 @@ def test_bm25_compact_fully_deleted_index(spark, corpus, tmp_path):
     q = spark.createDataFrame([("q", "join")], "query_id string, q_text string")
     got, _ = bm25.bm25_topk_indexed(spark, path, q, k=10)
     assert got.count() == 0
+
+
+def test_proximity_match_hand_corpus(spark):
+    """Round 13: sloppy-span semantics — all distinct query terms
+    inside one [pos, pos+W) window, order/multiplicity ignored;
+    n_spans counts covering anchors; W=1 degenerates to single-term
+    matching only for one-term queries."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x beta"),          # alpha..beta within 3
+            (2, "beta y y y alpha"),      # within 5, reversed order
+            (3, "alpha x x x x x beta"),  # gap 6 — outside W=3/W=5
+            (4, "alpha beta alpha"),      # multiple covering anchors
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta beta alpha")],
+        "query_id string, q_text string",
+    )
+    got3 = {
+        (r["query_id"], r["doc_id"]): r["n_spans"]
+        for r in bm25.proximity_match(docs, q, window=3).collect()
+    }
+    # doc1: anchor@0 covers {alpha, beta}; doc4: anchors 0,1 cover
+    assert got3[("a", 1)] == 1 and got3[("a", 4)] == 2
+    assert ("a", 2) not in got3 and ("a", 3) not in got3
+    # duplicate query terms collapse: query b == query a
+    assert {k[1]: v for k, v in got3.items() if k[0] == "b"} == {
+        k[1]: v for k, v in got3.items() if k[0] == "a"
+    }
+    got5 = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25.proximity_match(docs, q, window=5).collect()
+    }
+    assert ("a", 2) in got5 and ("a", 3) not in got5
+    with pytest.raises(ValueError, match="window"):
+        bm25.proximity_match(docs, q, window=0)
+
+
+def test_proximity_indexed_matches_inmemory_and_phrase_subset(spark, corpus, tmp_path):
+    """The positional-index path equals the in-memory scan; every
+    exact-phrase hit is also a proximity hit at window = phrase
+    length (unordered is a relaxation of ordered-consecutive)."""
+    q = spark.createDataFrame(
+        [("a", "table fast"), ("b", "join slow")],
+        "query_id string, q_text string",
+    )
+    want = {tuple(r) for r in bm25.proximity_match(corpus, q, window=4).collect()}
+    assert want
+    path = str(tmp_path / "bm25_prox")
+    bm25.write_bm25_index(corpus, path, positions=True)
+    got = {
+        tuple(r)
+        for r in bm25.proximity_match_indexed(spark, path, q, window=4).collect()
+    }
+    assert got == want
+
+    phr = q.withColumnRenamed("q_text", "phrase")
+    ph = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25.phrase_match(corpus, phr).collect()
+    }
+    prox2 = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25.proximity_match(corpus, q, window=2).collect()
+    }
+    assert ph <= prox2
