@@ -39,7 +39,10 @@ class Bm25StreamServer:
     (query_id, phrase) relation answered by
     :func:`~sgdnet_spark.operators.bm25.phrase_match_indexed` — the
     streaming shape of a continuous contamination audit (benchmark
-    phrases arrive, matching documents stream out). ``sink(result_df,
+    phrases arrive, matching documents stream out);
+    ``proximity_window=W`` serves the unordered sloppy-span variant
+    (:func:`~sgdnet_spark.operators.bm25.proximity_match_indexed`) the
+    same way. ``sink(result_df,
     batch_id)`` receives each micro-batch's answers (collected rows
     append to ``server.results`` if no sink is given — test/demo
     mode)."""
@@ -56,9 +59,12 @@ class Bm25StreamServer:
         sink: Callable[[DataFrame, int], None] | None = None,
         max_inline_queries: int = 64,
         phrase: bool = False,
+        proximity_window: int | None = None,
     ) -> None:
-        if phrase and threshold is not None:
-            raise ValueError("phrase mode has no relevance threshold")
+        if (phrase or proximity_window is not None) and threshold is not None:
+            raise ValueError("phrase/proximity modes have no relevance threshold")
+        if phrase and proximity_window is not None:
+            raise ValueError("choose phrase OR proximity serving, not both")
         self.spark = spark
         self.path = path
         self.k = k
@@ -69,6 +75,7 @@ class Bm25StreamServer:
         self.sink = sink
         self.max_inline_queries = max_inline_queries
         self.phrase = phrase
+        self.proximity_window = proximity_window
         self.results: list = []
         self.refresh()
 
@@ -87,6 +94,13 @@ class Bm25StreamServer:
         if self.phrase:
             return _bm25.phrase_match_indexed(
                 self.spark, self.path, queries, where=self.where,
+                max_inline_queries=self.max_inline_queries,
+                stats=self._stats,
+            )
+        if self.proximity_window is not None:
+            return _bm25.proximity_match_indexed(
+                self.spark, self.path, queries,
+                window=self.proximity_window, where=self.where,
                 max_inline_queries=self.max_inline_queries,
                 stats=self._stats,
             )

@@ -785,8 +785,23 @@ def test_phrase_stream_server_matches_batch(spark, corpus, tmp_path):
         sq.stop()
     assert {tuple(r) for r in server.results} == want
 
-    with pytest.raises(ValueError, match="phrase mode has no relevance"):
+    with pytest.raises(ValueError, match="no relevance threshold"):
         Bm25StreamServer(spark, path, phrase=True, threshold=1.0)
+    with pytest.raises(ValueError, match="not both"):
+        Bm25StreamServer(spark, path, phrase=True, proximity_window=4)
+
+    # proximity serving over the same positional index
+    pq_srv = Bm25StreamServer(spark, path, proximity_window=4)
+    qprox = spark.createDataFrame(
+        [("a", "join slow"), ("b", "table fast")],
+        "query_id string, q_text string",
+    )
+    want_p = {
+        tuple(r)
+        for r in bm25.proximity_match_indexed(spark, path, qprox, window=4).collect()
+    }
+    pq_srv.respond(qprox, batch_id=0)
+    assert want_p and {tuple(r) for r in pq_srv.results} == want_p
 
 
 def test_bm25_rebuild_clears_stale_tombstones(spark, corpus, tmp_path):
