@@ -474,9 +474,24 @@ def delete_from_bm25_index(spark, path: str, ids) -> int:
     pre-delete stats until ``refresh()`` — the same staleness contract
     as append. Returns the number of newly deleted documents.
 
+    ``ids`` may also be a SQL string / Column predicate over the
+    index's meta columns (e.g. ``"lang = 'ru'"``): the matching doc
+    ids are derived from one pass over the stored postings — policy
+    takedowns ("delete everything from source X") without the caller
+    materializing an id list.
+
     Requires an index with the round-13 doc catalog (``path/docs``);
     older indexes must be rebuilt once with :func:`write_bm25_index`
     to enable deletion."""
+    from pyspark.sql import Column
+
+    if isinstance(ids, (str, Column)):
+        ids = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(ids)
+            .select("doc_id")
+            .distinct()
+        )
     if not _dir_exists(spark, f"{path}/docs"):
         raise ValueError(
             f"delete_from_bm25_index: index at {path} predates the doc "

@@ -1182,9 +1182,15 @@ def delete_from_pq_index(spark, path: str, ids) -> int:
     idempotent (already-deleted / never-indexed ids are no-ops);
     physical space is reclaimed by :func:`compact_pq_index`, which
     drops tombstoned rows from both relations during its rewrite and
-    clears the tombstone set. Returns the number of newly deleted
-    vectors."""
+    clears the tombstone set. ``ids`` may also be a SQL string /
+    Column predicate over the index's meta columns (policy takedowns
+    without a caller-materialized id list). Returns the number of
+    newly deleted vectors."""
+    from pyspark.sql import Column
+
     codes = spark.read.parquet(f"{path}/codes")
+    if isinstance(ids, (str, Column)):
+        ids = codes.filter(ids).select("id").distinct()
     dtype = codes.schema["id"].dataType.simpleString()
     if isinstance(ids, DataFrame):
         want = ids.select(F.col(ids.columns[0]).cast(dtype).alias("id")).distinct()

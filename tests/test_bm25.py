@@ -904,3 +904,25 @@ def test_proximity_indexed_matches_inmemory_and_phrase_subset(spark, corpus, tmp
         for r in bm25.proximity_match(corpus, q, window=2).collect()
     }
     assert ph <= prox2
+
+
+def test_delete_by_meta_predicate(spark, tmp_path):
+    """Round 13: deleting by a meta predicate ("everything from source
+    X") derives the id set from the stored postings/codes — equals the
+    explicit-ids delete."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "beta gamma", "ru"),
+         (3, "alpha gamma", "ru"), (4, "beta beta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    a = str(tmp_path / "delpred_a")
+    b = str(tmp_path / "delpred_b")
+    bm25.write_bm25_index(docs, a, meta_cols=["lang"])
+    bm25.write_bm25_index(docs, b, meta_cols=["lang"])
+    assert bm25.delete_from_bm25_index(spark, a, "lang = 'ru'") == 2
+    assert bm25.delete_from_bm25_index(spark, b, [2, 3]) == 2
+    q = spark.createDataFrame([("q", "beta gamma")], "query_id string, q_text string")
+    ra, _ = bm25.bm25_topk_indexed(spark, a, q, k=10)
+    rb, _ = bm25.bm25_topk_indexed(spark, b, q, k=10)
+    assert {tuple(r) for r in ra.collect()} == {tuple(r) for r in rb.collect()}
+    assert bm25._read_stats(spark, a) == bm25._read_stats(spark, b)

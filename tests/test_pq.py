@@ -844,3 +844,18 @@ def test_ivfpq_rotation_without_opq_rejected(emb, q):
 
     with pytest.raises(ValueError, match="requires opq=True"):
         pq.ivfpq_topk(emb, q, k_neighbors=5, rotation=np.eye(64))
+
+
+def test_pq_delete_by_meta_predicate(spark, emb, q, tmp_path):
+    """Round 13: predicate deletion on the PQ tier == explicit ids."""
+    labeled = emb.withColumn("odd", (F.col("vec_id") % 2 == 1).cast("boolean"))
+    a = str(tmp_path / "pq_delpred_a")
+    b = str(tmp_path / "pq_delpred_b")
+    pq.write_pq_index(labeled, a, n_lists=8, kmeans_iters=3, meta_cols=["odd"])
+    pq.write_pq_index(labeled, b, n_lists=8, kmeans_iters=3, meta_cols=["odd"])
+    dead = [r["vec_id"] for r in labeled.filter("odd AND vec_id < 50").collect()]
+    assert pq.delete_from_pq_index(spark, a, "odd AND id < 50") == len(dead)
+    assert pq.delete_from_pq_index(spark, b, dead) == len(dead)
+    ra, _ = pq.pq_topk_indexed(spark, a, q, k_neighbors=5, nprobe=8)
+    rb, _ = pq.pq_topk_indexed(spark, b, q, k_neighbors=5, nprobe=8)
+    assert {tuple(r) for r in ra.collect()} == {tuple(r) for r in rb.collect()}
