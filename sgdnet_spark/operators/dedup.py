@@ -206,6 +206,52 @@ def ngram_jaccard_pairs(
     return _materialize_pairs(out, sh)
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """All-pairs word-k-gram CONTAINMENT ≥ threshold — the ASYMMETRIC
+    near-dup measure (Broder 1997's containment, |A∩B| / min(|A|,|B|)):
+    a short document quoted verbatim inside a much longer one scores
+    ~1.0 here while its symmetric Jaccard stays near |A|/|B| — the
+    quote/subset/boilerplate-inclusion case every symmetric dedup
+    measure structurally misses (asserted in tests). Same inverted-
+    index shuffle shape and ``max_doc_freq`` stop-shingle skew valve as
+    :func:`ngram_jaccard_pairs`; output (id_a, id_b, containment)
+    with id_a < id_b, 4 dp grid."""
+    sh = shingle_sets(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        n_docs = df.select(id_col).distinct().count()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq * n_docs)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("containment", F.col("inter") / F.least("sz_a", "sz_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", text.rpos(F.col("containment"), 4).alias("containment"))
+    )
+    return _materialize_pairs(out, sh)
+
+
 def _materialize_pairs(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize verified pairs, then free the upstream caches.
 

@@ -1106,3 +1106,35 @@ def test_fuzzy_contamination_empty_sides(spark):
     assert dedup.fuzzy_contamination_flags(empty, docs, threshold=0.5).count() == 0
     assert dedup.fuzzy_contamination_flags(docs, empty, threshold=0.5).count() == 0
     assert dedup.decontaminate_fuzzy(docs, empty, threshold=0.5).count() == 1
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    """Round 13: a short doc quoted verbatim inside a much longer one
+    scores containment 1.0 while its symmetric jaccard stays near
+    |A|/|B| — the quote/subset case jaccard structurally misses. The
+    skew valve composes like ngram_jaccard_pairs'."""
+    from sgdnet_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                      # the short original
+            (2, filler + " " + quote),       # quotes it inside 90+ tokens
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac  # symmetric jaccard misses the inclusion
+    # threshold excludes sub-threshold pairs; valve arg accepted
+    few = dedup.containment_pairs(docs, threshold=0.9, max_doc_freq=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in few} == {(1, 2)}
