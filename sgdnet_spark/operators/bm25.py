@@ -981,6 +981,7 @@ def phrase_match(
     q_text_col: str = "phrase",
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-phrase scan over an in-memory corpus: (query_id, doc_id,
     n_occurrences) for every document containing each phrase as a
@@ -989,7 +990,15 @@ def phrase_match(
     phrase sets restrict the corpus explode with a literal IN-set and
     broadcast the phrase relation; beyond ``max_inline_queries`` (or
     ``MAX_INLINE_TERMS`` combined vocabulary) everything stays
-    executor-side."""
+    executor-side.
+
+    ``positions`` (optional) replaces the corpus tokenize+posexplode
+    with a prebuilt (doc_id, pos bigint, term string) relation — the
+    caller-shared one-corpus-pass pattern (a pipeline running phrase
+    AND proximity scans tokenizes once and passes the union-vocabulary
+    positions to both). It must cover at least every position of every
+    phrase term; the per-call vocabulary restriction is still applied,
+    so a superset relation returns identical results."""
     spark = df.sparkSession
     q_raw = phrases.select(q_id_col, q_text_col).limit(max_inline_queries + 1).collect()
     large = len(q_raw) > max_inline_queries
@@ -1022,7 +1031,18 @@ def phrase_match(
         terms = sorted({t for _, _, t in qt_rows})
         vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
         bcast = F.broadcast
-    dt = (
+    dt = positions if positions is not None else _corpus_positions(
+        df, text_col, id_col
+    )
+    return _phrase_hits(vocab_join(dt), qt, bcast)
+
+
+def _corpus_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos bigint, term string) — every token position of the
+    corpus: THE positional relation both match scans consume. Offsets
+    are raw token-array indexes (pre-empty-filter), matching the
+    positional index write and the DuckDB twins' enumeration."""
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(text.tokens(text_col)).alias("pos", "term"),
@@ -1030,7 +1050,6 @@ def phrase_match(
         .filter(F.col("term") != "")
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
     )
-    return _phrase_hits(vocab_join(dt), qt, bcast)
 
 
 def phrase_match_indexed(
@@ -1210,12 +1229,15 @@ def proximity_match(
     q_text_col: str = "q_text",
     q_id_col: str = "query_id",
     max_inline_queries: int = 64,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Windowed co-occurrence scan: (query_id, doc_id, n_spans) where
     n_spans counts the anchor positions whose [pos, pos+window) span
     contains ALL of the query's distinct terms. Order and multiplicity
     inside the window are ignored (the unordered sloppy-span
-    semantics). Two-path query handling as :func:`phrase_match`."""
+    semantics). Two-path query handling as :func:`phrase_match`, and
+    the same optional caller-shared ``positions`` relation (superset
+    vocabularies are fine — the per-call restriction still applies)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     spark = df.sparkSession
@@ -1248,13 +1270,8 @@ def proximity_match(
         terms = sorted({t for _, t in qt_rows})
         vocab_join = lambda t: t.filter(F.col("term").isin(terms))  # noqa: E731
         bcast = F.broadcast
-    dt = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(text.tokens(text_col)).alias("pos", "term"),
-        )
-        .filter(F.col("term") != "")
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+    dt = positions if positions is not None else _corpus_positions(
+        df, text_col, id_col
     )
     return _proximity_hits(vocab_join(dt), qt, window, bcast)
 

@@ -926,3 +926,62 @@ def test_delete_by_meta_predicate(spark, tmp_path):
     rb, _ = bm25.bm25_topk_indexed(spark, b, q, k=10)
     assert {tuple(r) for r in ra.collect()} == {tuple(r) for r in rb.collect()}
     assert bm25._read_stats(spark, a) == bm25._read_stats(spark, b)
+
+
+def test_shared_positions_relation_matches_per_scan_explode(spark):
+    """Round 13 (optimization): phrase_match/proximity_match consuming a
+    caller-shared union-vocabulary positions relation return exactly
+    what their own corpus explode returns — the corpus_prep one-
+    tokenize-for-both pattern. A superset vocabulary must change no
+    values (each scan re-applies its own restriction)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat the cat the cat"),
+            (3, "mat dog cat x y z dog"),
+            (4, "cat mat the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    phr = spark.createDataFrame(
+        [("a", "the cat"), ("c", "cat mat")], "query_id string, phrase string"
+    )
+    prox_q = spark.createDataFrame(
+        [("x", "dog cat"), ("y", "mat dog")], "query_id string, q_text string"
+    )
+    union_terms = ["cat", "dog", "mat", "the"]
+    positions = bm25._corpus_positions(docs, "text", "doc_id").filter(
+        F.col("term").isin(union_terms)
+    )
+    base_p = {tuple(r) for r in bm25.phrase_match(docs, phr).collect()}
+    base_x = {tuple(r) for r in bm25.proximity_match(docs, prox_q, window=3).collect()}
+    got_p = {
+        tuple(r)
+        for r in bm25.phrase_match(docs, phr, positions=positions).collect()
+    }
+    got_x = {
+        tuple(r)
+        for r in bm25.proximity_match(
+            docs, prox_q, window=3, positions=positions
+        ).collect()
+    }
+    assert got_p == base_p and len(base_p) > 0
+    assert got_x == base_x and len(base_x) > 0
+
+
+def test_match_positions_shared_vocab_covers(spark):
+    """The umbrella's Python-split union vocabulary covers the engine
+    tokenization of every fixed phrase/prox query — the precondition
+    that makes _match_positions_shared a safe superset relation."""
+    from sgdnet_spark.operators import text as _text
+    from sgdnet_spark.queries import _PHRASE_QUERIES, _PROX_QUERIES
+
+    fixed = _PHRASE_QUERIES + _PROX_QUERIES
+    split_vocab = {t for _, txt in fixed for t in txt.split()}
+    qdf = spark.createDataFrame(fixed, "query_id string, q_text string")
+    engine_vocab = {
+        r["term"]
+        for r in qdf.select(F.explode(_text.tokens("q_text")).alias("term")).collect()
+        if r["term"]
+    }
+    assert engine_vocab <= split_vocab
