@@ -216,7 +216,15 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarr
 
 
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id from fixed random hyperplanes (deterministic)."""
+    """Sign-bit bucket id from fixed random hyperplanes (deterministic).
+
+    Literal-array form — each plane is inlined into the expression tree.
+    Fine for a handful of planes; the multi-table key builders below use
+    the data-driven twin (:func:`_planes_rel` + :func:`_lsh_tables_data`)
+    because L·b·dim literals hit the round-9 literal-array codegen trap:
+    thousands of py4j ``F.lit`` calls per fresh plan (measured 6.7 s of
+    driver-side construction per lsh_topk call at L=16, b=4, dim=64) and
+    a generated source too large for the JIT."""
     bits = []
     for i, plane in enumerate(planes):
         d = F.aggregate(
@@ -231,15 +239,74 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
-def _lsh_tables_col(vec: Column, planes: np.ndarray) -> Column:
-    """array<struct<tbl,bk>>: one sign-bit bucket per hash table.
-    planes: (L, b, dim)."""
-    entries = []
-    for t in range(planes.shape[0]):
-        entries.append(
-            F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec, planes[t]).alias("bk"))
+def _planes_lit(planes: np.ndarray) -> Column:
+    """The (L, b, dim) hyperplanes as ONE nested-array literal
+    (array<array<double>>, element t*b+i+1 = plane i of table t) — the
+    round-9 ship-the-model-as-data idea taken to its cheapest form:
+    ConstantFolding collapses it to a single Literal (one codegen
+    reference object) instead of L·b·dim individual ``F.lit`` calls, so
+    plan construction and the generated source are O(1)-small in the
+    plane count. Unlike a crossJoin'ed 1-row relation this adds NO
+    join, so Catalyst's size-in-bytes estimates (which multiply across
+    joins) are untouched and downstream join strategies cannot silently
+    flip (the dedup_embedding_lsh snapshot pin caught exactly that).
+
+    Built via ONE ``F.expr`` string, not nested ``F.lit`` (which walks
+    the python list element-by-element — measured ~2.5 s at 64×64) —
+    and each element carries the ``D`` suffix so it parses as DOUBLE
+    (bare SQL decimals parse as DECIMAL and would quantize); ``repr``
+    emits the shortest round-trip decimal and ``Double.parseDouble``
+    restores the exact bits."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+            for tbl in planes
+            for plane in tbl
         )
-    return F.array(*entries)
+        + ")"
+    )
+
+
+def _lsh_tables_data(vec: Column, pl: Column, n_tables: int, n_planes: int) -> Column:
+    """array<struct<tbl,bk>> of per-table sign-bit buckets, data-driven:
+    planes come from the ``pl`` column (:func:`_planes_lit`), the table
+    loop is ``transform(sequence(...))`` and the bit loop an
+    ``aggregate(sequence(...))`` — O(1) py4j calls and a plan whose size
+    is independent of L, b and dim.
+
+    BIT-PARITY with the literal form is part of the contract (the
+    ann_approx lsh golden rows): the per-plane dot is the SAME
+    zip_with element order and left-fold accumulation, so every double
+    is bit-identical and every sign bit agrees; the bucket id is a sum
+    of exact small ints (order-insensitive). Asserted against
+    :func:`lsh_bucket` in tests/test_operators.py."""
+    # bit weights as a tiny b-sized literal array (shiftleft needs a
+    # Python-int bit count; b is 3-4, so this never bloats the plan)
+    weights = F.array(*[F.lit(1 << i).cast("bigint") for i in range(n_planes)])
+
+    def bucket(t: Column) -> Column:
+        def add_bit(acc: Column, i: Column) -> Column:
+            plane = F.element_at(pl, (t * n_planes + i + F.lit(1)).cast("int"))
+            d = F.aggregate(
+                F.zip_with(vec, plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc2, v: acc2 + v,
+            )
+            return acc + F.when(d >= 0, F.element_at(weights, i.cast("int") + F.lit(1))).otherwise(
+                F.lit(0).cast("bigint")
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0).cast("bigint"),
+            add_bit,
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(t.cast("int").alias("tbl"), bucket(t).alias("bk")),
+    )
 
 
 def lsh_topk(
@@ -288,17 +355,26 @@ def lsh_topk(
     # leave join strategy to AQE (no query-sized broadcast/collect)
     n_q = len(queries.select(id_col).limit(max_inline_queries + 1).collect())
     bcast = F.broadcast if n_q <= max_inline_queries else (lambda x: x)
+    # planes ride as ONE nested-array literal, NOT L·b·dim inlined
+    # F.lit calls (the round-9 literal-array trap: measured 6.7 s of
+    # fresh-plan construction + analysis per call; values bit-identical,
+    # asserted in tests)
+    pl = _planes_lit(planes)
     # candidates carry IDS ONLY through the bucket join (the
     # cosine_pairs_lsh discipline): exploding (tbl, bk) keys next to the
     # full vector would shuffle every embedding n_tables times and drag
     # L-duplicated vectors through the dedup groupBy
     ckeys = df.select(
         F.col(id_col).alias("nbr_id"),
-        F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
+        F.explode(
+            _lsh_tables_data(_as_double(vec_col), pl, n_tables, n_planes)
+        ).alias("tb"),
     ).select("nbr_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
     qkeys = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
+        F.explode(
+            _lsh_tables_data(_as_double(vec_col), pl, n_tables, n_planes)
+        ).alias("tb"),
     ).select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
     cand = (
         ckeys.alias("c")
@@ -368,9 +444,14 @@ def cosine_pairs_lsh(
         _as_double(vec_col).alias("v"),
         norm(_as_double(vec_col)).alias("nrm"),
     )
+    # data-driven planes (see lsh_topk): same bucket values, small plan
     keys = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_lsh_tables_col(_as_double(vec_col), planes)).alias("tb"),
+        F.explode(
+            _lsh_tables_data(
+                _as_double(vec_col), _planes_lit(planes), n_tables, n_planes
+            )
+        ).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
     cand = (
         keys.alias("a")

@@ -80,6 +80,43 @@ def test_brute_force_vs_lsh_topk(spark):
     assert {r["nbr_id"] for r in bf} == top
 
 
+def test_lsh_data_driven_buckets_bit_parity(spark):
+    """The data-driven multi-table key builder (_planes_lit +
+    _lsh_tables_data — planes as one nested-array literal) must produce
+    BIT-IDENTICAL (tbl, bk) keys to the literal-array lsh_bucket form it
+    replaced: same zip_with element order, same left-fold accumulation,
+    so every per-plane dot (and therefore every sign bit) agrees."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.random_hyperplanes(16, 3 * 5, 42).reshape(5, 3, 16)
+
+    def old_tables_col(vec, pl):
+        entries = []
+        for t in range(pl.shape[0]):
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    similarity.lsh_bucket(vec, pl[t]).alias("bk"),
+                )
+            )
+        return F.array(*entries)
+
+    vec = similarity._as_double("embedding")
+    old = df.select(
+        "vec_id", F.explode(old_tables_col(vec, planes)).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bk")
+    new = df.select(
+        "vec_id",
+        F.explode(
+            similarity._lsh_tables_data(vec, similarity._planes_lit(planes), 5, 3)
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bk")
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_text_ops(docs):
     tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
     assert tc[0] == 14
