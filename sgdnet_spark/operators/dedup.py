@@ -260,15 +260,29 @@ def _materialize_pairs(out: DataFrame, *caches: DataFrame) -> DataFrame:
     the call: a previous version returned a still-persisted frame that
     every caller (dedup_components, corpus_clean, ...) leaked.
     Oversized pair sets stay persisted and distributed — then the
-    CALLER owns .unpersist()."""
-    cnt = out.persist().count()
+    CALLER owns .unpersist().
+
+    Round 13 (optimization): the size probe and the local fetch are ONE
+    bounded job — ``limit(cap+1).toPandas()`` — instead of a count
+    followed by a full toPandas (two serial jobs through the same
+    persisted relation). A result within the cap is complete by
+    construction (the limit could not have been reached); the oversized
+    path keeps the old count-to-materialize behavior, and only there do
+    the upstream caches stay alive until the pairs are fully cached."""
+    out = out.persist()
+    pdf = out.limit(_LOCAL_PAIRS_CAP + 1).toPandas()
+    if len(pdf) <= _LOCAL_PAIRS_CAP:
+        for c in caches:
+            c.unpersist()
+        spark = out.sparkSession
+        schema = out.schema
+        out.unpersist()
+        return spark.createDataFrame(pdf, schema=schema)
+    # oversized: the limit job may have stopped early, so materialize
+    # the full persisted relation BEFORE dropping the upstream caches
+    out.count()
     for c in caches:
         c.unpersist()
-    if cnt <= _LOCAL_PAIRS_CAP:
-        pdf = out.toPandas()
-        spark = out.sparkSession
-        out.unpersist()
-        return spark.createDataFrame(pdf, schema=out.schema)
     return out
 
 

@@ -137,13 +137,20 @@ def fit_dsir_modes(
     and uni+bi counts from both slices. Identical vectors to
     fit_dsir(bigrams=False) / fit_dsir(bigrams=True) — asserted in
     tests/test_dsir.py. Measured 9.0 -> ~5 s wall on the registered
-    corpus_dsir entry at sf0.1 (docs/BENCH_NOTES.md)."""
+    corpus_dsir entry at sf0.1 (docs/BENCH_NOTES.md).
+
+    Round 13 (optimization): BOTH corpora ride ONE tagged union pass —
+    each side carries a corpus tag through the same explode, the count
+    shuffle is keyed (corpus, tag, bucket) (4B-sized), and the driver
+    slices per corpus. One collect round trip instead of two serial
+    ones; per-(bucket, tag) counts — and therefore the lr vectors — are
+    unchanged (guide §1.2/§2.6)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
 
-    def tagged_counts(df: DataFrame) -> dict[tuple[int, int], int]:
-        from sgdnet_spark.session import spread_small_input
+    from sgdnet_spark.session import spread_small_input
 
+    def tagged_feats(df: DataFrame, corpus: int) -> DataFrame:
         df = spread_small_input(df)
         t = tokens(text_col)
         bg = F.zip_with(
@@ -160,20 +167,23 @@ def fit_dsir_modes(
                 lambda w: F.struct(w.alias("w"), F.lit(1).alias("bi")),
             ),
         )
-        rows = (
-            df.select(F.explode(feats).alias("f"))
-            .select(
-                F.col("f.bi").alias("bi"),
-                hash_bucket(F.col("f.w"), n_buckets, salt).alias("j"),
-            )
-            .groupBy("bi", "j")
-            .count()
-            .collect()
-        )
-        return {(r["bi"], r["j"]): r["count"] for r in rows}
+        return df.select(F.lit(corpus).alias("c"), F.explode(feats).alias("f"))
 
+    rows = (
+        tagged_feats(target, 0)
+        .unionByName(tagged_feats(raw, 1))
+        .select(
+            "c",
+            F.col("f.bi").alias("bi"),
+            hash_bucket(F.col("f.w"), n_buckets, salt).alias("j"),
+        )
+        .groupBy("c", "bi", "j")
+        .count()
+        .collect()
+    )
+    tc = {(r["bi"], r["j"]): r["count"] for r in rows if r["c"] == 0}
+    rc = {(r["bi"], r["j"]): r["count"] for r in rows if r["c"] == 1}
     out: dict[str, list[float]] = {}
-    tc, rc = tagged_counts(target), tagged_counts(raw)
     for mode, tags in (("uni", (0,)), ("bi", (0, 1))):
         lr = [0.0] * n_buckets
         for counts, sign in ((tc, 1.0), (rc, -1.0)):
