@@ -91,6 +91,7 @@ def hybrid_topk(
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
     exclude_self: bool = True,
+    lex: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval over a corpus whose documents
     carry both a text row (``docs``) and an embedding row (``emb``,
@@ -107,14 +108,23 @@ def hybrid_topk(
     forwards to the dense tier's self-exclusion; pass False when the
     query ids live in a namespace unrelated to the corpus ids, so an
     incidental id collision is not dropped from the dense list while
-    BM25 keeps it (which would skew the fused score)."""
+    BM25 keeps it (which would skew the fused score).
+
+    ``lex`` (optional) replaces the internal bm25_topk call with a
+    caller-prebuilt (query_id, doc_id, score, rn) lexical top-``pool``
+    list — the shared-corpus-pass pattern: a pipeline that already
+    tokenized the corpus for other consumers derives the lexical arm
+    from that one pass and injects it here (same contract as
+    bm25_topk's output; values must match it for the fusion to be
+    equivalent)."""
     from sgdnet_spark.operators import bm25 as _bm25
     from sgdnet_spark.operators import similarity as _sim
 
-    lex = _bm25.bm25_topk(
-        docs, queries.select("query_id", "q_text"), k=pool,
-        text_col=text_col, id_col=doc_id_col,
-    )
+    if lex is None:
+        lex = _bm25.bm25_topk(
+            docs, queries.select("query_id", "q_text"), k=pool,
+            text_col=text_col, id_col=doc_id_col,
+        )
     dense = _sim.brute_force_topk(
         emb,
         queries.select(F.col("query_id").alias(vec_id_col), F.col("q_vec").alias(vec_col)),

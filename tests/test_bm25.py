@@ -985,3 +985,34 @@ def test_match_positions_shared_vocab_covers(spark):
         if r["term"]
     }
     assert engine_vocab <= split_vocab
+
+
+def test_corpus_match_shared_equals_standalone_paths(spark, tmp_path):
+    """Round 13 (optimization): the corpus_prep ONE-corpus-pass builder
+    (_corpus_match_shared) must reproduce the standalone paths exactly —
+    the bm25 scored relation == _bm25_scored_shared's, the hybrid
+    lexical arm == bm25_topk's top-20, and the positions relation a
+    safe superset that leaves phrase/prox values unchanged."""
+    import shutil
+
+    import sgdnet_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    scored, lex, positions = Q._corpus_match_shared(spark, sf)
+    # scored: same (query_id, doc_id, score) rows as the standalone shared relation
+    base_scored = Q._bm25_scored_shared(spark, sf)
+    a = {tuple(r) for r in scored.select("query_id", "doc_id", F.round("score", 9)).collect()}
+    b = {tuple(r) for r in base_scored.select("query_id", "doc_id", F.round("score", 9)).collect()}
+    assert a == b and len(a) > 0
+    # lex: identical to the hybrid arm bm25_topk would have built
+    docs = Q._t(spark, sf, "documents")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("q_text")
+    )
+    base_lex = bm25.bm25_topk(docs, qd, 20)
+    assert {tuple(r) for r in lex.collect()} == {tuple(r) for r in base_lex.collect()}
+    # positions: phrase/prox values unchanged under the superset relation
+    phr = spark.createDataFrame(Q._PHRASE_QUERIES, "query_id string, phrase string")
+    got = {tuple(r) for r in bm25.phrase_match(docs, phr, positions=positions).collect()}
+    want = {tuple(r) for r in bm25.phrase_match(docs, phr).collect()}
+    assert got == want
