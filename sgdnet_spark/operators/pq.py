@@ -913,9 +913,19 @@ def ivfpq_topk(
         if opq:
             if rot is None:
                 rot = opq_fit_rotation(tr, m=m, vec_col=vec_col, id_col=id_col)
-            # the existing fits run UNCHANGED in the rotated space —
-            # rotation is a lazy Arrow map riding each training scan
-            tr = _rotated_frame(tr, rot, vec_col, id_col)
+            # the existing fits run UNCHANGED in the rotated space.
+            # Round 13 (optimization, guide §5): the rotated TRAIN
+            # sample is localCheckpoint-ed once — every Lloyd pass used
+            # to re-run the rotation's own mapInPandas boundary (a
+            # second Python round trip per iteration); now one rotate
+            # pass feeds all kmeans_iters trainer passes. The cache is
+            # train-sample-sized (train_frac is the 100 TB bound) and
+            # the materialized rows are the exact doubles the lazy map
+            # would recompute — models bit-identical (tests/test_pq.py
+            # numpy replay unchanged).
+            tr = _rotated_frame(tr, rot, vec_col, id_col).localCheckpoint(
+                eager=True
+            )
             t_vec, t_id = "v", "id"
         else:
             t_vec, t_id = vec_col, id_col
