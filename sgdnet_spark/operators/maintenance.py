@@ -169,4 +169,13 @@ def compact_partitioned(
                 )
         raise
     fs.delete(old_p, True)
+    # the directory's contents just changed in place: drop any cached
+    # table handle bound to it (queries._t pins the file listing at
+    # handle creation — reading through a stale handle after this swap
+    # would hit deleted files). Index dirs never go through _t, so this
+    # is a no-op for the normal maintenance paths; it closes the latent
+    # for anyone compacting a base table (ADVICE r13).
+    from sgdnet_spark.queries import clear_table_cache
+
+    clear_table_cache(dir_path)
     return before

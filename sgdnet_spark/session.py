@@ -12,13 +12,24 @@ import os
 from pyspark.sql import SparkSession
 
 
-def cap_blas_threads(n: int = 4) -> None:
+def cap_blas_threads(n: int = 1) -> None:
     """Cap the driver-side BLAS pool: the GLM solvers' numpy kernels are
     small-matrix ops (p ~ 5-2000 columns) where a 32-thread BLAS burns
     ~10x the CPU of a 4-thread one for identical wall time (measured:
     36-61s vs 5-6s CPU per binomial path fit at sf0.1). Executor-side
     python workers are unaffected — pyspark pins their OMP_NUM_THREADS
-    to the task's cores.
+    to the task's cores (verified on this build: workers report
+    OMP_NUM_THREADS=1 regardless of the driver env).
+
+    Round 14: the default cap is 1, not 4. Interleaved same-window A/B
+    on the binomial path solve (this OpenBLAS is built MAX_THREADS=2,
+    so 4 and 2 behave alike): threads=1 reads 0.565 s wall / 1.3 s CPU
+    vs 0.651/3.06 at 2 — the threaded path's spin-wait burns 2.3x the
+    CPU for ~15% MORE wall even on an idle host, and on a loaded
+    driver (the bench's 32-core round-robin) the spinning is what the
+    round-13 driver artifact recorded as glm_binomial_path 3.17 s wall
+    / 8.2 s CPU. A driver co-resident with the scheduler should never
+    spin a BLAS pool.
 
     Called from the entry points that own the process (get_spark,
     bench.py) rather than at package import, so merely importing
@@ -53,7 +64,7 @@ def cap_blas_threads(n: int = 4) -> None:
 
 
 def get_spark(app_name: str = "sgdnet_spark", shuffle_partitions: int | None = None) -> SparkSession:
-    cap_blas_threads(4)
+    cap_blas_threads(1)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus

@@ -113,3 +113,40 @@ def test_compact_mid_stream_results_stable(spark, corpus, tmp_path):
     assert not err
     got, _ = bm25.bm25_topk_indexed(spark, path, q, k=3)
     assert {tuple(r) for r in got.collect()} == want
+
+
+def test_clear_table_cache_invalidates_rewritten_dir(spark, tmp_path):
+    """_t pins a table's file listing at handle creation (the immutable-
+    input invariant); clear_table_cache(path) must drop the handle so a
+    reader after an in-place rewrite sees the new files, and
+    compact_partitioned must invoke it automatically (round 14)."""
+    from sgdnet_spark import queries as Q
+    from sgdnet_spark.operators.maintenance import compact_partitioned
+
+    sf_dir = str(tmp_path)
+    tdir = os.path.join(sf_dir, "t.parquet")
+    spark.range(5).coalesce(2).write.parquet(tdir)
+    assert Q._t(spark, sf_dir, "t").count() == 5
+    key = (spark.sparkContext.applicationId, sf_dir, "t")
+    assert key in Q._T_CACHE
+
+    # targeted invalidation by table-file path and by sf_dir both hit
+    Q.clear_table_cache(tdir)
+    assert key not in Q._T_CACHE
+    Q._t(spark, sf_dir, "t")
+    Q.clear_table_cache(sf_dir)
+    assert key not in Q._T_CACHE
+
+    # compact_partitioned rewrites the dir in place and must clear the
+    # handle itself: the fresh _t read sees the compacted layout
+    h = Q._t(spark, sf_dir, "t")
+    assert h.count() == 5
+    compact_partitioned(spark, tdir, None)
+    assert key not in Q._T_CACHE
+    assert Q._t(spark, sf_dir, "t").count() == 5
+
+    # clear_table_cache(None) drops everything for this app
+    Q._t(spark, sf_dir, "t")
+    Q.clear_table_cache()
+    assert not any(k[0] == spark.sparkContext.applicationId and k[1] == sf_dir
+                   for k in Q._T_CACHE)
